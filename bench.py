@@ -1,0 +1,59 @@
+"""Benchmark runner — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Times are end-to-end per query: plan +
+execute + collect count (results are materialized via count to avoid
+driver-side transfer dominating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (  # noqa: E402
+    load_all_queries,
+)
+from kafka_connect_postgres_to_clickhouse_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_changelog_replay",
+    "q_upsert_batch",
+    "q_envelope_parse",
+    "q_dedup_lww",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    registry = load_all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    spark = get_spark("kcptc-bench")
+    times: dict[str, float] = {}
+    # warm the JVM + parquet footer caches once with the flagship
+    registry[names[0]].fn(spark, sf_dir).count()
+    for name in names:
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 4)
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

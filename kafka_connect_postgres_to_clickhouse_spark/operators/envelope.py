@@ -1,0 +1,162 @@
+"""Debezium-style change-event envelope: build, parse, unwrap.
+
+Wire format replicated (reference README.md:127-129): each Kafka value
+is a self-describing JSON pair ``{"schema": {...}, "payload": {...}}``
+where, after the ``ExtractNewRecordState`` SMT (setup.sh:105-107),
+``payload`` is the flat after-image of the row and timestamps ride as
+``io.debezium.time.MicroTimestamp`` = int64 epoch-microseconds
+(e.g. 1754155842030174 = 2025-08-02 17:30:42.030174, README.md:120).
+
+Spark-first design: serde is ``to_json``/``from_json`` — JVM-side,
+whole-stage-codegen, no Python in the loop.  At 100 TB the parse is a
+per-row narrow map over the Kafka batch: no shuffle, scales linearly
+with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_JSON_WIRE_TYPE = {
+    T.IntegerType(): "int32",
+    T.LongType(): "int64",
+    T.StringType(): "string",
+    T.DoubleType(): "double",
+    T.BooleanType(): "boolean",
+}
+
+MICRO_TS = "io.debezium.time.MicroTimestamp"
+
+
+def _field_schema_struct(f: T.StructField) -> Column:
+    """One entry of ``schema.fields`` (README.md:127 shape)."""
+    if isinstance(f.dataType, T.TimestampType):
+        wire, name, version = "int64", MICRO_TS, 1
+    else:
+        wire = _JSON_WIRE_TYPE.get(f.dataType, "string")
+        name, version = None, None
+    return F.struct(
+        F.lit(wire).alias("type"),
+        F.lit(f.nullable).alias("optional"),
+        F.lit(name).cast("string").alias("name"),
+        F.lit(version).cast("int").alias("version"),
+        F.lit(f.name).alias("field"),
+    )
+
+
+def debezium_value_schema(payload_schema: T.StructType) -> T.StructType:
+    """Spark schema of the wire envelope for ``from_json``.
+
+    Timestamp fields travel as int64 micros (MicroTimestamp), so the
+    wire payload struct swaps TimestampType -> LongType; ``parse_envelope``
+    restores them with ``timestamp_micros``.
+    """
+    field_meta = T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("optional", T.BooleanType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("version", T.IntegerType()),
+            T.StructField("field", T.StringType()),
+        ]
+    )
+    wire_payload = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType,
+                f.nullable,
+            )
+            for f in payload_schema.fields
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField(
+                "schema",
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField("fields", T.ArrayType(field_meta)),
+                        T.StructField("optional", T.BooleanType()),
+                        T.StructField("name", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("payload", wire_payload),
+        ]
+    )
+
+
+def envelope_schema(payload_schema: T.StructType) -> T.StructType:
+    return debezium_value_schema(payload_schema)
+
+
+def build_envelope_json(
+    df: DataFrame, payload_schema: T.StructType, schema_name: str
+) -> Column:
+    """Serialize rows into the reference's wire JSON (inverse of parse).
+
+    Timestamps are emitted as epoch-microseconds via ``unix_micros``
+    (reference wire type MicroTimestamp, README.md:127).
+    """
+    payload_cols = []
+    for f in payload_schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.TimestampType):
+            c = F.unix_micros(c)
+        payload_cols.append(c.alias(f.name))
+    schema_col = F.struct(
+        F.lit("struct").alias("type"),
+        F.array(*[_field_schema_struct(f) for f in payload_schema.fields]).alias("fields"),
+        F.lit(False).alias("optional"),
+        F.lit(schema_name).alias("name"),
+    )
+    return F.to_json(
+        F.struct(schema_col.alias("schema"), F.struct(*payload_cols).alias("payload")),
+        {"ignoreNullFields": "false"},
+    )
+
+
+def parse_envelope(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    value_col: str = "value",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """bytes/str -> typed flat row (the JsonConverter + unwrap path).
+
+    ``mode='PERMISSIVE'`` mirrors ``errors.tolerance=all``
+    (setup.sh:145-147): malformed JSON yields a null struct instead of
+    failing the query; callers route those rows to a DLQ.
+    Micro-timestamps are restored with ``timestamp_micros`` — the exact
+    inverse of the Debezium MicroTimestamp encoding.
+    """
+    wire = debezium_value_schema(payload_schema)
+    parsed = df.withColumn(
+        "_envelope",
+        F.from_json(F.col(value_col).cast("string"), wire, {"mode": mode}),
+    )
+    out_cols = []
+    for f in payload_schema.fields:
+        c = F.col(f"_envelope.payload.{f.name}")
+        if isinstance(f.dataType, T.TimestampType):
+            c = F.timestamp_micros(c)
+        out_cols.append(c.alias(f.name))
+    keep = [c for c in df.columns if c != value_col]
+    # PERMISSIVE from_json yields a struct of nulls (not a null struct)
+    # on malformed input, so corruption == no payload materialized.
+    corrupt = F.col("_envelope").isNull() | F.col("_envelope.payload").isNull()
+    return parsed.select(*keep, *out_cols, corrupt.alias("_corrupt"))
+
+
+def unwrap(df: DataFrame) -> DataFrame:
+    """ExtractNewRecordState (setup.sh:105-107): op envelope -> after image.
+
+    Input has struct columns ``before``/``after`` and scalar ``op``;
+    output is the flat after-image plus ``op`` (pure projection —
+    Catalyst prunes ``before``/``source`` from the scan entirely).
+    """
+    return df.select("after.*", "op")

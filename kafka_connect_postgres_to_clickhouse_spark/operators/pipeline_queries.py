@@ -1,0 +1,369 @@
+"""Registry wave 1: the CDC pipeline surface (SURVEY.md sections 2.1-2.4).
+
+Each query re-expresses one observable behavior of the reference
+pipeline on the driver fixtures; the DuckDB oracle mirrors the exact
+same derivation so the driver's t2 hash-compare is meaningful.
+
+The scaled changelog input is ``sources.changelog.users_changelog``
+(events-derived, FIXTURES.md section 2); its DuckDB rendering is
+``USERS_CHANGELOG_SQL`` and every oracle composes from it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.ddl import generate_ddl
+from ..plans.registry import register
+from ..sources.catalog import (
+    CATALOG_COLUMNS_SQL,
+    CATALOG_TABLES_SQL,
+    catalog_columns_df,
+    catalog_tables_df,
+)
+from ..sources.changelog import USERS_CHANGELOG_SQL, users_changelog
+from ..sources.tables import load_table
+from .envelope import build_envelope_json, parse_envelope
+from .upsert import apply_changelog, lww_dedup, upsert_batch
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+
+CHANGELOG_CTE = f"WITH changelog AS ({USERS_CHANGELOG_SQL})"
+
+REPLAY_SQL = f"""
+{CHANGELOG_CTE},
+kept AS (SELECT * FROM changelog WHERE op <> 'd'),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY updated_at DESC, _seq DESC) AS rn
+  FROM kept
+)
+SELECT user_id, username, account_type, updated_at, _seq AS last_seq
+FROM ranked WHERE rn = 1
+"""
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users_changelog(load_table(spark, sf_dir, "events"))
+
+
+def _replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = apply_changelog(
+        _changelog(spark, sf_dir), keys=["user_id"], version_cols=["updated_at", "_seq"]
+    )
+    return state.select(
+        "user_id", "username", "account_type", "updated_at", F.col("_seq").alias("last_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.1 sources / scans / ddl
+
+
+@register("q_scan_snapshot", oracle="SELECT * FROM customer")
+def q_scan_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial snapshot scan (snapshot.mode=initial, setup.sh:92)."""
+    return load_table(spark, sf_dir, "customer")
+
+
+@register(
+    "q_scan_catalog",
+    oracle=f"""
+    SELECT table_name FROM {CATALOG_TABLES_SQL} t
+    WHERE table_schema = 'iman' AND table_type = 'BASE TABLE'
+    """,
+)
+def q_scan_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table discovery (reference setup.sh:29-30)."""
+    t = catalog_tables_df(spark)
+    return t.filter(
+        (F.col("table_schema") == "iman") & (F.col("table_type") == "BASE TABLE")
+    ).select("table_name")
+
+
+@register(
+    "q_scan_columns",
+    oracle=f"""
+    SELECT column_name, ordinal_position, data_type, is_nullable
+    FROM {CATALOG_COLUMNS_SQL} c
+    WHERE table_schema = 'iman' AND table_name = 'users'
+    """,
+)
+def q_scan_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column metadata scan (reference setup.sh:50-52)."""
+    c = catalog_columns_df(spark)
+    return c.filter(
+        (F.col("table_schema") == "iman") & (F.col("table_name") == "users")
+    ).select("column_name", "ordinal_position", "data_type", "is_nullable")
+
+
+@register(
+    "q_ddl_generate",
+    oracle=f"""
+    WITH cols AS (
+      SELECT table_schema, table_name, column_name, ordinal_position,
+             CASE data_type
+               WHEN 'integer' THEN 'UInt32'
+               WHEN 'bigint' THEN 'UInt64'
+               WHEN 'numeric' THEN 'Decimal(18,2)'
+               WHEN 'text' THEN 'String'
+               WHEN 'character varying' THEN 'String'
+               WHEN 'timestamp without time zone' THEN 'DateTime64(6)'
+               WHEN 'uuid' THEN 'UUID'
+               ELSE 'String'
+             END AS ch_type
+      FROM {CATALOG_COLUMNS_SQL} c
+    )
+    SELECT table_schema, table_name,
+           'CREATE TABLE IF NOT EXISTS ' || table_schema || '.' || table_name
+           || ' (' || string_agg(column_name || ' ' || ch_type, ', ' ORDER BY ordinal_position)
+           || ') ENGINE = ReplacingMergeTree() ORDER BY '
+           || coalesce(
+                min(CASE WHEN column_name = regexp_replace(table_name, 's$', '') || '_id'
+                         THEN column_name END),
+                arg_min(column_name, ordinal_position))
+           || ';' AS ddl
+    FROM cols
+    GROUP BY table_schema, table_name
+    """,
+)
+def q_ddl_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema translation PG -> ClickHouse DDL (reference setup.sh:36-66)."""
+    return generate_ddl(catalog_columns_df(spark))
+
+
+# ---------------------------------------------------------------------------
+# 2.2 record transforms (the SMT chain)
+
+
+@register(
+    "q_envelope_parse",
+    oracle=f"{CHANGELOG_CTE} SELECT _seq, user_id, username, account_type, updated_at FROM changelog",
+)
+def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire JSON round-trip: build the Debezium envelope, parse it back.
+
+    Checks serde fidelity including MicroTimestamp micros<->timestamp
+    (envelope shape README.md:127-129).
+    """
+    log = _changelog(spark, sf_dir)
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    wire = log.select(
+        "_seq",
+        build_envelope_json(
+            payload, payload.schema, "postgres_cdc.iman.users.Value"
+        ).alias("value"),
+    )
+    parsed = parse_envelope(wire, payload.schema)
+    return parsed.select("_seq", "user_id", "username", "account_type", "updated_at")
+
+
+@register(
+    "q_unwrap",
+    oracle=f"{CHANGELOG_CTE} SELECT user_id, username, account_type, updated_at, op FROM changelog",
+)
+def q_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractNewRecordState: op envelope {before,after,op} -> after image."""
+    log = _changelog(spark, sf_dir)
+    enveloped = log.select(
+        F.lit(None)
+        .cast(
+            "struct<user_id:int,username:string,account_type:string,updated_at:timestamp>"
+        )
+        .alias("before"),
+        F.struct("user_id", "username", "account_type", "updated_at").alias("after"),
+        "op",
+        F.struct(F.lit("postgresql").alias("connector"), F.lit("iman").alias("schema")).alias(
+            "source"
+        ),
+    )
+    from .envelope import unwrap
+
+    return unwrap(enveloped)
+
+
+@register(
+    "q_tombstone_filter",
+    oracle="""
+    SELECT event_id, props AS value FROM events WHERE event_type <> 'error'
+    """,
+)
+def q_tombstone_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone drop (setup.sh:94,107): null-valued records removed.
+
+    'error' events play tombstones (null value); survivors keep payload.
+    """
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("props")).alias(
+            "value"
+        ),
+    )
+    return keyed.filter(F.col("value").isNotNull())
+
+
+@register(
+    "q_delete_drop",
+    oracle=f"{CHANGELOG_CTE} SELECT _seq, op, user_id, username, account_type, updated_at FROM changelog WHERE op <> 'd'",
+)
+def q_delete_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE events never reach the sink (SURVEY.md section 0)."""
+    log = _changelog(spark, sf_dir)
+    return log.filter(F.col("op") != "d").select(
+        "_seq", "op", "user_id", "username", "account_type", "updated_at"
+    )
+
+
+@register(
+    "q_ts_micros",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_micros,
+           make_timestamp(epoch_us(ts)) AS ts_roundtrip
+    FROM events
+    """,
+)
+def q_ts_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MicroTimestamp conversion: int64 epoch-micros <-> timestamp(6).
+
+    The key wire conversion of the pipeline (README.md:127 value
+    1754155842030174 = 2025-08-02 17:30:42.030174; sink DateTime64(6)).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_micros"),
+        F.timestamp_micros(F.unix_micros("ts")).alias("ts_roundtrip"),
+    )
+
+
+@register(
+    "q_topic_route",
+    oracle=f"""
+    {CHANGELOG_CTE}
+    SELECT regexp_extract(topic, '^postgres_cdc\\.iman\\.(.*)$', 1) AS table_name,
+           count(*) AS n
+    FROM changelog GROUP BY 1
+    """,
+)
+def q_topic_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexRouter (setup.sh:119-126): strip topic prefix -> table name."""
+    log = _changelog(spark, sf_dir)
+    return log.select(
+        F.regexp_extract("topic", r"^postgres_cdc\.iman\.(.*)$", 1).alias("table_name")
+    ).groupBy("table_name").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_corrupt_tolerate",
+    oracle=f"""
+    {CHANGELOG_CTE}
+    SELECT _seq, user_id, username, account_type, updated_at
+    FROM changelog WHERE _seq % 97 <> 0
+    """,
+)
+def q_corrupt_tolerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """errors.tolerance=all (setup.sh:145-147): skip poison records.
+
+    Every 97th wire message is truncated mid-JSON; PERMISSIVE parsing
+    nulls it and the pipeline continues with the clean rows.
+    """
+    log = _changelog(spark, sf_dir)
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    wire = log.select(
+        "_seq",
+        build_envelope_json(
+            payload, payload.schema, "postgres_cdc.iman.users.Value"
+        ).alias("value"),
+    )
+    corrupted = wire.withColumn(
+        "value",
+        F.when(F.col("_seq") % 97 == 0, F.substring("value", 1, 20)).otherwise(
+            F.col("value")
+        ),
+    )
+    parsed = parse_envelope(corrupted, payload.schema)
+    clean = parsed.filter(~F.col("_corrupt"))
+    return clean.select("_seq", "user_id", "username", "account_type", "updated_at")
+
+
+# ---------------------------------------------------------------------------
+# 2.3 keyed upsert / dedup / replay
+
+
+@register(
+    "q_dedup_lww",
+    oracle=f"""
+    {CHANGELOG_CTE},
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY updated_at DESC, _seq DESC) AS rn
+      FROM changelog
+    )
+    SELECT _seq, op, user_id, username, account_type, updated_at
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree LWW dedup, deterministic version (updated_at,_seq)."""
+    log = _changelog(spark, sf_dir).select(
+        "_seq", "op", "user_id", "username", "account_type", "updated_at"
+    )
+    return lww_dedup(log, keys=["user_id"], version_cols=["updated_at", "_seq"])
+
+
+@register("q_changelog_replay", oracle=REPLAY_SQL)
+def q_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: fold the changelog into current state (SURVEY.md 3.2).
+
+    insert/update stream -> drop deletes -> LWW by key -> current table;
+    the batch form of the reference's entire data plane.
+    """
+    return _replay(spark, sf_dir)
+
+
+@register("q_upsert_batch", oracle=REPLAY_SQL)
+def q_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent micro-batch merge under at-least-once re-delivery.
+
+    State at seq<=5000 merged with batch seq>4000 (1000 events
+    re-delivered): final state must equal the full replay exactly.
+    """
+    log = _changelog(spark, sf_dir)
+    existing = apply_changelog(
+        log.filter(F.col("_seq") <= 5000),
+        keys=["user_id"],
+        version_cols=["updated_at", "_seq"],
+    )
+    batch = log.filter((F.col("_seq") > 4000) & (F.col("op") != "d"))
+    merged = upsert_batch(
+        existing, batch, keys=["user_id"], version_cols=["updated_at", "_seq"]
+    )
+    return merged.select(
+        "user_id", "username", "account_type", "updated_at", F.col("_seq").alias("last_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.2 trivial relational (reference's own sink queries)
+
+
+@register(
+    "q_proj",
+    oracle=f"{CHANGELOG_CTE} SELECT user_id, username, account_type FROM changelog",
+)
+def q_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection (reference setup.sh:180)."""
+    return _changelog(spark, sf_dir).select("user_id", "username", "account_type")
+
+
+@register(
+    "q_filter_eq",
+    oracle=f"SELECT * FROM ({REPLAY_SQL}) WHERE user_id = 42",
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality predicate on the key (reference setup.sh:197,207)."""
+    return _replay(spark, sf_dir).filter(F.col("user_id") == 42)

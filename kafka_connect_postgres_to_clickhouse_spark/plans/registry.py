@@ -1,0 +1,57 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every operator from SURVEY.md section 2 registers here with a Spark
+callable ``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible) a
+DuckDB oracle SQL string over the pre-registered fixture views.
+``__spark_entry__.py`` exposes the registry as ``queries()`` /
+``oracle_sql()``.
+
+Contract reminders (driver t2):
+- compare = row-count + schema + order-insensitive value hash with
+  columns sorted by name -> alias every computed column identically in
+  Spark and SQL;
+- float aggregation order differs between engines -> aggregate money
+  columns as DECIMAL (exact, order-independent) or round consistently.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None -> driver does rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+_QUERY_MODULES = [
+    "kafka_connect_postgres_to_clickhouse_spark.operators.pipeline_queries",
+    "kafka_connect_postgres_to_clickhouse_spark.operators.relational_queries",
+    "kafka_connect_postgres_to_clickhouse_spark.operators.window_queries",
+    "kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries",
+]
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query key {name!r}")
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def load_all_queries() -> dict[str, QuerySpec]:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return REGISTRY

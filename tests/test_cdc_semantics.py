@@ -1,0 +1,78 @@
+"""Semantic parity with the reference's own end-to-end test
+(setup.sh:153-207): 3 inserts -> asserted state; delete dropped;
+insert+update -> LWW upsert.  See FIXTURES.md section 1.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_postgres_to_clickhouse_spark.operators.upsert import (
+    apply_changelog,
+    lww_dedup,
+    upsert_batch,
+)
+from kafka_connect_postgres_to_clickhouse_spark.sources.changelog import (
+    reference_scenario_changelog,
+)
+
+KEYS = ["user_id"]
+VERSION = ["updated_at", "_seq"]
+
+
+def _state(df):
+    rows = df.select("user_id", "username", "account_type").collect()
+    return {r.user_id: (r.username, r.account_type) for r in rows}
+
+
+def test_golden_state_after_three_inserts(spark):
+    """setup.sh:180-189 golden TSV: 1 user1 Bronze / 2 user2 Silver / 3 user3 Gold."""
+    log = reference_scenario_changelog(spark).filter(F.col("_seq") <= 3)
+    state = _state(apply_changelog(log, KEYS, VERSION))
+    assert state == {
+        1: ("user1", "Bronze"),
+        2: ("user2", "Silver"),
+        3: ("user3", "Gold"),
+    }
+
+
+def test_delete_is_dropped_like_reference(spark):
+    """The reference pipeline drops DELETEs (setup.sh:94,105-107);
+    key 1 must still be present after the delete event."""
+    log = reference_scenario_changelog(spark)
+    state = _state(apply_changelog(log, KEYS, VERSION))
+    assert state == {
+        1: ("user1", "Bronze"),
+        2: ("user2", "Silver"),
+        3: ("user3", "Gold"),
+        999: ("updated_user", "Test"),
+    }
+
+
+def test_apply_deletes_extension(spark):
+    """Stricter extension mode: op='d' removes the key."""
+    log = reference_scenario_changelog(spark)
+    state = _state(apply_changelog(log, KEYS, VERSION, apply_deletes=True))
+    assert 1 not in state
+    assert state[999] == ("updated_user", "Test")
+
+
+def test_lww_update_wins(spark):
+    """setup.sh:199-207: update of key 999 replaces the insert row."""
+    log = reference_scenario_changelog(spark).filter(F.col("user_id") == 999)
+    final = lww_dedup(log, KEYS, VERSION).collect()
+    assert len(final) == 1
+    assert final[0].username == "updated_user"
+
+
+def test_upsert_batch_idempotent_under_redelivery(spark):
+    """At-least-once re-delivery (setup.sh:101-103,144) must not dup."""
+    log = reference_scenario_changelog(spark)
+    nondelete = log.filter(F.col("op") != "d")
+    existing = apply_changelog(log.filter(F.col("_seq") <= 4), KEYS, VERSION)
+    # batch re-delivers seq 3 and adds 5,6
+    batch = nondelete.filter(F.col("_seq") >= 3)
+    merged = upsert_batch(existing, batch, KEYS, VERSION)
+    assert merged.count() == 4
+    again = upsert_batch(merged, batch, KEYS, VERSION)
+    assert _state(again) == _state(merged)
