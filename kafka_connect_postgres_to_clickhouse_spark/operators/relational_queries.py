@@ -1,6 +1,783 @@
 """Registry wave 2: relational query surface (SURVEY.md section 2.5).
 
-Filled in incrementally; see pipeline_queries.py for wave 1.
+The sink of the reference pipeline is a fully queryable ClickHouse
+table (setup.sh:177,180); capability parity therefore includes the
+standard relational algebra, expressed here over the driver's star
+schema with built-in Spark only — Catalyst/AQE does all optimization.
+
+Cross-engine determinism rules used throughout (driver hashes values):
+- money aggregations: scale the per-row double to integer cents with
+  round() (same binary double -> same integer in both engines), SUM
+  as BIGINT (exact, order-independent), divide back by 100 at the
+  end (one IEEE division on identical inputs).  A DECIMAL cast of an
+  arbitrary double is NOT portable — DuckDB and Spark round the last
+  decimal digit differently;
+- integral-valued doubles (l_quantity) may cast to DECIMAL directly;
+- averages: exact integer SUM cast to double, then divided — every
+  intermediate identical on both sides;
+- row-level double arithmetic (x*(1-y), abs, sqrt) is bit-identical
+  across engines and needs no rounding;
+- top-k always tie-broken by a unique key.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+DEC = "decimal(18,6)"
+
+
+# ---------------------------------------------------------------------------
+# sort / limit
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (reference pattern setup.sh:180,58,64).
+
+    Catalyst plans TakeOrderedAndProject: per-partition heap of k rows,
+    no global sort — the 100 TB-safe top-k.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; customer is the broadcast side at any scale."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_multi",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join -> revenue per region/nation (TPC-H Q5 shape).
+
+    Scale design: fact table (lineitem) shuffles once on l_orderkey for
+    the orders join; every dimension (customer at 1.5k..15M rows,
+    nation, region) broadcasts, so there is exactly ONE big shuffle.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast(
+        "long"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(cents).cast("double") / 100).alias("sum_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, coalesce(b.n_big, 0) AS n_big_orders
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      WHERE o_totalprice > 400000 GROUP BY o_custkey
+    ) b ON c.c_custkey = b.o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with aggregate-before-join (shuffle the small side)."""
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", F.coalesce("n_big", F.lit(0)).alias("n_big_orders")
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join: customers with a pending order (left_semi)."""
+    c = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(pending, c.c_custkey == pending.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers without pending orders (left_anti)."""
+    c = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(pending, c.c_custkey == pending.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range residual join: items shipped within 60 days of order.
+
+    The equi component keeps it a sort-merge/shuffle-hash join at scale;
+    the range predicate is evaluated as a cheap residual — never a BNL.
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+    ).select("o_orderkey", "l_linenumber", "l_shipdate")
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+    SELECT a.event_id AS id1, b.event_id AS id2, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (events of one user within 60 s of each other)
+    via the time-bucket expansion pattern.
+
+    Scale design: instead of a quadratic theta-join, each left row is
+    expanded to its 3 candidate 60 s buckets and joined EQUI on
+    (user_id, bucket) — O(n) shuffle, no BNL; the exact |dt|<=60 s
+    predicate is a residual filter.  Each qualifying pair meets in
+    exactly one bucket (the right row's own), so no dedup is needed.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    bucket = F.floor(F.col("us") / F.lit(60_000_000))
+    left = e.withColumn("b", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
+    right = e.withColumn("b", bucket)
+    a, b = left.alias("a"), right.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.us") - F.col("b.us")) <= 60_000_000),
+        )
+        .select(
+            F.col("a.event_id").alias("id1"),
+            F.col("b.event_id").alias("id2"),
+            F.col("a.user_id").alias("user_id"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts, last_click_ts
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user.
+
+    Idiomatic Spark as-of: union-style single pass with a running
+    window maximum — ONE shuffle by user_id, no per-key join blow-up
+    (the naive join+filter is quadratic per key at 100 TB).
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregates
+
+
+@register(
+    "q_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate sum/avg/min/max/count by group (TPC-H Q1 shape).
+
+    Partial aggregation map-side; 6 groups survive the shuffle.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double") / 100).alias(
+            "sum_base_price"
+        ),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Spark expands to a two-phase agg)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None)  # no exact oracle by design
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    distinct's shuffle would dominate; rows-only check by design."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@register(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT n.n_name, string_agg(c.c_name, ', ' ORDER BY c.c_name) AS members
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9900
+    GROUP BY n.n_name
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (reference string_agg, setup.sh:62)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), ", ").alias("members"))
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT event_type, user_id, COUNT(*) AS n
+    FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM gs_events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number()  OVER w AS rn,
+             rank()        OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rnk,
+             dense_rank()  OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 5
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows + top-n per group (same machinery as q_dedup_lww)."""
+    o = _t(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    stable = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.row_number().over(stable).alias("rn"),
+            F.rank().over(by_price).alias("rnk"),
+            F.dense_rank().over(by_price).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "q_window_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + running sum with an explicit rows frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(wf).cast("double")
+            / 100
+        ).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+
+
+@register(
+    "q_union",
+    oracle="""
+    SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS src FROM supplier
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference): nations with customers but no
+    high-balance supplier."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# scalar expressions
+
+
+@register(
+    "q_case_expr",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def q_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE expression (the reference's type-map CASE, setup.sh:40-49)."""
+    c = _t(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 9000, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(tier.alias("tier")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_coalesce",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(o.first_priority, 'NONE') AS first_priority
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, arg_min(o_orderpriority, o_orderkey) AS first_priority
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE fallback over a nullable join (reference setup.sh:64)."""
+    c = _t(spark, sf_dir, "customer")
+    first = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"))
+    )
+    return c.join(first, c.c_custkey == first.o_custkey, "left").select(
+        "c_custkey", F.coalesce("first_priority", F.lit("NONE")).alias("first_priority")
+    )
+
+
+@register(
+    "q_scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           p_brand || '/' || p_type AS brand_type,
+           length(p_name) AS name_len,
+           (p_type LIKE '%BRASS%') AS is_brass,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word
+    FROM part
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
+    )
+
+
+@register(
+    "q_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           date_trunc('month', o_orderdate) AS month_bucket,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch95
+    FROM orders
+    """,
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_bucket"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch95"
+        ),
+    )
+
+
+@register(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           abs(l_discount - 0.05) AS disc_dev,
+           l_linenumber % 3 AS line_mod,
+           sqrt(l_quantity) AS qty_sqrt
+    FROM lineitem
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level double arithmetic is bit-identical across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+    )
+
+
+@register(
+    "q_array_ops",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, len(embedding) AS dim,
+             CAST(embedding[1] AS DOUBLE) AS first_val,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT vec_id, any_value(dim) AS dim, any_value(first_val) AS first_val,
+           CAST(SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS norm2
+    FROM e GROUP BY vec_id
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column: size, index, explode,
+    exact (decimal) squared-norm so the hash compare is precise."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = F.explode("embedding").alias("x")
+    expl = e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        x,
+    )
+    sq_micro = F.round(
+        (F.col("x").cast("double") * F.col("x").cast("double")) * 1_000_000
+    ).cast("long")
+    return expl.groupBy("vec_id").agg(
+        F.any_value("dim").alias("dim"),
+        F.any_value("first_val").alias("first_val"),
+        (F.sum(sq_micro).cast("double") / 1_000_000).alias("norm2"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the events.props JSON string."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (reference setup.sh:64 pattern): rows matching a
+    single aggregated value, via broadcast of the 1-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("mx"))
+    return (
+        o.join(F.broadcast(mx), o.o_totalprice == mx.mx)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "q_having",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n FROM part
+    GROUP BY p_brand HAVING COUNT(*) > 5
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand").agg(F.count("*").alias("n")).filter(F.col("n") > 5)
+    )
+
+
+@register(
+    "q_in_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 10 AND 20
+    """,
+)
+def q_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        F.col("l_returnflag").isin("A", "R") & F.col("l_quantity").between(10, 20)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
