@@ -1,0 +1,86 @@
+"""Text analysis building blocks: tokenize, shingle, minhash, simhash.
+
+Engine-neutral hashing: every hash that must agree with the DuckDB
+oracle is MD5-based (both engines produce identical lowercase hex).
+MinHash uses the *lexicographic minimum of seeded MD5s* — an order
+statistic over a uniform hash domain, so the standard MinHash Jaccard
+estimate holds; strings compare identically everywhere.  xxhash64
+would be faster Spark-side but has no DuckDB twin; swap
+``seeded_hash`` for production use.
+
+Scale notes: tokenize/shingle are narrow per-row ops (no shuffle);
+minhash signatures are one groupBy per document over exploded
+shingles with map-side partial MIN aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenization -----------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Single-space tokenization, lowercased (the fixture texts are
+    single-space joined; literal-space split matches DuckDB's
+    string_split exactly)."""
+    return F.split(F.lower(col), " ")
+
+
+TOKENS_SQL = "string_split(lower({col}), ' ')"
+
+# A BPE-ish word/punctuation regex (public GPT-2-style pattern, simplified
+# to the character classes both regex engines treat identically).
+BPE_ISH_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingles joined by spaces; < k tokens -> empty array."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    make = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+    )
+    return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(col: str, k: int = 3) -> str:
+    """DuckDB rendering of shingles() (1-based list indexing)."""
+    t = f"string_split(lower({col}), ' ')"
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return (
+        f"(SELECT coalesce(list_transform(generate_series(1, len(t) - {k - 1}), i -> {parts}), []) "
+        f"FROM (SELECT {t} AS t))"
+    )
+
+
+# --- hashing ----------------------------------------------------------------
+
+
+def seeded_hash(seed: int, col: Column) -> Column:
+    """Engine-neutral seeded hash: md5(seed || '|' || value) hex string."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), col))
+
+
+def seeded_hash_sql(seed: int, expr: str) -> str:
+    return f"md5('{seed}|' || {expr})"
+
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def hex_bit(hash_col: Column, bit: int) -> Column:
+    """One pseudo-random bit per hex position: the parity of the
+    (bit+1)-th hex char of an md5 string.  Portable across engines —
+    no hex-to-int parsing needed."""
+    return (
+        F.when(F.substring(hash_col, bit + 1, 1).isin(*_ODD_HEX), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def hex_bit_sql(hash_expr: str, bit: int) -> str:
+    odd = ", ".join(f"'{c}'" for c in _ODD_HEX)
+    return f"(CASE WHEN substring({hash_expr}, {bit + 1}, 1) IN ({odd}) THEN 1 ELSE 0 END)"

@@ -1,4 +1,756 @@
-"""Registry wave 4: EXT analytics — dedup, similarity search, text
-analysis, multimodal (SURVEY.md section 2.7 + driver north star)."""
+"""Registry wave 4: EXT analytics — the training-data-pipeline surface
+(driver north star; SURVEY.md section 2.7).
+
+Families: exact + near deduplication (hash / MinHash-LSH / n-gram
+Jaccard / SimHash / embedding-cosine), similarity search (brute-force
+cosine + LSH-bucketed ANN), text analysis (tokens, quality, lang-id,
+BPE-ish token counting, fingerprinting), multimodal column plumbing.
+
+Duplicate-free fixtures can't exercise dedup, so dedup queries run on
+an augmented corpus derived deterministically from ``documents``:
+every doc re-ingested verbatim (doc_id + 2,000,000 — exact dups) and
+every 10th doc with its last token dropped (doc_id + 1,000,000 — near
+dups).  The DuckDB oracle builds the identical corpus.
+
+Scale discipline: every dedup/search operator here is a candidate-
+generation + verify pipeline (band join / bucket join / inverted
+index), never an all-pairs comparison; hashing is engine-neutral MD5
+(see functions/text.py) so results hash-match the oracle.
+"""
 
 from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+from ..functions.vectors import SCALE, cosine, dot_scaled, norm2_scaled
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# corpus (documents + exact dups + near dups), Spark and DuckDB twins
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    t = F.split(F.col("text"), " ")
+    mut_text = F.array_join(F.slice(t, 1, F.size(t) - 1), " ")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        mut_text.alias("text"),
+        "lang",
+        "source",
+        F.length(mut_text).cast("long").alias("n_chars"),
+    )
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        exact
+    ).unionByName(near)
+
+
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_slice(t, 1, len(t) - 1), ' ') AS text,
+         lang, source,
+         CAST(length(array_to_string(list_slice(t, 1, len(t) - 1), ' ')) AS BIGINT) AS n_chars
+  FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 10 = 0
+)
+"""
+
+# 3-gram shingles of the corpus, one row per (doc_id, shingle), distinct
+SHINGLES_SQL = f"""
+WITH {CORPUS_SQL},
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END) AS sh
+  FROM toks
+)
+"""
+
+
+def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    return c.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH {CORPUS_SQL}
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one canonical doc per hash.
+
+    Scale: a single hash-partitioned groupBy — the 100 TB exact-dedup
+    plan (hash is computed map-side; only (hash, min, count) shuffles).
+    """
+    c = _corpus(spark, sf_dir)
+    return c.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "q_neardup_minhash",
+    oracle=f"""
+    {SHINGLES_SQL},
+    sigs AS (
+      SELECT doc_id, s.seed,
+             MIN(md5(CAST(s.seed AS VARCHAR) || '|' || sh)) AS minh
+      FROM grams CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+      FROM sigs GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs.
+
+    shingle -> 8 seeded minhashes -> 4 bands x r=2 -> equi-join on
+    (band, band_key).  The join is EQUI on a 128-bit band key, so at
+    100 TB it is an ordinary shuffle join whose output is only true
+    candidates — never all-pairs.  MinHash statistic = lexicographic
+    min of seeded MD5s (engine-neutral; see functions/text.py).
+    """
+    sh = _corpus_shingles(spark, sf_dir)
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
+    sigs = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
+            ).alias("minh")
+        )
+    )
+    bands = (
+        sigs.withColumn("band", F.expr("seed div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                        lambda s: s["minh"],
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "q_neardup_jaccard",
+    oracle=f"""
+    {SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard >= 0.5 via inverted shingle index.
+
+    Candidate pairs come from the shingle equi-join (pairs sharing at
+    least one shingle) — the classic inverted-index plan.  At 100 TB
+    add a document-frequency cap on hot shingles before the join (the
+    standard skew lever); unnecessary at fixture vocabulary size.
+    """
+    sh = _corpus_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "q_simhash",
+    oracle=f"""
+    WITH {CORPUS_SQL},
+    tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM corpus
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN substring(md5(w), b.bit + 1, 1)
+                           IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash document fingerprint (token multiset, MD5 bits).
+
+    Bit b of the fingerprint is the sign of sum over tokens of +/-1
+    by the parity of md5 hex char b.  Near-identical docs differ in
+    few bits -> Hamming-ball lookup at scale.  One explode + one
+    groupBy; the 16 bit-sums partially aggregate map-side.
+    """
+    c = _corpus(spark, sf_dir)
+    tok = c.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    bits_range = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    tok_bits = (
+        tok.crossJoin(F.broadcast(bits_range))
+        .withColumn(
+            "contrib",
+            F.when(
+                F.substring(F.md5("w"), F.col("bit") + 1, 1).isin(
+                    "1", "3", "5", "7", "9", "b", "d", "f"
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return tok_bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    GROUP BY w
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + corpus word count (UDTF shape: explode + groupBy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+             / len(toks) AS stop_ratio,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) AS mean_token_len
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, type-token ratio,
+    stopword ratio, mean token length — all array expressions, zero
+    shuffle, embarrassingly parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    distinct_n = F.size(F.array_distinct(t))
+    stop_n = F.size(F.filter(t, lambda x: x.isin("the", "a")))
+    len_sum = F.aggregate(
+        F.transform(t, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (distinct_n.cast("double") / n).alias("ttr"),
+        (stop_n.cast("double") / n).alias("stop_ratio"),
+        (len_sum.cast("double") / n).alias("mean_token_len"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    counts AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+    prof AS (
+      SELECT lang AS plang, w FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rn
+        FROM counts
+      ) WHERE rn <= 10
+    ),
+    doctok AS (SELECT DISTINCT doc_id, lang, w FROM tok),
+    hits AS (
+      SELECT d.doc_id, d.lang, p.plang, COUNT(*) AS n_hits
+      FROM doctok d JOIN prof p ON d.w = p.w
+      GROUP BY d.doc_id, d.lang, p.plang
+    )
+    SELECT doc_id, lang, plang AS pred_lang, n_hits FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY n_hits DESC, plang) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven language ID heuristic: per-language top-10 token
+    profiles, predict the language with the most profile hits.
+
+    Profiles are tiny (5 langs x 10 tokens) and broadcast; the doc-side
+    work is one explode + two aggregations — linear at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w"))
+    counts = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    prof = (
+        counts.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("lang").alias("plang"), "w")
+    )
+    doctok = tok.distinct()
+    hits = (
+        doctok.join(F.broadcast(prof), "w")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("plang"))
+    return (
+        hits.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("pred_lang"), "n_hits")
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+           length(text) AS n_chars_seen
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (word / number / symbol classes) — the cheap proxy for LLM token
+    budgeting.  Pure per-row expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_seen"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"""
+    {SHINGLES_SQL}
+    SELECT doc_id, MIN(md5(sh)) AS fingerprint FROM grams GROUP BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum shingle hash (1-perm MinHash) —
+    a rolling-hash-style content signature, stable under reordering of
+    unrelated docs and usable as a cheap near-dup prefilter."""
+    sh = _corpus_shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(F.min(F.md5("sh")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+_EMB_NORM_SQL = """
+norms AS (
+  SELECT vec_id, embedding,
+         (SELECT SUM(CAST(round((CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) * 1000000000) AS BIGINT))
+          FROM unnest(generate_series(1, len(embedding))) AS t(i)) AS n2
+  FROM embeddings
+)
+"""
+
+
+@register(
+    "q_simsearch_topk",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL},
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             SUM(CAST(round((CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) * 1000000000) AS BIGINT)) AS dot,
+             any_value(q.n2) AS qn2, any_value(e.n2) AS en2
+      FROM norms e
+      CROSS JOIN norms q
+      CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT query_id, vec_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE))) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE))) DESC,
+                        vec_id) AS rn
+      FROM dots
+    ) WHERE rn <= 10
+    """,
+)
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline.
+
+    Scale design: queries broadcast (K rows), corpus streams through
+    executors once, per-partition top-k via the rank window on the
+    (small) K x N score set; dot products are JVM ``zip_with`` +
+    integer ``aggregate`` — no Python, no shuffle of the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select("vec_id", "embedding", norm2_scaled(F.col("embedding")).alias("n2"))
+    q = norms.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    ).filter(F.col("query_id") < 5)
+    pairs = norms.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        cosine(
+            dot_scaled(F.col("embedding"), F.col("q_emb")), F.col("qn2"), F.col("n2")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
+def _hyperplanes(n_bits: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic +/-1 hyperplanes from MD5 parity (public recipe:
+    random-hyperplane LSH, Charikar 2002)."""
+    planes = []
+    for j in range(n_bits):
+        row = []
+        for k in range(dim):
+            h = hashlib.md5(f"{j}|{k}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 else -1)
+        planes.append(row)
+    return planes
+
+
+def _lsh_bucket(emb_col, planes: list[list[int]]):
+    """Sign-pattern bucket id for one embedding column."""
+    bits = []
+    for row in planes:
+        w = F.array(*[F.lit(v) for v in row])
+        proj = F.aggregate(
+            F.zip_with(emb_col, w, lambda x, wv: F.round(x.cast("double") * wv * SCALE).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+@register("q_simsearch_lsh", oracle=None)  # verified vs brute force in pytest
+def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: random-hyperplane signatures,
+    candidates restricted to the query's bucket.
+
+    The 100 TB path: bucket is an equi-join key, so candidate
+    generation is a shuffle join on an 8-bit signature instead of a
+    KxN cross product; recall tuned by bits/tables.  Rows-only check
+    by design (approximate); pytest asserts recall vs q_simsearch_topk.
+    """
+    planes = _hyperplanes()
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id",
+        "embedding",
+        norm2_scaled(F.col("embedding")).alias("n2"),
+        _lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    q = norms.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+        F.col("bucket").alias("q_bucket"),
+    ).filter(F.col("query_id") < 5)
+    cands = norms.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        cosine(
+            dot_scaled(F.col("embedding"), F.col("q_emb")), F.col("qn2"), F.col("n2")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
+@register(
+    "q_embed_dedup",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT))
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    norms AS (
+      SELECT vec_id, embedding,
+             (SELECT SUM(CAST(round((CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) * 1000000000) AS BIGINT))
+              FROM unnest(generate_series(1, len(embedding))) AS t(i)) AS n2
+      FROM sub
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             SUM(CAST(round((CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) * 1000000000) AS BIGINT)) AS dot,
+             any_value(a.n2) AS na, any_value(b.n2) AS nb
+      FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+      CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos_sim
+    FROM dots
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) > 0.999
+    """,
+)
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos > 0.999) on a corpus
+    augmented with scaled copies (x * 1.1 — same direction).
+
+    Spark side uses the LSH bucket as a prefilter (sign-pattern
+    signatures are scale-invariant, so true near-dups always share a
+    bucket) and verifies candidates exactly; the oracle brute-forces
+    all pairs — the result sets agree because random 64-dim pairs
+    never reach cos 0.999.  This is the candidate+verify shape that
+    holds at 100 TB where all-pairs cannot.
+    """
+    planes = _hyperplanes()
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    scaled = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.1).cast("float")
+        ).alias("embedding"),
+    )
+    sub = e.select("vec_id", "embedding").unionByName(scaled)
+    norms = sub.select(
+        "vec_id",
+        "embedding",
+        norm2_scaled(F.col("embedding")).alias("n2"),
+        _lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    a, b = norms.alias("a"), norms.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = cosine(
+        dot_scaled(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.n2"),
+        F.col("b.n2"),
+    )
+    return (
+        cands.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > 0.999)
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface + multimodal plumbing
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             (SELECT SUM(CAST(round((CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) * 1000000000) AS BIGINT))
+              FROM unnest(generate_series(1, len(embedding))) AS t(i)) AS n2
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE)
+             / sqrt(CAST(n2 AS DOUBLE) / 1000000000) AS first_unit
+    FROM norms
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Pandas UDF (Arrow-batched): first component of the
+    unit-normalized embedding.  Demonstrates the sanctioned Python
+    escape hatch — batch columnar transfer, numpy math, no per-row
+    Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def first_unit(emb: pd.Series) -> pd.Series:
+        def one(v) -> float:
+            x = np.asarray(v, dtype=np.float64)
+            n2 = np.rint((x * x) * 1e9).astype(np.int64).sum()
+            return float(x[0] / np.sqrt(n2 / 1e9))
+
+        return emb.map(one)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", first_unit(F.col("embedding")).alias("first_unit"))
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(64 + doc_id % 512 AS INTEGER) AS width,
+           CAST(64 + doc_id % 384 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payload + typed
+    metadata.
+
+    The payload is the utf-8 encoding of ``text`` standing in for real
+    image/audio bytes (decode itself is stubbed — see
+    streaming/multimodal.py); byte length, content hash, and metadata
+    are first-class columns so partition pruning and predicate
+    pushdown work on metadata without touching payload bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        "doc_id",
+        media.alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        (F.lit(64) + F.col("doc_id") % 512).cast("int").alias("width"),
+        (F.lit(64) + F.col("doc_id") % 384).cast("int").alias("height"),
+    )
