@@ -1,0 +1,174 @@
+"""Structured Streaming CDC pipeline — the continuous form of the
+reference data plane (SURVEY.md section 3.2).
+
+Reference topology: PG WAL -> Debezium -> Kafka topic -> sink ->
+ClickHouse ReplacingMergeTree.  Spark topology: ``readStream`` (Kafka
+in production; file/memory source in tests — the changelog IS the
+source) -> envelope parse -> tombstone/delete filters ->
+``foreachBatch`` LWW upsert into a keyed parquet state table, with
+checkpointing standing in for Kafka Connect offset storage
+(reference docker-compose.yml:88-90,133).
+
+Delivery semantics mirror the reference: at-least-once transport +
+idempotent keyed upsert (setup.sh:101-103,144 + ReplacingMergeTree
+absorption).  Exactly-once to parquet is approximated by
+deterministic LWW overwrite per micro-batch; a transactional table
+format (Delta/Iceberg MERGE) is the drop-in production upgrade.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.envelope import parse_envelope
+from ..operators.upsert import lww_dedup
+
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("_seq", T.LongType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def changelog_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """JSON-lines changelog stream: (_seq, topic, op, value=envelope).
+
+    Stands in for ``readStream.format("kafka")``; columns mirror the
+    Kafka source's (offset, topic, value).
+    """
+    return spark.readStream.schema(WIRE_SCHEMA).json(source_dir)
+
+
+def _current_marker(state_dir: str) -> str:
+    return os.path.join(state_dir, "_CURRENT")
+
+
+def _current_version(state_dir: str) -> int | None:
+    try:
+        with open(_current_marker(state_dir)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Read the current state snapshot (versioned-directory scheme)."""
+    v = _current_version(state_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+
+
+def run_cdc_pipeline(
+    stream: DataFrame,
+    payload_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    apply_deletes: bool = False,
+) -> None:
+    """Run the full pipeline until no more input (Trigger.AvailableNow).
+
+    Per micro-batch: parse envelope (PERMISSIVE — corrupt rows dropped,
+    mirroring errors.tolerance=all), drop tombstones (null value,
+    setup.sh:94,107), drop deletes (default, SURVEY.md section 0),
+    then merge batch with existing state under LWW and publish a new
+    state snapshot.
+
+    State is a versioned directory (v0, v1, ...) with a ``_CURRENT``
+    pointer flipped after the new snapshot is fully written — the same
+    write-new-part-then-swap discipline ClickHouse merges use, so a
+    mid-write crash never corrupts readable state, the merge never
+    overwrites its own input, and nothing round-trips through the
+    driver.  Re-running a batch after failure converges (LWW is
+    idempotent); with a lakehouse table format the body becomes a
+    single MERGE INTO keyed on ``keys``.
+    """
+    spark = stream.sparkSession
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        clean = batch.filter(F.col("value").isNotNull())  # tombstone drop
+        parsed = parse_envelope(clean, payload_schema)
+        rows = parsed.filter(~F.col("_corrupt")).drop("_corrupt")
+        if not apply_deletes:
+            rows = rows.filter(F.col("op") != "d")
+        existing = read_state(spark, state_dir)
+        if existing is not None:
+            rows = existing.unionByName(rows, allowMissingColumns=True)
+        merged = lww_dedup(rows, keys, version_cols)
+        if apply_deletes:
+            merged = merged.filter(F.col("op") != "d")
+        prev = _current_version(state_dir)
+        nxt = 0 if prev is None else prev + 1
+        merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = _current_marker(state_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, _current_marker(state_dir))
+
+    (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of q_win_tumbling: watermarked tumbling counts.
+
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and evicted — the knob the reference lacks
+    (it "handles" lateness by sleeping, setup.sh:164).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful streaming dedup by event_id within the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: enrich the event stream with the
+    customer dimension (re-read per micro-batch; no state)."""
+    return events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    ).select("event_id", "ts", "user_id", "c_name", "c_mktsegment")
+
+
+def kafka_source(spark: SparkSession, bootstrap: str, topics: str) -> DataFrame:
+    """Production source (reference topic subscription, setup.sh:117).
+
+    Not exercised in tests (no broker in the container) — documented
+    for parity: the file stream above is column-compatible.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics)
+        .option("startingOffsets", "earliest")  # setup.sh:144
+        .load()
+        .select(
+            F.col("offset").alias("_seq"),
+            "topic",
+            F.lit(None).cast("string").alias("op"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )

@@ -1,0 +1,235 @@
+"""Structured Streaming layer: the reference scenario through a real
+readStream -> foreachBatch pipeline with checkpointing, plus watermark
+windows, stateful dedup, stream-static join, and multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_postgres_to_clickhouse_spark.operators.envelope import (
+    build_envelope_json,
+)
+from kafka_connect_postgres_to_clickhouse_spark.sources.changelog import (
+    reference_scenario_changelog,
+)
+from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+    changelog_file_stream,
+    deduped_stream,
+    read_state,
+    run_cdc_pipeline,
+    stream_static_join,
+    windowed_counts_stream,
+)
+
+KEYS = ["user_id"]
+VERSION = ["updated_at", "_seq"]
+
+
+def _write_wire_files(spark, tmp_path, seq_ranges):
+    """Render the reference scenario as JSON-lines wire files, one file
+    per micro-batch (file source picks them up in order)."""
+    log = reference_scenario_changelog(spark)
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    wire = log.select(
+        "_seq",
+        "topic",
+        "op",
+        build_envelope_json(payload, payload.schema, "postgres_cdc.iman.users.Value").alias(
+            "value"
+        ),
+    ).collect()
+    src = tmp_path / "wire"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(seq_ranges):
+        lines = [
+            json.dumps({"_seq": r._seq, "topic": r.topic, "op": r.op, "value": r.value})
+            for r in wire
+            if lo <= r._seq <= hi
+        ]
+        (src / f"batch_{i}.json").write_text("\n".join(lines))
+    return str(src)
+
+
+@pytest.fixture()
+def users_schema(spark):
+    log = reference_scenario_changelog(spark)
+    return log.select("user_id", "username", "account_type", "updated_at").schema
+
+
+def _state_map(df):
+    return {
+        r.user_id: (r.username, r.account_type)
+        for r in df.select("user_id", "username", "account_type").collect()
+    }
+
+
+def test_streaming_cdc_end_to_end(spark, tmp_path, users_schema):
+    """The reference's full test sequence through the streaming path
+    must land in the exact golden final state (delete dropped)."""
+    src = _write_wire_files(spark, tmp_path, [(1, 6)])
+    stream = changelog_file_stream(spark, src)
+    run_cdc_pipeline(
+        stream, users_schema, str(tmp_path / "state"), str(tmp_path / "ckpt"), KEYS, VERSION
+    )
+    state = read_state(spark, str(tmp_path / "state"))
+    assert _state_map(state) == {
+        1: ("user1", "Bronze"),
+        2: ("user2", "Silver"),
+        3: ("user3", "Gold"),
+        999: ("updated_user", "Test"),
+    }
+
+
+def test_streaming_checkpoint_resume_idempotent(spark, tmp_path, users_schema):
+    """Second run over the same source + checkpoint must be a no-op;
+    new files arriving later are incrementally merged."""
+    src = _write_wire_files(spark, tmp_path, [(1, 4)])
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    stream = changelog_file_stream(spark, src)
+    run_cdc_pipeline(stream, users_schema, state_dir, ckpt, KEYS, VERSION)
+    first = _state_map(read_state(spark, state_dir))
+    assert first == {1: ("user1", "Bronze"), 2: ("user2", "Silver"), 3: ("user3", "Gold")}
+
+    # re-run, same checkpoint: no re-processing, same state
+    run_cdc_pipeline(
+        changelog_file_stream(spark, src), users_schema, state_dir, ckpt, KEYS, VERSION
+    )
+    assert _state_map(read_state(spark, state_dir)) == first
+
+    # late-arriving file with seq 5-6 -> incremental upsert of key 999
+    import json as _json
+
+    log = reference_scenario_changelog(spark)
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    wire = log.select(
+        "_seq", "topic", "op",
+        build_envelope_json(payload, payload.schema, "x").alias("value"),
+    ).collect()
+    lines = [
+        _json.dumps({"_seq": r._seq, "topic": r.topic, "op": r.op, "value": r.value})
+        for r in wire
+        if r._seq >= 5
+    ]
+    (tmp_path / "wire" / "batch_late.json").write_text("\n".join(lines))
+    run_cdc_pipeline(
+        changelog_file_stream(spark, src), users_schema, state_dir, ckpt, KEYS, VERSION
+    )
+    final = _state_map(read_state(spark, state_dir))
+    assert final[999] == ("updated_user", "Test")
+    assert len(final) == 4
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """Watermarked tumbling window over a stream == batch groupBy."""
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id"
+    )
+    src = tmp_path / "events_json"
+    events.coalesce(1).write.json(str(src))
+    schema = "event_id long, ts timestamp, user_id long"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        windowed_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    expect = {
+        r.window_start: r.n_events
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .collect()
+    }
+    # append mode emits only watermark-closed windows: subset equality
+    assert got
+    assert all(expect[k] == v for k, v in got.items())
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """dropDuplicates over a stream with re-delivered rows."""
+    rows = [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00")]
+    lines = [
+        json.dumps({"event_id": i, "ts": t}) for i, t in rows + rows  # duplicated
+    ]
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    (src / "f.json").write_text("\n".join(lines))
+    stream = spark.readStream.schema("event_id long, ts timestamp").json(str(src))
+    q = (
+        deduped_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_stream_static_join(spark, tmp_path):
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(50)
+    src = tmp_path / "ev_src"
+    events.select("event_id", "ts", "user_id").coalesce(1).write.json(str(src))
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").json(
+        str(src)
+    )
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    q = (
+        stream_static_join(stream, customer)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    enriched = spark.sql("SELECT * FROM enriched")
+    batch = events.join(
+        customer, events.user_id == customer.c_custkey, "inner"
+    )
+    assert enriched.count() == batch.count()
+    assert set(enriched.columns) == {"event_id", "ts", "user_id", "c_name", "c_mktsegment"}
+
+
+def test_multimodal_feature_plumbing(spark):
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(docs).collect()
+    assert len(feats) == docs.count()
+    for r in feats[:5]:
+        assert len(r.feature) == FEATURE_DIM
+        assert abs(sum(r.feature) - 1.0) < 1e-3  # L1-normalized histogram
+        assert r.n_bytes > 0
+
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        extract_features(docs, backend="pil").collect()
