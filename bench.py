@@ -20,23 +20,20 @@ from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (  # noqa:
 )
 from kafka_connect_postgres_to_clickhouse_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "q_changelog_replay",
-    "q_upsert_batch",
-    "q_envelope_parse",
-    "q_dedup_lww",
-]
+# Every registered query is a headline query: the driver compares the
+# total against BASELINE.md at the same scale factor.
+HEADLINE: list[str] | None = None  # None -> all registry keys
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     registry = load_all_queries()
-    names = [n for n in HEADLINE if n in registry]
+    names = list(HEADLINE) if HEADLINE else list(registry)
     spark = get_spark("kcptc-bench")
     times: dict[str, float] = {}
     # warm the JVM + parquet footer caches once with the flagship
-    registry[names[0]].fn(spark, sf_dir).count()
+    registry["q_changelog_replay"].fn(spark, sf_dir).count()
     for name in names:
         t0 = time.time()
         registry[name].fn(spark, sf_dir).count()

@@ -85,11 +85,32 @@ grams AS (
 """
 
 
-def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc: (doc_id, sh_arr = DISTINCT sorted 3-gram shingles).
+
+    Computed without any shuffle (array_distinct on the per-row array);
+    downstream operators explode it for inverted-index joins and read
+    set sizes straight off the array.
+    """
     c = _corpus(spark, sf_dir)
+    # The documents fixture is one small parquet file -> one input
+    # partition; downstream pipelines expand it by orders of magnitude
+    # (shingle explode x seeded hashes), so spread rows across the
+    # cluster BEFORE the expansion.  At 100 TB the scan is already
+    # partitioned and this is a no-op-sized shuffle.  shingles() uses
+    # the zip-of-shifted-slices formulation — see functions/text.py for
+    # why transform+element_at is quadratic here.
+    c = c.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return c.select(
-        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
-    ).distinct()
+        "doc_id",
+        F.array_sort(F.array_distinct(shingles(F.col("text"), 3))).alias("sh_arr"),
+    )
+
+
+def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("sh_arr").alias("sh")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -121,15 +142,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {SHINGLES_SQL},
     sigs AS (
-      SELECT doc_id, s.seed,
-             MIN(md5(CAST(s.seed AS VARCHAR) || '|' || sh)) AS minh
-      FROM grams CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
-      GROUP BY doc_id, s.seed
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{s}|' || sh)) AS minh{s}" for s in range(8))}
+      FROM grams GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, seed // 2 AS band,
-             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
-      FROM sigs GROUP BY doc_id, seed // 2
+      SELECT doc_id, band,
+             CASE band {" ".join(f"WHEN {b} THEN md5(minh{2*b} || ',' || minh{2*b+1})" for b in range(4))} END AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -144,33 +164,37 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it is an ordinary shuffle join whose output is only true
     candidates — never all-pairs.  MinHash statistic = lexicographic
     min of seeded MD5s (engine-neutral; see functions/text.py).
+
+    Plan shape: all 8 minhashes are computed as 8 MIN aggregates in a
+    SINGLE groupBy over the exploded shingles (partial agg map-side;
+    no 8x row expansion), then the 4 band keys are derived per row and
+    exploded — one shuffle for signatures, one for the band join.
     """
     sh = _corpus_shingles(spark, sf_dir)
-    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
-    sigs = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
-            ).alias("minh")
-        )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"minh{s}")
+            for s in range(8)
+        ]
     )
-    bands = (
-        sigs.withColumn("band", F.expr("seed div 2"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                        lambda s: s["minh"],
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
-    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"minh{2 * b}"), F.lit(","), F.col(f"minh{2 * b + 1}")
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -203,28 +227,48 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard >= 0.5 via inverted shingle index.
+    """Exact n-gram Jaccard >= 0.5 via prefix-filtered set-similarity
+    join (AllPairs/PPJoin family, Bayardo et al. 2007 — public).
 
-    Candidate pairs come from the shingle equi-join (pairs sharing at
-    least one shingle) — the classic inverted-index plan.  At 100 TB
-    add a document-frequency cap on hot shingles before the join (the
-    standard skew lever); unnecessary at fixture vocabulary size.
+    A naive inverted-index join explodes on hot shingles (every pair
+    of docs sharing 'the fast key' meets).  Prefix filtering keeps
+    exactness while only indexing each doc's ⌊n/2⌋+1 globally-rarest
+    shingles: two docs with Jaccard >= 0.5 MUST share a prefix
+    shingle (pigeonhole on the common global order), and rare-first
+    ordering makes prefix postings short — candidate generation is an
+    equi-join on rare tokens only.  Candidates are then verified
+    EXACTLY with array_intersect on the full shingle arrays.
+    This is the 100 TB-safe exact similarity join.
     """
-    sh = _corpus_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
+    arrays = _corpus_shingle_arrays(spark, sf_dir)
+    # global document frequency -> rare-first total order on shingles
+    df_order = (
+        arrays.select(F.explode("sh_arr").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    exploded = arrays.select("doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh"))
+    ranked = exploded.join(df_order, "sh")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.floor(F.col("n") / 2) + 1)
+        .select("doc_id", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on the full arrays
+    arr_a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    arr_b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    verified = cands.join(arr_a, "doc_a").join(arr_b, "doc_b")
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = c.cast("double") / (F.size("arr_a") + F.size("arr_b") - c)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
 
