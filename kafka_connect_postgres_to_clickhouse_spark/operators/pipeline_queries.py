@@ -325,6 +325,59 @@ def q_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, sf_dir)
 
 
+@register(
+    "q_delete_apply",
+    oracle=f"""
+    {CHANGELOG_CTE},
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY updated_at DESC, _seq DESC) AS rn
+      FROM changelog
+    )
+    SELECT user_id, username, account_type, updated_at, _seq AS last_seq
+    FROM ranked WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def q_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT stricter mode: the final event per key decides survival —
+    keys whose last change is a DELETE are removed (the semantics the
+    reference conspicuously does NOT have; SURVEY.md section 0)."""
+    state = apply_changelog(
+        _changelog(spark, sf_dir),
+        keys=["user_id"],
+        version_cols=["updated_at", "_seq"],
+        apply_deletes=True,
+    )
+    return state.select(
+        "user_id", "username", "account_type", "updated_at", F.col("_seq").alias("last_seq")
+    )
+
+
+@register(
+    "q_schema_evolution",
+    oracle=f"""
+    {CHANGELOG_CTE}
+    SELECT user_id, username, NULL AS account_type, 1 AS schema_version
+    FROM changelog WHERE _seq <= 5000
+    UNION ALL BY NAME
+    SELECT user_id, username, account_type, 2 AS schema_version
+    FROM changelog WHERE _seq > 5000
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto.evolve.tables (setup.sh:134-135): rows produced before a
+    column existed merge with wider rows; missing columns become NULL
+    via unionByName(allowMissingColumns=True)."""
+    log = _changelog(spark, sf_dir)
+    v1 = log.filter(F.col("_seq") <= 5000).select(
+        "user_id", "username", F.lit(1).alias("schema_version")
+    )
+    v2 = log.filter(F.col("_seq") > 5000).select(
+        "user_id", "username", "account_type", F.lit(2).alias("schema_version")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
 @register("q_upsert_batch", oracle=REPLAY_SQL)
 def q_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idempotent micro-batch merge under at-least-once re-delivery.

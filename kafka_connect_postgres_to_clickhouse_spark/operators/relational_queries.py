@@ -769,6 +769,73 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): order counts by priority x status.  Spark's
+    pivot with an explicit value list stays a single hash aggregate —
+    no second pass to discover pivot values."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["F", "O", "P"]],
+    )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderpriority, o_orderkey) AS last_priority,
+           arg_min(o_orderpriority, o_orderkey) AS first_priority,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_totalprice) AS top_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by keyed by the unique order key (deterministic) —
+    the same primitive that powers the LWW upsert."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@register(
+    "q_median",
+    oracle="""
+    SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median.  0.5 is the one quantile whose
+    interpolation ((a+b)/2 on integral doubles) is IEEE-identical
+    across engines; other fractions interpolate with different
+    formulas and would not hash-match."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty")
+    )
+
+
+@register(
     "q_in_between",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
