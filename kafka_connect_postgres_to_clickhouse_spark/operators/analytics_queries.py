@@ -253,11 +253,24 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         ranked.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.floor(F.col("n") / 2) + 1)
-        .select("doc_id", "sh")
+        .select("doc_id", "n", "pos", "sh")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin filters (exactness-preserving for t = 0.5):
+    # - length: J >= t needs min(na,nb) >= t * max(na,nb)
+    # - positional: overlap upper bound 1 + min(na-posa, nb-posb) must
+    #   reach the required overlap ceil(t/(1+t) * (na+nb)) = ceil((na+nb)/3)
+    na, nb = F.col("a.n"), F.col("b.n")
+    required = F.expr("CAST(ceil((a.n + b.n) / 3.0) AS INT)")
+    ubound = 1 + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
     cands = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(na, nb) * 2 >= F.greatest(na, nb))
+            & (ubound >= required),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
