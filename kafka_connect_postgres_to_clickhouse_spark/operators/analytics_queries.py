@@ -143,12 +143,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     {SHINGLES_SQL},
     sigs AS (
       SELECT doc_id,
-             {", ".join(f"MIN(md5('{s}|' || sh)) AS minh{s}" for s in range(8))}
+             {", ".join(f"MIN(substring(md5(sh), {4 * s + 1}, 4)) AS minh{s}" for s in range(8))}
       FROM grams GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, band,
-             CASE band {" ".join(f"WHEN {b} THEN md5(minh{2*b} || ',' || minh{2*b+1})" for b in range(4))} END AS band_key
+             CASE band {" ".join(f"WHEN {b} THEN minh{2*b} || ',' || minh{2*b+1}" for b in range(4))} END AS band_key
       FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -159,23 +159,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs.
 
-    shingle -> 8 seeded minhashes -> 4 bands x r=2 -> equi-join on
-    (band, band_key).  The join is EQUI on a 128-bit band key, so at
+    shingle -> 8 minhashes -> 4 bands x r=2 -> equi-join on
+    (band, band_key).  The join is EQUI on the band key, so at
     100 TB it is an ordinary shuffle join whose output is only true
-    candidates — never all-pairs.  MinHash statistic = lexicographic
-    min of seeded MD5s (engine-neutral; see functions/text.py).
+    candidates — never all-pairs.
 
-    Plan shape: all 8 minhashes are computed as 8 MIN aggregates in a
-    SINGLE groupBy over the exploded shingles (partial agg map-side;
-    no 8x row expansion), then the 4 band keys are derived per row and
-    exploded — one shuffle for signatures, one for the band join.
+    One-permutation-hashing style signature: ONE md5 per shingle, and
+    the 8 minhash functions are the 8 disjoint 4-hex-char (16-bit)
+    slices of that digest (lexicographic MIN of a fixed-width hex
+    slice == numeric min of the 16-bit value; engine-neutral).  This
+    makes the map-side cost 1 digest per shingle instead of 8, and
+    the partial-aggregate shuffle 8x narrower (4-char vs 32-char
+    mins).
+
+    Plan shape: md5 is computed once per shingle row in a projection
+    BELOW the aggregate, all 8 minhashes are MIN aggregates in a
+    SINGLE groupBy (partial agg map-side; no 8x row expansion), then
+    the 4 band keys are derived per doc row and exploded — one tiny
+    shuffle for signatures, one for the band join.
     """
-    sh = _corpus_shingles(spark, sf_dir)
+    sh = _corpus_shingles(spark, sf_dir).select("doc_id", F.md5("sh").alias("h"))
     sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"minh{s}")
-            for s in range(8)
-        ]
+        *[F.min(F.substring("h", 4 * s + 1, 4)).alias(f"minh{s}") for s in range(8)]
     )
     bands = sigs.select(
         "doc_id",
@@ -184,10 +189,8 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat(
-                                F.col(f"minh{2 * b}"), F.lit(","), F.col(f"minh{2 * b + 1}")
-                            )
+                        F.concat(
+                            F.col(f"minh{2 * b}"), F.lit(","), F.col(f"minh{2 * b + 1}")
                         ).alias("band_key"),
                     )
                     for b in range(4)
@@ -240,7 +243,13 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY with array_intersect on the full shingle arrays.
     This is the 100 TB-safe exact similarity join.
     """
-    arrays = _corpus_shingle_arrays(spark, sf_dir)
+    # The shingle arrays feed THREE branches of this DAG (df-order,
+    # prefix index, exact verification); without materialization Spark
+    # recomputes the tokenize+shingle pipeline per branch.  A local
+    # checkpoint stores the computed partitions on the executors and
+    # replaces the lineage with a scan (at cluster scale: reliable
+    # checkpoint / cached intermediate table).
+    arrays = _corpus_shingle_arrays(spark, sf_dir).localCheckpoint(eager=True)
     # global document frequency -> rare-first total order on shingles
     df_order = (
         arrays.select(F.explode("sh_arr").alias("sh"))
@@ -462,11 +471,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select(F.col("lang").alias("plang"), "w")
     )
-    doctok = tok.distinct()
+    # count DISTINCT profile words per (doc, candidate lang) — join
+    # first so only profile-matching tokens reach the shuffle (the
+    # naive plan distincts the ENTIRE exploded token table first)
     hits = (
-        doctok.join(F.broadcast(prof), "w")
+        tok.join(F.broadcast(prof), "w")
         .groupBy("doc_id", "lang", "plang")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.countDistinct("w").alias("n_hits"))
     )
     w_best = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("plang"))
     return (
@@ -511,9 +522,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: minimum shingle hash (1-perm MinHash) —
     a rolling-hash-style content signature, stable under reordering of
-    unrelated docs and usable as a cheap near-dup prefilter."""
-    sh = _corpus_shingles(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(F.min(F.md5("sh")).alias("fingerprint"))
+    unrelated docs and usable as a cheap near-dup prefilter.
+
+    Computed per-row as array_min(transform(md5)) — a pure map with NO
+    explode and NO shuffle; at 100 TB this is a single scan."""
+    arrays = _corpus_shingle_arrays(spark, sf_dir)
+    return (
+        arrays.filter(F.size("sh_arr") > 0)
+        .select(
+            "doc_id",
+            F.array_min(F.transform("sh_arr", lambda x: F.md5(x))).alias("fingerprint"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
