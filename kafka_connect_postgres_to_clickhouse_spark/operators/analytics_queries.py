@@ -113,6 +113,15 @@ def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_shingles_k(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Distinct k-gram shingles of the corpus, one (doc_id, sh) row."""
+    c = _corpus(spark, sf_dir)
+    c = c.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return c.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), k))).alias("sh")
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 
@@ -830,4 +839,159 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("payload_md5"),
         (F.lit(64) + F.col("doc_id") % 512).cast("int").alias("width"),
         (F.lit(64) + F.col("doc_id") % 384).cast("int").alias("height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 5: more training-data pipeline surface
+
+
+@register(
+    "q_lateral_explode",
+    oracle="""
+    SELECT doc_id, s.i - 1 AS pos, t[s.i] AS w
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         unnest(generate_series(1, len(t))) AS s(i)
+    """,
+)
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral table generator with ordinality: posexplode gives each
+    token its 0-based position (UDTF-shaped; the oracle is the SQL
+    lateral-unnest-with-subscript form).  Pure map-side row expansion,
+    no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w"))
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split by content-independent key hash
+    (first hex nibble of md5(doc_id) < '4' -> 25% validation).
+
+    The canonical 100 TB sampling primitive: stateless, reproducible
+    across runs and engines, no shuffle, and stable under re-ingestion
+    — unlike rand()-based sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id", "lang",
+        F.when(nibble < "4", F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+@register(
+    "q_tfidf_rank",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+    SELECT doc_id, w, tf, df FROM (
+      SELECT doc_id, w, tf, df,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, df ASC, w) AS rn
+      FROM tf JOIN df USING (w)
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document, ranked tf-idf-style by
+    (term frequency DESC, document frequency ASC).  Ranking on the raw
+    integer (tf, df) pair keeps the result exact across engines —
+    an actual idf=ln(N/df) differs in the last bit between libm
+    implementations and would not hash-match.
+
+    Plan: one explode -> partial-agg tf -> df derived from tf (already
+    one row per (doc, term)) -> broadcast-sized rank window per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("w"))
+    return (
+        tf.join(df, "w")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "w", "tf", "df")
+    )
+
+
+@register(
+    "q_bigrams",
+    oracle="""
+    WITH grams2 AS (
+      SELECT doc_id, unnest(
+        (SELECT coalesce(list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1]), [])
+         FROM (SELECT string_split(lower(text), ' ') AS t))
+      ) AS bg
+      FROM documents
+    )
+    SELECT bg AS bigram, COUNT(*) AS n
+    FROM grams2 GROUP BY bg ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigram counts (n-gram language profile
+    building block).  Zip-slice shingling at k=2 (see
+    functions/text.py), partial-agg count, TakeOrderedAndProject
+    top-k with lexicographic tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(F.explode(shingles(F.col("text"), k=2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH {CORPUS_SQL},
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= 5
+                         THEN list_transform(generate_series(1, len(t) - 4),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+                         ELSE [] END) AS sh
+      FROM toks
+    ),
+    bench AS (SELECT doc_id, sh FROM g WHERE doc_id < 1000000 AND doc_id % 100 = 0),
+    train AS (SELECT doc_id, sh FROM g WHERE doc_id >= 1000000)
+    SELECT t.doc_id AS train_doc, COUNT(DISTINCT b.doc_id) AS n_benchmark_hits
+    FROM train t JOIN bench b ON t.sh = b.sh
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with a held-out benchmark set (the standard n-gram-overlap
+    contamination check run before pretraining).
+
+    Benchmark = every 100th original doc; training candidates = the
+    re-ingested/augmented docs (doc_id >= 1M in the synthetic corpus).
+    Inverted-index equi-join on the shingle — the benchmark side is a
+    fixed small set, so at 100 TB it broadcasts and the check is one
+    map-side join over the training scan, never a shuffle of the
+    corpus.
+    """
+    g = _corpus_shingles_k(spark, sf_dir, 5)
+    bench = g.filter((F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 100 == 0))
+    train = g.filter(F.col("doc_id") >= 1_000_000)
+    return (
+        train.join(F.broadcast(bench.withColumnRenamed("doc_id", "bench_doc")), "sh")
+        .groupBy(F.col("doc_id").alias("train_doc"))
+        .agg(F.countDistinct("bench_doc").alias("n_benchmark_hits"))
     )

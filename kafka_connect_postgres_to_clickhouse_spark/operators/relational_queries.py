@@ -848,3 +848,153 @@ def q_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.filter(
         F.col("l_returnflag").isin("A", "R") & F.col("l_quantity").between(10, 20)
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# wave 5: window frames, conditional aggregation, reshaping
+
+
+@register(
+    "q_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ntile(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing (balance quartiles per nation).
+
+    Partitioned by nation so each window sorts independently — no
+    global total order, which is what makes NTILE usable at 100 TB.
+    Deterministic: the ORDER BY is tie-broken by the unique key.
+    """
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+@register(
+    "q_window_frame_range",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100 AS rev_30d
+    FROM orders
+    """,
+)
+def q_window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per-customer trailing-30-day revenue.
+
+    The frame is value-based (epoch days), not row-based, so multiple
+    same-day orders are peers and the trailing month is exact.  Money
+    summed as integer cents (see module docstring).
+    """
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        (F.sum(cents).over(w).cast("double") / 100).alias("rev_30d"),
+    )
+
+
+@register(
+    "q_agg_filter",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             FILTER (WHERE l_tax > 0.04) AS taxed_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause) — one pass computes
+    unconditional and predicated aggregates together; map-side partial
+    aggregation keeps the shuffle one row per group."""
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.sum(F.when(F.col("l_tax") > 0.04, cents)).alias("taxed_cents"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'extended' AS component,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount',
+           CAST(round(l_discount * 100) AS BIGINT) FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax',
+           CAST(round(l_tax * 100) AS BIGINT) FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt wide columns to long (inverse of q_pivot) via the
+    stack() generator — one scan, rows expand 3x map-side, no shuffle
+    (the oracle spells it as UNION ALL, which scans 3x)."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3,"
+            " 'extended', CAST(round(l_extendedprice * 100) AS BIGINT),"
+            " 'discount', CAST(round(l_discount * 100) AS BIGINT),"
+            " 'tax',      CAST(round(l_tax * 100) AS BIGINT)"
+            ") AS (component, cents)"
+        ),
+    )
+
+
+@register(
+    "q_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS first_order,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order
+    FROM orders
+    """,
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value navigation over an ordered window; the
+    full-partition ROWS frame makes last/nth well-defined, and the
+    unique-key tie-break makes every value deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(wo).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
