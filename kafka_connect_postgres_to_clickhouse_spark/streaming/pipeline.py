@@ -145,6 +145,82 @@ def deduped_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFram
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def sessionized_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    sessionization with an event-time inactivity gap.
+
+    This is the operator class Spark's built-ins can't express — the
+    per-key state machine (``session_window`` covers the aggregate
+    case; this shape generalizes to any custom fold).  State per user =
+    the open session (start, last, count) as epoch-micros; event-time
+    timeout fires when the watermark passes last+gap and emits the
+    closed session.  Batches arriving mid-session extend state; an
+    in-batch gap splits eagerly so a single batch can emit many closed
+    sessions.
+
+    Scale: state is hash-partitioned by user_id across executors and
+    bounded by the watermark — the 100 TB sessionization plan.  Arrow
+    moves rows to Python in batches (pandas per group), never per-row.
+    """
+    import pandas as pd  # noqa: PLC0415 — keep Arrow worker imports local
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    )
+    state_schema = "start_us bigint, last_us bigint, n bigint"
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+
+        def to_row(start_us, last_us, n):
+            return {
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(last_us, unit="us"),
+                "n_events": n,
+            }
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame([to_row(start_us, last_us, n)])
+            return
+
+        ts_us = sorted(
+            int(t.value) // 1000
+            for pdf in pdf_iter
+            for t in pd.to_datetime(pdf["ts"])
+        )
+        open_s = state.get if state.exists else None
+        closed = []
+        for t in ts_us:
+            if open_s is None:
+                open_s = (t, t, 1)
+            elif t - open_s[1] > gap_us:
+                closed.append(open_s)
+                open_s = (t, t, 1)
+            else:
+                open_s = (open_s[0], max(open_s[1], t), open_s[2] + 1)
+        state.update(open_s)
+        # close when the event-time watermark passes last + gap
+        state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
+        yield pd.DataFrame([to_row(*s) for s in closed])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static broadcast join: enrich the event stream with the
     customer dimension (re-read per micro-batch; no state)."""

@@ -21,6 +21,7 @@ from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
     deduped_stream,
     read_state,
     run_cdc_pipeline,
+    sessionized_stream,
     stream_static_join,
     windowed_counts_stream,
 )
@@ -233,3 +234,57 @@ def test_multimodal_feature_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         extract_features(docs, backend="pil").collect()
+
+
+def test_sessionized_stream_custom_state(spark, tmp_path):
+    """applyInPandasWithState sessionizer: in-batch gap split + event-time
+    timeout close, verified against the batch gaps-and-islands answer."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"user_id": u, "ts": t}) for u, t in rows)
+        )
+
+    # user 1: two sessions (00:00-00:10, then 01:00); user 2: one event
+    write_file(
+        "f1.json",
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 01:00:00"),
+            (2, "2024-01-01 00:05:00"),
+        ],
+    )
+    # sentinels push the watermark far past every last+gap, then give
+    # the engine one more batch in which the timeouts actually fire
+    write_file("f2.json", [(999, "2024-01-01 06:00:00")])
+    write_file("f3.json", [(999, "2024-01-01 07:00:00")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        sessionized_stream(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM sessions_out WHERE user_id < 999"
+        ).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
+        (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1),
+    }
