@@ -995,3 +995,186 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("train_doc"))
         .agg(F.countDistinct("bench_doc").alias("n_benchmark_hits"))
     )
+
+
+_IVF_SCORE_SQL = """
+cents AS (SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+          FROM norms WHERE vec_id % 50 = 0),
+cpairs AS (
+  SELECT n.vec_id, c.cent_id,
+         SUM(CAST(round(CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE) * 1000000000) AS BIGINT)) AS dot,
+         any_value(n.n2) AS n2, any_value(c.c_n2) AS c_n2
+  FROM norms n CROSS JOIN cents c
+  CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+  GROUP BY n.vec_id, c.cent_id
+),
+cscored AS (
+  SELECT vec_id, cent_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE))) AS cs
+  FROM cpairs
+)
+"""
+
+
+@register(
+    "q_simsearch_ivf",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL},
+    {_IVF_SCORE_SQL},
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+        FROM cscored
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+        FROM cscored WHERE vec_id < 5
+      ) WHERE rn <= 2
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    qd AS (
+      SELECT c.query_id, c.vec_id,
+             SUM(CAST(round(CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) * 1000000000) AS BIGINT)) AS dot,
+             any_value(q.n2) AS qn2, any_value(e.n2) AS en2
+      FROM cands c
+      JOIN norms e ON e.vec_id = c.vec_id
+      JOIN norms q ON q.vec_id = c.query_id
+      CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY c.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT query_id, vec_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE))) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE))) DESC,
+                        vec_id) AS rn
+      FROM qd
+    ) WHERE rn <= 10
+    """,
+)
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (every 50th
+    vector), each vector assigned to its nearest centroid cell, queries
+    probe their 2 nearest cells and re-rank candidates exactly.
+
+    The 100 TB similarity-search plan: assignment is ONE linear scan
+    with the (tiny) centroid table broadcast; the probe restricts
+    scoring to nprobe cells — a partition-pruned fraction of the corpus
+    — instead of the full cross product of q_simsearch_topk.  The
+    oracle replicates the identical algorithm, so this approximate
+    index is still value-exact across engines (same scaled-integer dot
+    products, same tie-breaks).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select("vec_id", "embedding", norm2_scaled(F.col("embedding")).alias("n2"))
+    cents = norms.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    cscore = norms.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cosine(
+            dot_scaled(F.col("embedding"), F.col("c_emb")), F.col("n2"), F.col("c_n2")
+        ).alias("cs"),
+    )
+    w_near = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    ranked = cscore.withColumn("rn", F.row_number().over(w_near))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = (
+        ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 2))
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    cands = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qside = norms.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    ).filter(F.col("query_id") < 5)
+    scored = (
+        cands.join(norms, "vec_id")
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(
+                dot_scaled(F.col("embedding"), F.col("q_emb")), F.col("qn2"), F.col("n2")
+            ).alias("cos_sim"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
+@register(
+    "q_training_mix",
+    oracle=f"""
+    WITH {CORPUS_SQL},
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    kept AS (
+      SELECT c.doc_id, c.lang, string_split(lower(c.text), ' ') AS toks
+      FROM corpus c JOIN canon USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+               / len(toks) AS stop_ratio
+      FROM kept
+    )
+    SELECT lang,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                THEN 'val' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM q
+    WHERE n_tokens >= 5 AND stop_ratio <= 0.5
+    GROUP BY lang, split
+    """,
+)
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data mix report: exact dedup (canonical doc
+    per content hash) -> quality gate (length + stopword ratio) ->
+    deterministic train/val split -> docs and token budget per
+    (lang, split).
+
+    The composition pattern for a 100 TB curation run: the dedup
+    groupBy is the only corpus-wide shuffle; quality metrics are
+    per-row array expressions; the split is a stateless hash; the
+    final aggregate is partial-agg'd map-side into a handful of rows.
+    """
+    c = _corpus(spark, sf_dir)
+    canon = c.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    kept = c.join(canon.select("doc_id"), "doc_id")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    stop_ratio = F.size(F.filter(t, lambda x: x.isin("the", "a"))).cast("double") / n
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        kept.select(
+            "lang",
+            F.when(nibble < "4", F.lit("val")).otherwise(F.lit("train")).alias("split"),
+            n.alias("n_tokens"),
+            stop_ratio.alias("stop_ratio"),
+        )
+        .filter((F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.5))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
