@@ -249,29 +249,44 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle (pigeonhole on the common global order), and rare-first
     ordering makes prefix postings short — candidate generation is an
     equi-join on rare tokens only.  Candidates are then verified
-    EXACTLY with array_intersect on the full shingle arrays.
-    This is the 100 TB-safe exact similarity join.
+    EXACTLY on the full shingle sets.  This is the 100 TB-safe exact
+    similarity join.
+
+    Integer-domain execution: shingle strings are densely re-keyed to
+    longs ordered by (document frequency, shingle) — a bijection, so
+    every set operation downstream is EXACT, and:
+    - the sorted int array IS the rare-first prefix order, so the
+      prefix is a plain slice() — the per-doc rank window disappears;
+    - the candidate equi-join compares longs, not ~25-char strings;
+    - verification is array_intersect over long arrays.
+    The re-keyed postings are locally checkpointed because THREE DAG
+    branches consume them (at cluster scale: a cached/checkpointed
+    intermediate table).
     """
-    # The shingle arrays feed THREE branches of this DAG (df-order,
-    # prefix index, exact verification); without materialization Spark
-    # recomputes the tokenize+shingle pipeline per branch.  A local
-    # checkpoint stores the computed partitions on the executors and
-    # replaces the lineage with a scan (at cluster scale: reliable
-    # checkpoint / cached intermediate table).
-    arrays = _corpus_shingle_arrays(spark, sf_dir).localCheckpoint(eager=True)
-    # global document frequency -> rare-first total order on shingles
-    df_order = (
-        arrays.select(F.explode("sh_arr").alias("sh"))
-        .groupBy("sh")
+    postings = _corpus_shingles(spark, sf_dir)
+    # dense long id per distinct shingle, rare-first: the single-
+    # partition window runs over DISTINCT shingles only (at 100 TB:
+    # zipWithIndex over the sorted distinct set / a range-partitioned
+    # rank — never over the postings)
+    ids = (
+        postings.groupBy("sh")
         .agg(F.count("*").alias("df"))
+        .withColumn("sh_id", F.row_number().over(Window.orderBy(F.asc("df"), F.asc("sh"))))
+        .select("sh", "sh_id")
     )
-    exploded = arrays.select("doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh"))
-    ranked = exploded.join(df_order, "sh")
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
-    prefix = (
-        ranked.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.floor(F.col("n") / 2) + 1)
-        .select("doc_id", "n", "pos", "sh")
+    arrays = (
+        postings.join(ids, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sh_id")).alias("ids"))
+        .withColumn("n", F.size("ids"))
+        .localCheckpoint(eager=True)
+    )
+    prefix = arrays.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("ids", 1, F.floor(F.col("n") / 2).cast("int") + 1)).alias(
+            "pos0", "sh_id"
+        ),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin filters (exactness-preserving for t = 0.5):
@@ -280,11 +295,11 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   reach the required overlap ceil(t/(1+t) * (na+nb)) = ceil((na+nb)/3)
     na, nb = F.col("a.n"), F.col("b.n")
     required = F.expr("CAST(ceil((a.n + b.n) / 3.0) AS INT)")
-    ubound = 1 + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
+    ubound = 1 + F.least(na - (F.col("a.pos0") + 1), nb - (F.col("b.pos0") + 1))
     cands = (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
+            (F.col("a.sh_id") == F.col("b.sh_id"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.least(na, nb) * 2 >= F.greatest(na, nb))
             & (ubound >= required),
@@ -292,9 +307,9 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification on the full arrays
-    arr_a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
-    arr_b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    # exact verification on the full (bijectively re-keyed) sets
+    arr_a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("ids").alias("arr_a"))
+    arr_b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("ids").alias("arr_b"))
     verified = cands.join(arr_a, "doc_a").join(arr_b, "doc_b")
     c = F.size(F.array_intersect("arr_a", "arr_b"))
     jac = c.cast("double") / (F.size("arr_a") + F.size("arr_b") - c)
@@ -1177,4 +1192,29 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.5))
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+@register(
+    "q_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_redactions
+    FROM documents
+    """,
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction pass: replace digit runs with a placeholder
+    and count redactions per doc — the scrubbing step of a training
+    pipeline.  Pure per-row regex expressions (JVM, no shuffle); the
+    pattern is deliberately RE2-and-Java-compatible so the oracle
+    matches byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("long").alias(
+            "n_redactions"
+        ),
     )

@@ -998,3 +998,36 @@ def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
     )
+
+
+@register(
+    "q_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: two-phase salted groupBy.
+
+    Phase 1 groups by (key, salt = l_orderkey % 16) so a hot key's
+    rows spread over 16 reducers; phase 2 merges the 16 partials per
+    key.  Integer partial sums make the rewrite EXACTLY equal to the
+    direct groupBy (the oracle is the plain one-phase SQL).  This is
+    the salting pattern for keys too hot for AQE's skew handling —
+    at 100 TB a 3-value grouping key like l_returnflag is exactly
+    such a key.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    partial = (
+        l.groupBy("l_returnflag", (F.col("l_orderkey") % 16).alias("_salt"))
+        .agg(F.sum(cents).alias("c"), F.count("*").alias("n"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        (F.sum("c").cast("double") / 100).alias("sum_price"),
+        F.sum("n").alias("n_rows"),
+    )
