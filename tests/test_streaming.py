@@ -288,3 +288,59 @@ def test_sessionized_stream_custom_state(spark, tmp_path):
         (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
         (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1),
     }
+
+
+def test_streaming_schema_evolution_restart(spark, tmp_path):
+    """auto.evolve.tables analog (setup.sh:134-135): a restart with a
+    widened payload schema merges old state via unionByName — old rows
+    get NULL for the new column, new rows carry it."""
+    from pyspark.sql import types as T
+
+    v1 = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("username", T.StringType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    )
+    v2 = T.StructType(v1.fields + [T.StructField("account_type", T.StringType())])
+    src = tmp_path / "wire"
+    src.mkdir()
+
+    def write_batch(fname, schema, rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "updated_at", F.col("updated_at").cast("timestamp")
+        )
+        wire = df.select(
+            build_envelope_json(df, schema, "postgres_cdc.iman.users.Value").alias("value")
+        ).collect()
+        lines = [
+            json.dumps(
+                {"_seq": i, "topic": "postgres_cdc.iman.users", "op": "c", "value": r.value}
+            )
+            for i, r in enumerate(wire, start=fname * 100)
+        ]
+        (src / f"batch_{fname}.json").write_text("\n".join(lines))
+
+    import datetime
+
+    t1 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    t2 = datetime.datetime(2024, 1, 2, 0, 0, 0)
+    write_batch(1, v1, [(1, "alice", t1), (2, "bob", t1)])
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), v1, state_dir, ckpt, KEYS, VERSION
+    )
+    assert "account_type" not in read_state(spark, state_dir).columns
+
+    # restart with widened schema; new batch updates user 1, adds user 3
+    write_batch(2, v2, [(1, "alice2", t2, "Gold"), (3, "carol", t2, "Silver")])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), v2, state_dir, ckpt, KEYS, VERSION
+    )
+    state = read_state(spark, state_dir)
+    got = {
+        r.user_id: (r.username, r.account_type)
+        for r in state.select("user_id", "username", "account_type").collect()
+    }
+    assert got == {1: ("alice2", "Gold"), 2: ("bob", None), 3: ("carol", "Silver")}
