@@ -1,0 +1,79 @@
+"""Analytics operators that are approximate by design (no DuckDB
+oracle): recall against the exact answer, and exactness of the
+prefix-filtered Jaccard join against a brute-force Spark computation.
+
+Everything here is deterministic (MD5-derived hyperplanes/minhashes,
+fixed fixtures), so recall values are exactly reproducible; thresholds
+sit below the measured values only to survive fixture regeneration.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
+    _corpus_shingle_arrays,
+)
+from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_lsh_recall_vs_exact(spark, queries):
+    exact = {(r.query_id, r.vec_id) for r in queries["q_simsearch_topk"](spark, SF).collect()}
+    got = {(r.query_id, r.vec_id) for r in queries["q_simsearch_lsh"](spark, SF).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"multi-table LSH recall degraded: {recall:.3f}"
+
+
+def test_ivf_recall_vs_exact(spark, queries):
+    exact = {(r.query_id, r.vec_id) for r in queries["q_simsearch_topk"](spark, SF).collect()}
+    got = {(r.query_id, r.vec_id) for r in queries["q_simsearch_ivf"](spark, SF).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"IVF nprobe=4 recall degraded: {recall:.3f}"
+
+
+def test_minhash_finds_all_planted_duplicates(spark, queries):
+    """Exact copies share every minhash (recall 1.0 guaranteed); the
+    planted near-dups (one trailing token dropped) must also collide in
+    at least one band on this fixture."""
+    mh = _pairs(queries["q_neardup_minhash"](spark, SF))
+    ids = [r.doc_id for r in load_table(spark, SF, "documents").select("doc_id").collect()]
+    exact_pairs = {(i, i + 2_000_000) for i in ids}
+    near_pairs = {(i, i + 1_000_000) for i in ids if i % 10 == 0}
+    assert exact_pairs <= mh
+    assert near_pairs <= mh
+
+
+def test_jaccard_prefix_join_equals_bruteforce(spark, queries):
+    """The PPJoin prefix/length/positional filters must not lose a
+    single pair: compare against the unfiltered all-pairs join."""
+    fast = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in queries["q_neardup_jaccard"](spark, SF).collect()
+    }
+    arrays = _corpus_shingle_arrays(spark, SF).filter(F.size("sh_arr") > 0)
+    a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = c.cast("double") / (F.size("arr_a") + F.size("arr_b") - c)
+    brute = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert fast == brute

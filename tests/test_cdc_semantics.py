@@ -76,3 +76,40 @@ def test_upsert_batch_idempotent_under_redelivery(spark):
     assert merged.count() == 4
     again = upsert_batch(merged, batch, KEYS, VERSION)
     assert _state(again) == _state(merged)
+
+
+def test_final_state_invariant_under_cross_key_interleaving(spark):
+    """Kafka guarantees order per key, not across keys (key = PK via
+    the key converter, setup.sh:96-98).  Any delivery interleaving that
+    preserves per-key order must fold to the same final state: _seq is
+    re-assigned by arrival position, and the LWW version
+    (updated_at, _seq) only compares _seq within a key."""
+    import itertools
+
+    base = reference_scenario_changelog(spark).orderBy("_seq").collect()
+    per_key = {}
+    for r in base:
+        per_key.setdefault(r.user_id, []).append(r)
+
+    def interleavings():
+        # round-robin across keys
+        queues = [list(v) for v in per_key.values()]
+        rr = []
+        while any(queues):
+            for q in queues:
+                if q:
+                    rr.append(q.pop(0))
+        yield rr
+        # keys in blocks, descending key order
+        yield [r for k in sorted(per_key, reverse=True) for r in per_key[k]]
+        # original order
+        yield list(base)
+
+    states = []
+    for order in interleavings():
+        rows = [
+            r.asDict() | {"_seq": i} for i, r in enumerate(order, start=1)
+        ]
+        log = spark.createDataFrame(rows, reference_scenario_changelog(spark).schema)
+        states.append(_state(apply_changelog(log, KEYS, VERSION)))
+    assert states[0] == states[1] == states[2]
