@@ -832,7 +832,10 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     def first_unit(emb: pd.Series) -> pd.Series:
         def one(v) -> float:
             x = np.asarray(v, dtype=np.float64)
-            n2 = np.rint((x * x) * 1e9).astype(np.int64).sum()
+            # round half away from zero (floor(v+0.5) — all v >= 0
+            # here), matching Spark/DuckDB round(); np.rint rounds
+            # half to even and diverges on exact .5 boundaries
+            n2 = np.floor((x * x) * 1e9 + 0.5).astype(np.int64).sum()
             return float(x[0] / np.sqrt(n2 / 1e9))
 
         return emb.map(one)

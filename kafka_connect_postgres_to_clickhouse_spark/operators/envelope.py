@@ -94,10 +94,11 @@ def envelope_schema(payload_schema: T.StructType) -> T.StructType:
     return debezium_value_schema(payload_schema)
 
 
-def build_envelope_json(
-    df: DataFrame, payload_schema: T.StructType, schema_name: str
-) -> Column:
+def build_envelope_json(payload_schema: T.StructType, schema_name: str) -> Column:
     """Serialize rows into the reference's wire JSON (inverse of parse).
+    The column expression is built purely from ``payload_schema`` —
+    apply it with ``df.select(...)`` on any frame carrying those
+    columns.
 
     Timestamps are emitted as epoch-microseconds via ``unix_micros``
     (reference wire type MicroTimestamp, README.md:127).
@@ -147,8 +148,14 @@ def parse_envelope(
         out_cols.append(c.alias(f.name))
     keep = [c for c in df.columns if c != value_col]
     # PERMISSIVE from_json yields a struct of nulls (not a null struct)
-    # on malformed input, so corruption == no payload materialized.
-    corrupt = F.col("_envelope").isNull() | F.col("_envelope.payload").isNull()
+    # on malformed input, so corruption == NEITHER field materialized.
+    # A null payload under a non-null schema is a legitimate wire form
+    # (a Debezium delete after ExtractNewRecordState carries
+    # payload:null) — that row is kept with null payload columns, not
+    # routed to the DLQ.
+    corrupt = F.col("_envelope").isNull() | (
+        F.col("_envelope.payload").isNull() & F.col("_envelope.schema").isNull()
+    )
     return parsed.select(*keep, *out_cols, corrupt.alias("_corrupt"))
 
 

@@ -153,7 +153,7 @@ def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = log.select(
         "_seq",
         build_envelope_json(
-            payload, payload.schema, "postgres_cdc.iman.users.Value"
+            payload.schema, "postgres_cdc.iman.users.Value"
         ).alias("value"),
     )
     parsed = parse_envelope(wire, payload.schema)
@@ -276,7 +276,7 @@ def q_corrupt_tolerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = log.select(
         "_seq",
         build_envelope_json(
-            payload, payload.schema, "postgres_cdc.iman.users.Value"
+            payload.schema, "postgres_cdc.iman.users.Value"
         ).alias("value"),
     )
     corrupted = wire.withColumn(

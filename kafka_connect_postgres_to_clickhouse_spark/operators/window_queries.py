@@ -89,7 +89,7 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_session",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -97,8 +97,11 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     numbered AS (
+      -- the running sum must use the SAME (ts, event_id) tie-broken
+      -- order as the lag above, or tied timestamps at a session
+      -- boundary could be numbered nondeterministically
       SELECT *, SUM(is_new) OVER (
-        PARTITION BY user_id ORDER BY ts
+        PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM ordered
     )

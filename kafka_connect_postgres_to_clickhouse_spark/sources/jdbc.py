@@ -58,12 +58,15 @@ def read_snapshot(
             .load()
             .collect()[0]
         )
-        reader = (
-            reader.option("partitionColumn", key)
-            .option("lowerBound", str(bounds.lo))
-            .option("upperBound", str(bounds.hi))
-            .option("numPartitions", str(num_partitions))
-        )
+        # an empty table yields NULL bounds — fall back to a single
+        # unpartitioned read instead of passing "None" to the reader
+        if bounds.lo is not None and bounds.hi is not None:
+            reader = (
+                reader.option("partitionColumn", key)
+                .option("lowerBound", str(bounds.lo))
+                .option("upperBound", str(bounds.hi))
+                .option("numPartitions", str(num_partitions))
+            )
     return reader.load()
 
 

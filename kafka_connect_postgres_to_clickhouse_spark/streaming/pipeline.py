@@ -59,12 +59,23 @@ def _current_version(state_dir: str) -> int | None:
         return None
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Read the current state snapshot (versioned-directory scheme)."""
+def read_state(
+    spark: SparkSession, state_dir: str, include_tombstones: bool = False
+) -> DataFrame | None:
+    """Read the current state snapshot (versioned-directory scheme).
+
+    Delete tombstones (op='d' LWW winners, kept so re-delivered older
+    events cannot resurrect a deleted key) are hidden unless
+    ``include_tombstones`` — the merge path reads them back, consumers
+    don't see them.
+    """
     v = _current_version(state_dir)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+    df = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+    if not include_tombstones and "op" in df.columns:
+        df = df.filter((F.col("op") != "d") | F.col("op").isNull())
+    return df
 
 
 def run_cdc_pipeline(
@@ -100,13 +111,19 @@ def run_cdc_pipeline(
         parsed = parse_envelope(clean, payload_schema)
         rows = parsed.filter(~F.col("_corrupt")).drop("_corrupt")
         if not apply_deletes:
-            rows = rows.filter(F.col("op") != "d")
-        existing = read_state(spark, state_dir)
+            # NULL-safe: a source without an op column (e.g. the Kafka
+            # wrapper emits op=NULL) must pass everything through, not
+            # drop every row on a NULL predicate
+            rows = rows.filter((F.col("op") != "d") | F.col("op").isNull())
+        existing = read_state(spark, state_dir, include_tombstones=True)
         if existing is not None:
             rows = existing.unionByName(rows, allowMissingColumns=True)
         merged = lww_dedup(rows, keys, version_cols)
-        if apply_deletes:
-            merged = merged.filter(F.col("op") != "d")
+        # Deletes are KEPT in the persisted state as tombstone rows
+        # (op='d' version winners).  Filtering them out here would let
+        # a re-delivered older event in a later micro-batch win LWW
+        # against an absent key and resurrect it; the tombstone must
+        # stay to outrank re-deliveries.  read_state() hides them.
         prev = _current_version(state_dir)
         nxt = 0 if prev is None else prev + 1
         merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
@@ -154,11 +171,14 @@ def sessionized_stream(
     This is the operator class Spark's built-ins can't express — the
     per-key state machine (``session_window`` covers the aggregate
     case; this shape generalizes to any custom fold).  State per user =
-    the open session (start, last, count) as epoch-micros; event-time
-    timeout fires when the watermark passes last+gap and emits the
-    closed session.  Batches arriving mid-session extend state; an
-    in-batch gap splits eagerly so a single batch can emit many closed
-    sessions.
+    ALL still-open sessions as parallel epoch-micros arrays (more than
+    one can be open while out-of-order events within the watermark may
+    still bridge or extend them).  Per batch: drop rows below the
+    watermark, interval-merge batch events into the session list (a
+    late event can extend a session backwards or merge two sessions),
+    emit sessions whose ``last + gap`` the watermark has passed, keep
+    the rest; the event-time timeout fires for the earliest open
+    session when no new data arrives.
 
     Scale: state is hash-partitioned by user_id across executors and
     bounded by the watermark — the 100 TB sessionization plan.  Arrow
@@ -171,44 +191,62 @@ def sessionized_stream(
         "user_id bigint, session_start timestamp, "
         "session_end timestamp, n_events bigint"
     )
-    state_schema = "start_us bigint, last_us bigint, n bigint"
+    state_schema = (
+        "starts array<bigint>, lasts array<bigint>, ns array<bigint>"
+    )
 
     def fn(key, pdf_iter, state):
         user_id = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
 
-        def to_row(start_us, last_us, n):
+        def to_row(s):
             return {
                 "user_id": user_id,
-                "session_start": pd.Timestamp(start_us, unit="us"),
-                "session_end": pd.Timestamp(last_us, unit="us"),
-                "n_events": n,
+                "session_start": pd.Timestamp(s[0], unit="us"),
+                "session_end": pd.Timestamp(s[1], unit="us"),
+                "n_events": s[2],
             }
 
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield pd.DataFrame([to_row(start_us, last_us, n)])
-            return
-
-        ts_us = sorted(
-            int(t.value) // 1000
-            for pdf in pdf_iter
-            for t in pd.to_datetime(pdf["ts"])
+        sessions = (
+            [list(t) for t in zip(*state.get)] if state.exists else []
         )
-        open_s = state.get if state.exists else None
-        closed = []
-        for t in ts_us:
-            if open_s is None:
-                open_s = (t, t, 1)
-            elif t - open_s[1] > gap_us:
-                closed.append(open_s)
-                open_s = (t, t, 1)
-            else:
-                open_s = (open_s[0], max(open_s[1], t), open_s[2] + 1)
-        state.update(open_s)
-        # close when the event-time watermark passes last + gap
-        state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
-        yield pd.DataFrame([to_row(*s) for s in closed])
+        if not state.hasTimedOut:
+            ts_us = sorted(
+                int(t.value) // 1000
+                for pdf in pdf_iter
+                for t in pd.to_datetime(pdf["ts"])
+                if int(t.value) // 1000 >= wm_us  # late data dropped
+            )
+            sessions.extend([t, t, 1] for t in ts_us)
+            sessions.sort(key=lambda s: s[0])
+            merged = []
+            for s in sessions:
+                if merged and s[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s)
+            sessions = merged
+
+        closed = [s for s in sessions if s[1] + gap_us < wm_us]
+        still_open = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if still_open:
+            state.update(
+                (
+                    [s[0] for s in still_open],
+                    [s[1] for s in still_open],
+                    [s[2] for s in still_open],
+                )
+            )
+            # earliest possible close; must sit strictly past the
+            # current watermark for the runtime to accept it
+            t_ms = max(
+                min(s[1] for s in still_open) + gap_us, wm_us + 1000
+            ) // 1000
+            state.setTimeoutTimestamp(t_ms)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame([to_row(s) for s in closed])
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -58,7 +58,7 @@ def test_envelope_roundtrip_and_shape(spark):
     payload = log.select("user_id", "username", "account_type", "updated_at")
     wire = log.select(
         "_seq",
-        build_envelope_json(payload, payload.schema, "postgres_cdc.iman.users.Value").alias(
+        build_envelope_json(payload.schema, "postgres_cdc.iman.users.Value").alias(
             "value"
         ),
     )
@@ -84,7 +84,7 @@ def test_corrupt_record_routed_not_fatal(spark):
     payload = log.select("user_id", "username", "account_type", "updated_at")
     wire = log.select(
         "_seq",
-        build_envelope_json(payload, payload.schema, "x").alias("value"),
+        build_envelope_json(payload.schema, "x").alias("value"),
     ).withColumn(
         "value",
         F.when(F.col("_seq") == 2, F.lit('{"schema": {"broken'))

@@ -39,7 +39,7 @@ def _write_wire_files(spark, tmp_path, seq_ranges):
         "_seq",
         "topic",
         "op",
-        build_envelope_json(payload, payload.schema, "postgres_cdc.iman.users.Value").alias(
+        build_envelope_json(payload.schema, "postgres_cdc.iman.users.Value").alias(
             "value"
         ),
     ).collect()
@@ -108,7 +108,7 @@ def test_streaming_checkpoint_resume_idempotent(spark, tmp_path, users_schema):
     payload = log.select("user_id", "username", "account_type", "updated_at")
     wire = log.select(
         "_seq", "topic", "op",
-        build_envelope_json(payload, payload.schema, "x").alias("value"),
+        build_envelope_json(payload.schema, "x").alias("value"),
     ).collect()
     lines = [
         _json.dumps({"_seq": r._seq, "topic": r.topic, "op": r.op, "value": r.value})
@@ -312,7 +312,7 @@ def test_streaming_schema_evolution_restart(spark, tmp_path):
             "updated_at", F.col("updated_at").cast("timestamp")
         )
         wire = df.select(
-            build_envelope_json(df, schema, "postgres_cdc.iman.users.Value").alias("value")
+            build_envelope_json(schema, "postgres_cdc.iman.users.Value").alias("value")
         ).collect()
         lines = [
             json.dumps(
@@ -344,3 +344,71 @@ def test_streaming_schema_evolution_restart(spark, tmp_path):
         for r in state.select("user_id", "username", "account_type").collect()
     }
     assert got == {1: ("alice2", "Gold"), 2: ("bob", None), 3: ("carol", "Silver")}
+
+
+def test_sessionized_stream_out_of_order_merge(spark, tmp_path):
+    """A late-but-in-watermark event must extend the open session
+    BACKWARDS (session_start moves earlier), not silently join with a
+    wrong start — the cross-batch out-of-order case."""
+    src = tmp_path / "sess_ooo"
+    src.mkdir()
+    (src / "f1.json").write_text(json.dumps({"user_id": 1, "ts": "2024-01-01 01:00:00"}))
+    # arrives in a later batch but is 20min BEFORE the open session
+    (src / "f2.json").write_text(json.dumps({"user_id": 1, "ts": "2024-01-01 00:40:00"}))
+    (src / "f3.json").write_text(json.dumps({"user_id": 999, "ts": "2024-01-01 12:00:00"}))
+    (src / "f4.json").write_text(json.dumps({"user_id": 999, "ts": "2024-01-01 13:00:00"}))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        sessionized_stream(stream, gap_minutes=30, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessions_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_ooo WHERE user_id < 999").collect()
+    }
+    assert got == {(1, "2024-01-01 00:40:00", "2024-01-01 01:00:00", 2)}
+
+
+def test_apply_deletes_tombstone_survives_redelivery(spark, tmp_path, users_schema):
+    """With apply_deletes=True the delete winner is persisted as a
+    tombstone (hidden by read_state), so an at-least-once redelivery of
+    an OLDER insert in a later batch cannot resurrect the key."""
+    src = _write_wire_files(spark, tmp_path, [(1, 4)])  # 3 inserts + delete(1)
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    run_cdc_pipeline(
+        changelog_file_stream(spark, src), users_schema, state_dir, ckpt,
+        KEYS, VERSION, apply_deletes=True,
+    )
+    assert 1 not in _state_map(read_state(spark, state_dir))
+
+    # redeliver the original insert of key 1 (same _seq, new file)
+    log = reference_scenario_changelog(spark)
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    wire = log.select(
+        "_seq", "topic", "op",
+        build_envelope_json(payload.schema, "x").alias("value"),
+    ).collect()
+    lines = [
+        json.dumps({"_seq": r._seq, "topic": r.topic, "op": r.op, "value": r.value})
+        for r in wire
+        if r._seq == 1
+    ]
+    (tmp_path / "wire" / "batch_redeliver.json").write_text("\n".join(lines))
+    run_cdc_pipeline(
+        changelog_file_stream(spark, src), users_schema, state_dir, ckpt,
+        KEYS, VERSION, apply_deletes=True,
+    )
+    final = _state_map(read_state(spark, state_dir))
+    assert 1 not in final  # tombstone outranked the redelivered insert
+    assert final[2] == ("user2", "Silver")
