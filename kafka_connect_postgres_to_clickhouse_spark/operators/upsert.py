@@ -82,3 +82,21 @@ def upsert_batch(
     """
     merged = existing.unionByName(batch, allowMissingColumns=True)
     return lww_dedup(merged, keys, version_cols)
+
+
+def current_view(
+    raw: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    op_col: str = "op",
+    apply_deletes: bool = False,
+) -> DataFrame:
+    """Dedup-on-read view of a raw append table — the ClickHouse
+    ``SELECT ... FINAL`` analog (ReplacingMergeTree collapses
+    duplicates only at merge time, setup.sh:63,136-137; pre-merge reads
+    see duplicates, which is why the reference sleeps before asserting,
+    setup.sh:164,204).  Querying through this view gives merged
+    semantics regardless of physical state.  Identical fold to
+    ``apply_changelog``; named separately because it is the READ-path
+    contract over any un-merged appendlog."""
+    return apply_changelog(raw, keys, version_cols, op_col, apply_deletes)

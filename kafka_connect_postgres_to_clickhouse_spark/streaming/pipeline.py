@@ -107,31 +107,99 @@ def run_cdc_pipeline(
     spark = stream.sparkSession
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        clean = batch.filter(F.col("value").isNotNull())  # tombstone drop
-        parsed = parse_envelope(clean, payload_schema)
-        rows = parsed.filter(~F.col("_corrupt")).drop("_corrupt")
-        if not apply_deletes:
-            # NULL-safe: a source without an op column (e.g. the Kafka
-            # wrapper emits op=NULL) must pass everything through, not
-            # drop every row on a NULL predicate
-            rows = rows.filter((F.col("op") != "d") | F.col("op").isNull())
-        existing = read_state(spark, state_dir, include_tombstones=True)
-        if existing is not None:
-            rows = existing.unionByName(rows, allowMissingColumns=True)
-        merged = lww_dedup(rows, keys, version_cols)
-        # Deletes are KEPT in the persisted state as tombstone rows
-        # (op='d' version winners).  Filtering them out here would let
-        # a re-delivered older event in a later micro-batch win LWW
-        # against an absent key and resurrect it; the tombstone must
-        # stay to outrank re-deliveries.  read_state() hides them.
-        prev = _current_version(state_dir)
-        nxt = 0 if prev is None else prev + 1
-        merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
-        os.makedirs(state_dir, exist_ok=True)
-        tmp = _current_marker(state_dir) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, _current_marker(state_dir))
+        _merge_batch(
+            spark, batch, payload_schema, state_dir, keys, version_cols, apply_deletes
+        )
+
+    (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _merge_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    payload_schema: T.StructType,
+    state_dir: str,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    apply_deletes: bool,
+) -> None:
+    """One micro-batch of one table: parse, filter, LWW-merge, publish."""
+    clean = batch.filter(F.col("value").isNotNull())  # tombstone drop
+    parsed = parse_envelope(clean, payload_schema)
+    rows = parsed.filter(~F.col("_corrupt")).drop("_corrupt")
+    if not apply_deletes:
+        # NULL-safe: a source without an op column (e.g. the Kafka
+        # wrapper emits op=NULL) must pass everything through, not
+        # drop every row on a NULL predicate
+        rows = rows.filter((F.col("op") != "d") | F.col("op").isNull())
+    existing = read_state(spark, state_dir, include_tombstones=True)
+    if existing is not None:
+        rows = existing.unionByName(rows, allowMissingColumns=True)
+    merged = lww_dedup(rows, keys, version_cols)
+    # Deletes are KEPT in the persisted state as tombstone rows
+    # (op='d' version winners).  Filtering them out here would let
+    # a re-delivered older event in a later micro-batch win LWW
+    # against an absent key and resurrect it; the tombstone must
+    # stay to outrank re-deliveries.  read_state() hides them.
+    prev = _current_version(state_dir)
+    nxt = 0 if prev is None else prev + 1
+    merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _current_marker(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, _current_marker(state_dir))
+
+
+TOPIC_TABLE_RE = r"^postgres_cdc\.iman\.(.*)$"  # RegexRouter, setup.sh:119-126
+
+
+def run_multi_table_pipeline(
+    stream: DataFrame,
+    schemas: dict[str, T.StructType],
+    keys: dict[str, Sequence[str]],
+    state_root: str,
+    checkpoint_dir: str,
+    version_cols: Sequence[str],
+    apply_deletes: bool = False,
+    topic_re: str = TOPIC_TABLE_RE,
+) -> None:
+    """N mirrored tables on ONE changelog stream — the reference's
+    actual shape (all tables of the ``iman`` schema flow through the
+    connector pair; RegexRouter maps topic -> table, setup.sh:119-126;
+    dynamic discovery from the catalog, setup.sh:29-32).
+
+    Each micro-batch is routed by topic into per-table slices, each
+    LWW-merged into its own versioned state directory under
+    ``state_root/<table>``.  The driver-side loop is over the handful
+    of DISTINCT TABLES in the batch (not rows), so at 100 TB the only
+    growth is one merge job per table — each internally parallel.
+    """
+    spark = stream.sparkSession
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        routed = batch.withColumn("_table", F.regexp_extract("topic", topic_re, 1))
+        present = [
+            r._table
+            for r in routed.select("_table").distinct().collect()
+            if r._table in schemas
+        ]
+        for t in present:
+            _merge_batch(
+                spark,
+                routed.filter(F.col("_table") == t).drop("_table"),
+                schemas[t],
+                os.path.join(state_root, t),
+                keys[t],
+                version_cols,
+                apply_deletes,
+            )
 
     (
         stream.writeStream.foreachBatch(upsert)

@@ -113,3 +113,19 @@ def test_final_state_invariant_under_cross_key_interleaving(spark):
         log = spark.createDataFrame(rows, reference_scenario_changelog(spark).schema)
         states.append(_state(apply_changelog(log, KEYS, VERSION)))
     assert states[0] == states[1] == states[2]
+
+
+def test_current_view_collapses_unmerged_appendlog(spark):
+    """Reading through current_view() over the raw appendlog equals the
+    eagerly merged state — FINAL semantics without a merge."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.upsert import (
+        current_view,
+    )
+
+    log = reference_scenario_changelog(spark)
+    view = _state(current_view(log, KEYS, VERSION))
+    eager = _state(apply_changelog(log, KEYS, VERSION))
+    assert view == eager
+    # re-delivered duplicates are also absorbed on read
+    dup = log.unionByName(log)
+    assert _state(current_view(dup, KEYS, VERSION)) == eager

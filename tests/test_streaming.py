@@ -412,3 +412,62 @@ def test_apply_deletes_tombstone_survives_redelivery(spark, tmp_path, users_sche
     final = _state_map(read_state(spark, state_dir))
     assert 1 not in final  # tombstone outranked the redelivered insert
     assert final[2] == ("user2", "Silver")
+
+
+def test_multi_table_pipeline_routes_by_topic(spark, tmp_path):
+    """Two tables on one changelog stream: RegexRouter-style topic ->
+    table routing, independent schemas and key columns, one state
+    directory per table (the reference's N-mirrored-tables shape)."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        run_multi_table_pipeline,
+    )
+
+    users_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("username", T.StringType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    )
+    items_schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+
+    def wire(schema, topic, rows, seq0):
+        df = spark.createDataFrame(rows, schema)
+        vals = df.select(build_envelope_json(schema, f"{topic}.Value").alias("v")).collect()
+        return [
+            json.dumps({"_seq": seq0 + i, "topic": topic, "op": "c", "value": r.v})
+            for i, r in enumerate(vals)
+        ]
+
+    lines = (
+        wire(users_schema, "postgres_cdc.iman.users", [(1, "alice", t0), (1, "alice2", t1)], 1)
+        + wire(items_schema, "postgres_cdc.iman.items", [(7, 9.99, t0)], 100)
+    )
+    src = tmp_path / "multi"
+    src.mkdir()
+    (src / "all.json").write_text("\n".join(lines))
+
+    run_multi_table_pipeline(
+        changelog_file_stream(spark, str(src)),
+        schemas={"users": users_schema, "items": items_schema},
+        keys={"users": ["user_id"], "items": ["item_id"]},
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        version_cols=["updated_at", "_seq"],
+    )
+    users = read_state(spark, str(tmp_path / "state" / "users"))
+    items = read_state(spark, str(tmp_path / "state" / "items"))
+    assert {(r.user_id, r.username) for r in users.collect()} == {(1, "alice2")}
+    assert {(r.item_id, r.price) for r in items.collect()} == {(7, 9.99)}
