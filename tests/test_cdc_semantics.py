@@ -129,3 +129,25 @@ def test_current_view_collapses_unmerged_appendlog(spark):
     # re-delivered duplicates are also absorbed on read
     dup = log.unionByName(log)
     assert _state(current_view(dup, KEYS, VERSION)) == eager
+
+
+def test_lww_version_edge_cases(spark):
+    """Pin the LWW comparator semantics: _seq breaks updated_at ties
+    (per-key Kafka order, setup.sh:96-98,148); a NULL updated_at loses
+    to any non-NULL one (max_by struct comparison is nulls-last); a key
+    whose every version is NULL still keeps exactly one row."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t, 1),
+        (1, "b", t, 2),       # same timestamp, higher _seq wins
+        (2, "x", None, 9),    # null version loses even with higher _seq
+        (2, "y", t, 2),
+        (3, "only-null", None, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, v string, updated_at timestamp, _seq long"
+    )
+    got = {r.user_id: r.v for r in lww_dedup(df, ["user_id"], VERSION).collect()}
+    assert got == {1: "b", 2: "y", 3: "only-null"}
