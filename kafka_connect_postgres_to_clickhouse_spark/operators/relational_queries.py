@@ -1031,3 +1031,29 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("c").cast("double") / 100).alias("sum_price"),
         F.sum("n").alias("n_rows"),
     )
+
+
+@register(
+    "q_distinct_sketch",
+    oracle="""
+    SELECT COUNT(DISTINCT substring(md5(CAST(o_custkey AS VARCHAR)), 1, 4))
+             AS n_buckets,
+           COUNT(DISTINCT o_custkey) AS n_exact
+    FROM orders
+    """,
+)
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cardinality sketch: linear counting over a 16^4
+    md5-prefix bucket space.  The sufficient statistic (occupied
+    buckets) is an integer, so unlike approx_count_distinct (engine-
+    specific HLL, rows-only check) this sketch is value-exact across
+    engines; the estimate is recovered downstream as
+    -m*ln(1 - n_buckets/m).  At 100 TB the sketch is one partial-agg'd
+    COUNT DISTINCT over 4-char keys — bounded state per partition.
+    """
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4)
+    return o.agg(
+        F.countDistinct(bucket).alias("n_buckets"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
