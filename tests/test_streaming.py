@@ -471,3 +471,42 @@ def test_multi_table_pipeline_routes_by_topic(spark, tmp_path):
     items = read_state(spark, str(tmp_path / "state" / "items"))
     assert {(r.user_id, r.username) for r in users.collect()} == {(1, "alice2")}
     assert {(r.item_id, r.price) for r in items.collect()} == {(7, 9.99)}
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize keeps one row per image at the target dims; frame
+    sampling expands one video row into every-Nth-frame rows — both
+    Arrow-batched, deterministic, and composable map-side."""
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "image", 100, 80, bytes(range(200))),
+        (2, "video", 0, 0, bytes(1024)),
+        (3, "image", 10, 10, b""),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, width int, height int, payload binary"
+    )
+    resized = resize_images(df, out_w=8, out_h=8).collect()
+    assert {(r.doc_id, r.out_w, r.out_h, len(r.payload)) for r in resized} == {
+        (1, 8, 8, 64),
+        (2, 8, 8, 64),
+        (3, 8, 8, 64),
+    }
+    # determinism
+    again = resize_images(df, out_w=8, out_h=8).collect()
+    assert {r.doc_id: bytes(r.payload) for r in resized} == {
+        r.doc_id: bytes(r.payload) for r in again
+    }
+
+    frames = sample_frames(
+        df.filter(F.col("media_type") == "video"), frame_bytes=256, every_nth=2
+    ).collect()
+    # 1024 bytes / 256 = 4 frames, every 2nd -> frames 0 and 2
+    assert [(r.doc_id, r.frame_no, len(r.frame)) for r in sorted(frames, key=lambda r: r.frame_no)] == [
+        (2, 0, 256),
+        (2, 2, 256),
+    ]
