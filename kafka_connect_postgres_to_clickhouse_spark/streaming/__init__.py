@@ -1,3 +1,25 @@
-from .pipeline import changelog_file_stream, run_cdc_pipeline, read_state
+from .pipeline import (
+    bootstrap_pipeline,
+    changelog_file_stream,
+    deduped_stream,
+    kafka_source,
+    read_state,
+    run_cdc_pipeline,
+    run_multi_table_pipeline,
+    sessionized_stream,
+    stream_static_join,
+    windowed_counts_stream,
+)
 
-__all__ = ["changelog_file_stream", "run_cdc_pipeline", "read_state"]
+__all__ = [
+    "bootstrap_pipeline",
+    "changelog_file_stream",
+    "deduped_stream",
+    "kafka_source",
+    "read_state",
+    "run_cdc_pipeline",
+    "run_multi_table_pipeline",
+    "sessionized_stream",
+    "stream_static_join",
+    "windowed_counts_stream",
+]

@@ -354,3 +354,55 @@ def kafka_source(spark: SparkSession, bootstrap: str, topics: str) -> DataFrame:
             F.col("value").cast("string").alias("value"),
         )
     )
+
+
+def bootstrap_pipeline(
+    tables_df: DataFrame,
+    columns_df: DataFrame,
+    stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    version_cols: Sequence[str],
+    schema: str = "iman",
+    apply_deletes: bool = False,
+) -> dict[str, T.StructType]:
+    """The reference's entry point A (setup.sh bootstrap) end-to-end:
+    catalog discovery -> per-table Spark schemas -> keyed multi-table
+    CDC pipeline.
+
+    1. BASE TABLEs of the schema from the catalog (setup.sh:29-32);
+    2. per-table ``StructType`` via the PG type map (setup.sh:40-49);
+    3. primary key per the reference heuristic — a ``*_id`` column if
+       present, else the first column (setup.sh:54-64's
+       ``COALESCE(pk, first_column)``);
+    4. ``run_multi_table_pipeline`` with one state dir per table.
+
+    Returns the discovered ``{table: StructType}`` so callers can
+    inspect or generate sink DDL (``plans.ddl``).
+    """
+    from ..plans.typemap import struct_type_from_catalog
+
+    tables = [
+        r.table_name
+        for r in tables_df.filter(
+            (F.col("table_schema") == schema) & (F.col("table_type") == "BASE TABLE")
+        )
+        .select("table_name")
+        .collect()
+    ]
+    cols = columns_df.filter(F.col("table_schema") == schema).collect()
+    schemas: dict[str, T.StructType] = {}
+    keys: dict[str, Sequence[str]] = {}
+    for t in tables:
+        tcols = sorted(
+            (r for r in cols if r.table_name == t), key=lambda r: r.ordinal_position
+        )
+        schemas[t] = struct_type_from_catalog(
+            [(r.column_name, r.data_type, r.is_nullable) for r in tcols]
+        )
+        id_cols = [r.column_name for r in tcols if r.column_name.endswith("_id")]
+        keys[t] = [id_cols[0] if id_cols else tcols[0].column_name]
+    run_multi_table_pipeline(
+        stream, schemas, keys, state_root, checkpoint_dir, version_cols, apply_deletes
+    )
+    return schemas

@@ -510,3 +510,37 @@ def test_multimodal_resize_and_frame_sample(spark):
         (2, 0, 256),
         (2, 2, 256),
     ]
+
+
+def test_bootstrap_pipeline_from_catalog(spark, tmp_path):
+    """Reference entry point A end-to-end: catalog discovery -> type
+    map -> PK heuristic -> multi-table pipeline -> golden state."""
+    from kafka_connect_postgres_to_clickhouse_spark.sources.catalog import (
+        catalog_columns_df,
+        catalog_tables_df,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        bootstrap_pipeline,
+    )
+
+    src = _write_wire_files(spark, tmp_path, [(1, 6)])
+    schemas = bootstrap_pipeline(
+        catalog_tables_df(spark),
+        catalog_columns_df(spark),
+        changelog_file_stream(spark, src),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        VERSION,
+    )
+    # discovery: only the BASE TABLE, typed per the PG map, PK=user_id
+    assert list(schemas) == ["users"]
+    assert [f.name for f in schemas["users"].fields] == [
+        "user_id", "username", "account_type", "updated_at", "created_at",
+    ]
+    state = read_state(spark, str(tmp_path / "state" / "users"))
+    assert _state_map(state) == {
+        1: ("user1", "Bronze"),
+        2: ("user2", "Silver"),
+        3: ("user3", "Gold"),
+        999: ("updated_user", "Test"),
+    }
