@@ -1245,3 +1245,109 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_redactions"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: pairs -> connected components -> canonical doc
+
+_PAIRS_SQL = f"""
+{SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    {_PAIRS_SQL}
+    SELECT s AS doc_id,
+           LEAST(s, MIN(d)) AS cluster_id,
+           LEAST(s, MIN(d)) = s AS keep
+    FROM reach GROUP BY s
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the exact
+    Jaccard >= 0.5 pair graph; canonical doc = min doc_id per component.
+
+    The last stage of a real dedup pipeline: pairs alone do not say
+    what to drop (A~B and B~C without A~C must still keep exactly ONE
+    of {A,B,C}).  Components are computed by iterative min-label
+    propagation — label(v) <- min(label(v), min of neighbor labels) —
+    which converges in O(component diameter) rounds; each round is one
+    shuffle on the (tiny, pair-graph-sized) edge list, NOT on the
+    corpus, so at 100 TB the loop costs are proportional to the
+    duplicate graph only.  Lineage is truncated per round with
+    localCheckpoint (a cluster deployment would checkpoint to HDFS);
+    the oracle computes the same components via a recursive-CTE
+    transitive closure.  Docs with no near-dup pair are not emitted
+    (they are their own singleton cluster by definition).
+
+    Reference basis: dedup-on-key semantics of the sink engine
+    (setup.sh:63 ReplacingMergeTree) generalized to similarity keys —
+    SURVEY.md section 2.8; Kolesnikov large/small-star (public) is the
+    scale-out variant of the same propagation.
+    """
+    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    edges = pairs.unionByName(rev).toDF("s", "d").localCheckpoint(eager=True)
+    labels = (
+        edges.groupBy("s")
+        .agg(F.min("d").alias("md"))
+        .select(
+            F.col("s").alias("node"),
+            F.least(F.col("s"), F.col("md")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "d"), "d")
+            .groupBy("s")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("s", "node")
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stable = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .isEmpty()
+        )
+        labels = new
+        if stable:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )

@@ -77,3 +77,30 @@ def test_jaccard_prefix_join_equals_bruteforce(spark, queries):
         .collect()
     }
     assert fast == brute
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, queries):
+    """Cluster assignment must be the exact connected components of the
+    Jaccard pair graph: both endpoints of every pair share a cluster,
+    every cluster id is its component's min, and exactly one doc per
+    cluster is kept.  (The fixture corpus contains organic near-dups
+    between distinct originals, so the planted {x, x+1M, x+2M} shape is
+    a subset, not the whole graph.)"""
+    rows = queries["q_dedup_clusters"](spark, SF).collect()
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+        assert r.keep == (r.doc_id == r.cluster_id)
+    assert sum(1 for r in rows if r.keep) == len(by_cluster)
+    pair_rows = queries["q_neardup_jaccard"](spark, SF).collect()
+    assert pair_rows, "fixture must contain near-dup pairs"
+    for p in pair_rows:
+        assert cluster_of[p.doc_a] == cluster_of[p.doc_b]
+    assert set(cluster_of) == {x for p in pair_rows for x in (p.doc_a, p.doc_b)}
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        # planted exact dup is always in its original's component
+        if cid < 1_000_000:
+            assert cid + 2_000_000 in cluster_of
+            assert cluster_of[cid + 2_000_000] == cluster_of[cid]
