@@ -1351,3 +1351,155 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation analytics: repetition, quality funnel, percentiles, stratified
+# sampling
+
+
+@register(
+    "q_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams)
+                ELSE CAST(0 AS DOUBLE) END AS dup_frac
+    FROM g
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate 3-gram
+    shingles per document (Rae et al. 2021 repetition filters, public).
+
+    Pure per-row array expressions — no explode, no shuffle, linear in
+    corpus size at any scale.  The ratio is a single per-row IEEE
+    division, bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    g = shingles(F.col("text"), 3)
+    n = F.size(g)
+    nd = F.size(F.array_distinct(g))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct"),
+        F.when(n > 0, (n - nd).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+@register(
+    "q_quality_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT n_chars, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    f AS (
+      SELECT COUNT(*) AS s0,
+             COUNT(*) FILTER (n_chars >= 100) AS s1,
+             COUNT(*) FILTER (n_chars >= 100 AND len(toks) >= 20) AS s2,
+             COUNT(*) FILTER (n_chars >= 100 AND len(toks) >= 20
+                              AND len(list_distinct(toks)) * 10 >= len(toks) * 3
+                             ) AS s3
+      FROM t
+    )
+    SELECT '0_total' AS stage, s0 AS survivors FROM f
+    UNION ALL SELECT '1_min_chars', s1 FROM f
+    UNION ALL SELECT '2_min_tokens', s2 FROM f
+    UNION ALL SELECT '3_diversity', s3 FROM f
+    """,
+)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report: survivors after each successive quality
+    gate (min chars -> min tokens -> type-token diversity).
+
+    ONE pass over the corpus: all gates are conditional aggregations in
+    a single map-side-combined agg; the funnel reshape is a 4-row
+    stack.  The diversity gate compares ratios in cross-multiplied
+    integer form (no float threshold ambiguity across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    g1 = F.col("n_chars") >= 100
+    g2 = g1 & (n_tok >= 20)
+    g3 = g2 & (n_uniq * 10 >= n_tok * 3)
+    agg = d.agg(
+        F.count("*").alias("s0"),
+        F.sum(F.when(g1, 1).otherwise(0)).alias("s1"),
+        F.sum(F.when(g2, 1).otherwise(0)).alias("s2"),
+        F.sum(F.when(g3, 1).otherwise(0)).alias("s3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, '0_total', s0, '1_min_chars', s1,"
+            " '2_min_tokens', s2, '3_diversity', s3)"
+        ).alias("stage", "survivors")
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT lang,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: exact interpolated p50/p90/p99 of doc
+    length per language (the distribution report behind length
+    filters).  Spark's percentile() and DuckDB's quantile_cont share
+    the same lower+(upper-lower)*frac definition, so values match
+    bit-for-bit (same pattern as q_median).  At 100 TB swap for
+    percentile_approx with a fixed accuracy — noted, not silent."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99"),
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+             CASE WHEN lang = 'en'
+                  THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                  ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+             END
+           ) AS n_sampled
+    FROM documents GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates (50%
+    for 'en', 25% otherwise) decided by an md5 key-hash nibble — the
+    reproducible, shuffle-free alternative to sampleBy()'s rand(),
+    stable under re-ingestion and across engines.  Reported as a
+    per-stratum audit (totals vs sampled)."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(F.col("lang") == "en", nibble < "8").otherwise(nibble < "4")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+    )
