@@ -263,7 +263,9 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches consume them (at cluster scale: a cached/checkpointed
     intermediate table).
     """
-    postings = _corpus_shingles(spark, sf_dir)
+    # two DAG branches consume the exploded postings (df-count and the
+    # rekey join) — materialize once or the shingle pipeline runs twice
+    postings = _corpus_shingles(spark, sf_dir).localCheckpoint(eager=True)
     # dense long id per distinct shingle, rare-first: the single-
     # partition window runs over DISTINCT shingles only (at 100 TB:
     # zipWithIndex over the sorted distinct set / a range-partitioned
@@ -1322,30 +1324,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # Each round = ONE shuffle: neighbor messages unioned with the
+    # current labels, min-combined per node (map-side partial min).
+    # Labels are monotone non-increasing, so the label SUM is a
+    # convergence certificate: unchanged sum <=> no label moved.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):
-        nbr = (
-            edges.join(labels.withColumnRenamed("node", "d"), "d")
-            .groupBy("s")
-            .agg(F.min("label").alias("nlabel"))
-            .withColumnRenamed("s", "node")
+        msgs = edges.join(labels.withColumnRenamed("node", "d"), "d").select(
+            F.col("s").alias("node"), "label"
         )
-        new = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
-            )
+        labels = (
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        stable = (
-            new.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .isEmpty()
-        )
-        labels = new
-        if stable:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
