@@ -688,12 +688,19 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(n_tables)
         ]
     )
-    norms = e.select(
-        "vec_id",
-        "embedding",
-        norm2_scaled(F.col("embedding")).alias("n2"),
-        F.explode(tables).alias("tb"),
-    ).select("vec_id", "embedding", "n2", "tb.tbl", "tb.bucket")
+    norms = (
+        e.select(
+            "vec_id",
+            "embedding",
+            norm2_scaled(F.col("embedding")).alias("n2"),
+            F.explode(tables).alias("tb"),
+        )
+        .select("vec_id", "embedding", "n2", "tb.tbl", "tb.bucket")
+        # both join sides (probe + broadcast query set) consume this;
+        # materialize so the 24-dot bucket expressions evaluate (and
+        # their codegen compiles) exactly once
+        .localCheckpoint(eager=True)
+    )
     q = norms.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1133,7 +1140,11 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cs"),
     )
     w_near = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
-    ranked = cscore.withColumn("rn", F.row_number().over(w_near))
+    # assignment and probe-selection both read the ranked cell scores;
+    # materialize so the N x centroids scoring pass runs once
+    ranked = cscore.withColumn("rn", F.row_number().over(w_near)).localCheckpoint(
+        eager=True
+    )
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probes = (
         ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 4))
