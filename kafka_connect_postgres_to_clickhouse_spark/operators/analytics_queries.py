@@ -1511,3 +1511,83 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
     )
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS start_off
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_off,
+           start_off // 512 AS first_seq,
+           (start_off + n_tokens - 1) // 512 AS last_seq
+    FROM o WHERE n_tokens > 0
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate the corpus in
+    doc_id order and cut every 512 tokens — each doc's token offset
+    and the training-sequence ids it lands in.
+
+    The standard pretraining packing layout (GPT-style concat+chunk,
+    public) as ONE running-sum window.  The global order-by window is
+    single-partition here; the 100 TB version computes per-partition
+    token subtotals, prefix-sums the (tiny) subtotal table on the
+    driver, and adds the partition base offset — same results,
+    embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text"))).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    t = d.select("doc_id", n.alias("n_tokens"))
+    o = t.withColumn("start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")))
+    return o.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.expr("start_off div 512").alias("first_seq"),
+        F.expr("(start_off + n_tokens - 1) div 512").alias("last_seq"),
+    )
+
+
+@register(
+    "q_quantize",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    )
+    SELECT e.vec_id, m.mx,
+           list_transform(e.embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.mx) AS INTEGER)) AS codes
+    FROM embeddings e JOIN m ON e.vec_id = m.vec_id
+    WHERE m.mx > 0
+    """,
+)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column: per-vector
+    absmax scale, codes = round(x * 127 / absmax) — the storage/compute
+    compression step before ANN indexing at scale (4x smaller, SIMD
+    int8 dot products).
+
+    Pure per-row array expressions, no shuffle.  Each code is one
+    IEEE double multiply+divide then a half-up round — bit-identical
+    across engines (same discipline as functions/vectors.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    mx = F.array_max(xd)
+    out = e.select("vec_id", mx.alias("mx"), "embedding")
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 127.0 / F.col("mx")).cast("int"),
+    )
+    return out.filter(F.col("mx") > 0).select("vec_id", "mx", codes.alias("codes"))

@@ -420,3 +420,51 @@ def q_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality predicate on the key (reference setup.sh:197,207)."""
     return _replay(spark, sf_dir).filter(F.col("user_id") == 42)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2: full version history with validity intervals
+
+
+@register(
+    "q_scd2",
+    oracle=f"""
+    {CHANGELOG_CTE},
+    v AS (
+      SELECT *, lead(updated_at) OVER (
+        PARTITION BY user_id ORDER BY updated_at, _seq) AS valid_to
+      FROM changelog
+    )
+    SELECT user_id, username, account_type,
+           updated_at AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v WHERE op <> 'd'
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 view of the changelog: every
+    surviving row version with its validity interval
+    [valid_from, valid_to) and an is_current flag.
+
+    The history-preserving alternative to the reference's LWW sink
+    (setup.sh:63 keeps only the last version per key): valid_to is the
+    next change's timestamp via lead() over the per-key change order
+    (updated_at, _seq) — the same deterministic order q_dedup_lww
+    uses.  Deletes close their predecessor's interval (they
+    participate in the window) but emit no version row, mirroring the
+    reference's drop-deletes semantics.  One window over the
+    key-partitioned changelog; no extra shuffle beyond the key
+    partition at any scale."""
+    from pyspark.sql import Window
+
+    log = _changelog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("updated_at", "_seq")
+    v = log.withColumn("valid_to", F.lead("updated_at").over(w))
+    return v.filter(F.col("op") != "d").select(
+        "user_id",
+        "username",
+        "account_type",
+        F.col("updated_at").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
