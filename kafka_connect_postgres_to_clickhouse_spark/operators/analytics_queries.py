@@ -1591,3 +1591,117 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.round(x.cast("double") * 127.0 / F.col("mx")).cast("int"),
     )
     return out.filter(F.col("mx") > 0).select("vec_id", "mx", codes.alias("codes"))
+
+
+@register(
+    "q_chunk_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n, toks,
+             CAST(unnest(generate_series(1, n, 48)) AS BIGINT) AS s
+      FROM t WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+           s AS start_tok,
+           CAST(least(64, n - s + 1) AS BIGINT) AS chunk_len,
+           array_to_string(toks[CAST(s AS INTEGER):CAST(s + 63 AS INTEGER)], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: 64-token windows with stride 48
+    (16-token overlap), one output row per (doc, chunk) with the chunk
+    text and its token span.
+
+    The retrieval-indexing companion to q_pack_sequences' training
+    layout.  Pure per-row generation — tokens -> sequence(1, n, 48) ->
+    posexplode -> slice/array_join — so the plan is a narrow map with
+    NO shuffle; at 100 TB each task chunks its own parquet split and
+    the output partitioning inherits the scan's."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks").cast("long"))
+        .filter(F.col("n") > 0)
+    )
+    c = t.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n"), F.lit(48).cast("long"))).alias("s"),
+    )
+    return c.select(
+        "doc_id",
+        ((F.col("s") - 1) / 48).cast("long").alias("chunk_idx"),
+        F.col("s").alias("start_tok"),
+        F.least(F.lit(64).cast("long"), F.col("n") - F.col("s") + 1).alias("chunk_len"),
+        F.array_join(F.slice("toks", F.col("s").cast("int"), F.lit(64)), " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "q_vocab_oov",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS rn FROM cnt
+      ) WHERE rn <= 1000
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary scoring: per-document token count and the
+    fraction of tokens outside the corpus top-1000 vocabulary (count
+    DESC, token ASC tie-break) — the classic LM-pipeline proxy for
+    noisy / non-natural-language documents.
+
+    Plan: one explode -> partial-agg token counts -> top-k vocab ->
+    BROADCAST hash join back onto the token stream (vocab is tiny by
+    construction) -> per-doc conditional agg.  The global rank window
+    runs on the already-aggregated count table (|vocab| rows, not
+    |tokens|); at 100 TB you'd pre-prune with a per-partition top-1000
+    before the global rank — same result, bounded single-partition
+    input.  oov_rate is ONE int/int IEEE division — bit-identical
+    across engines (see tools/check_oracle.py discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = (
+        cnt.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 1000)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "w", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            n_oov.alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
