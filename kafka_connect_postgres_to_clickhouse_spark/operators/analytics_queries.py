@@ -1309,45 +1309,64 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     what to drop (A~B and B~C without A~C must still keep exactly ONE
     of {A,B,C}).  Components are computed by iterative min-label
     propagation — label(v) <- min(label(v), min of neighbor labels) —
-    which converges in O(component diameter) rounds; each round is one
-    shuffle on the (tiny, pair-graph-sized) edge list, NOT on the
-    corpus, so at 100 TB the loop costs are proportional to the
-    duplicate graph only.  Lineage is truncated per round with
-    localCheckpoint (a cluster deployment would checkpoint to HDFS);
-    the oracle computes the same components via a recursive-CTE
-    transitive closure.  Docs with no near-dup pair are not emitted
-    (they are their own singleton cluster by definition).
+    which converges in O(component diameter) rounds.  The edge list
+    (with self-loops, so a node's own label rides the same join) is
+    hash-partitioned ONCE on the source node; each round then
+    broadcast-joins the current label table onto it — the broadcast
+    hash join preserves the edge partitioning, so the per-round
+    min-aggregation needs NO exchange and a round costs one tiny
+    broadcast plus zero shuffles of the corpus.  The label table is
+    pair-graph-sized (duplicates only), which is what makes broadcast
+    safe; a 100 TB deployment with a duplicate graph too big to
+    broadcast flips the join back to shuffle-on-key — same loop,
+    and still proportional to the duplicate graph, never the corpus.
+    Lineage is truncated per round with localCheckpoint (a cluster
+    deployment would checkpoint to HDFS); the oracle computes the same
+    components via a recursive-CTE transitive closure.  Docs with no
+    near-dup pair are not emitted (they are their own singleton
+    cluster by definition).
 
     Reference basis: dedup-on-key semantics of the sink engine
     (setup.sh:63 ReplacingMergeTree) generalized to similarity keys —
     SURVEY.md section 2.8; Kolesnikov large/small-star (public) is the
     scale-out variant of the same propagation.
     """
-    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    edges = pairs.unionByName(rev).toDF("s", "d").localCheckpoint(eager=True)
-    labels = (
-        edges.groupBy("s")
-        .agg(F.min("d").alias("md"))
-        .select(
-            F.col("s").alias("node"),
-            F.least(F.col("s"), F.col("md")).alias("label"),
-        )
+    # Checkpoint the (expensive) pair join ONCE before fanning out:
+    # rev and the self-loop list are three DAG branches over `pairs`,
+    # and Spark would otherwise recompute the Jaccard join per branch.
+    pairs = (
+        q_neardup_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    # Each round = ONE shuffle: neighbor messages unioned with the
-    # current labels, min-combined per node (map-side partial min).
+    rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    both = pairs.unionByName(rev).toDF("s", "d")
+    self_loops = both.select("s").distinct().select("s", F.col("s").alias("d"))
+    edges = (
+        both.unionByName(self_loops)
+        .repartition(4, "s")
+        .localCheckpoint(eager=True)
+    )
+    # Self-loops make min-over-neighbors include the node itself, so
+    # the initial labels are one exchange-free agg over the
+    # pre-partitioned edges.
+    labels = (
+        edges.groupBy("s")
+        .agg(F.min("d").alias("label"))
+        .withColumnRenamed("s", "node")
+        .localCheckpoint(eager=True)
+    )
     # Labels are monotone non-increasing, so the label SUM is a
     # convergence certificate: unchanged sum <=> no label moved.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):
-        msgs = edges.join(labels.withColumnRenamed("node", "d"), "d").select(
-            F.col("s").alias("node"), "label"
-        )
+        msgs = edges.join(
+            F.broadcast(labels.withColumnRenamed("node", "d")), "d"
+        ).select("s", "label")
         labels = (
-            msgs.unionByName(labels)
-            .groupBy("node")
+            msgs.groupBy("s")
             .agg(F.min("label").alias("label"))
+            .withColumnRenamed("s", "node")
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
