@@ -298,9 +298,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_basic",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty,
            COUNT(*) AS count_order
@@ -312,15 +312,20 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregate sum/avg/min/max/count by group (TPC-H Q1 shape).
 
     Partial aggregation map-side; 6 groups survive the shuffle.
+    l_quantity is integral-valued, so it sums exactly as BIGINT and the
+    DOUBLE cast of the sum is a single identical conversion on both
+    engines (a DECIMAL sum is NOT portable: Spark widens to
+    DECIMAL(28,6), DuckDB to DECIMAL(38,6), and the driver's hasher
+    does not canonicalize Decimal objects — r1 hash FAIL).
     """
     l = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast(DEC)
+    qty_int = F.round(F.col("l_quantity")).cast("long")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).alias("sum_qty"),
+        F.sum(qty_int).cast("double").alias("sum_qty"),
         (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double") / 100).alias(
             "sum_base_price"
         ),
-        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(qty_int).cast("double") / F.count("*")).alias("avg_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.count("*").alias("count_order"),
@@ -379,15 +384,18 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; scaled-int sum for cross-engine hash
+    exactness (same rationale as q_agg_basic — r1 hash FAIL on the
+    DECIMAL sum)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("double").alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
