@@ -266,15 +266,21 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two DAG branches consume the exploded postings (df-count and the
     # rekey join) — materialize once or the shingle pipeline runs twice
     postings = _corpus_shingles(spark, sf_dir).localCheckpoint(eager=True)
-    # dense long id per distinct shingle, rare-first: the single-
-    # partition window runs over DISTINCT shingles only (at 100 TB:
-    # zipWithIndex over the sorted distinct set / a range-partitioned
-    # rank — never over the postings)
+    # long id per distinct shingle, rare-first, with NO single-partition
+    # stage: range-partition the distinct-shingle table by (df, sh),
+    # sort within partitions, and take monotonically_increasing_id —
+    # range partition ids are ordered, so the ids are an order-
+    # preserving bijection of the (df, sh) total order (density is not
+    # needed: downstream only uses id order + equality).  Every stage is
+    # K-way parallel; checkpointed because monotonically_increasing_id
+    # must not be recomputed on a different partition layout.
     ids = (
         postings.groupBy("sh")
         .agg(F.count("*").alias("df"))
-        .withColumn("sh_id", F.row_number().over(Window.orderBy(F.asc("df"), F.asc("sh"))))
-        .select("sh", "sh_id")
+        .repartitionByRange(32, F.asc("df"), F.asc("sh"))
+        .sortWithinPartitions(F.asc("df"), F.asc("sh"))
+        .select("sh", F.monotonically_increasing_id().alias("sh_id"))
+        .localCheckpoint(eager=True)
     )
     arrays = (
         postings.join(ids, "sh")
@@ -346,32 +352,40 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit b of the fingerprint is the sign of sum over tokens of +/-1
     by the parity of md5 hex char b.  Near-identical docs differ in
-    few bits -> Hamming-ball lookup at scale.  One explode + one
-    groupBy; the 16 bit-sums partially aggregate map-side.
+    few bits -> Hamming-ball lookup at scale.
+
+    SimHash is a pure function of each doc's own tokens, so it is
+    computed entirely per-row: ONE md5 per token inside a transform,
+    then a single aggregate pass accumulating all 16 signed bit-sums
+    into an array (zip_with over the 16-char hex prefix — the hash is
+    a bound lambda variable, evaluated once per token).  Zero shuffles,
+    zero joins — a narrow scan that trivially survives 100x scale.
+    (r1 version exploded tokens and crossJoined a 16-row bit table:
+    two shuffles of a 16x-expanded token stream for the same answer.)
     """
     c = _corpus(spark, sf_dir)
-    tok = c.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    bits_range = spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    tok_bits = (
-        tok.crossJoin(F.broadcast(bits_range))
-        .withColumn(
-            "contrib",
-            F.when(
-                F.substring(F.md5("w"), F.col("bit") + 1, 1).isin(
-                    "1", "3", "5", "7", "9", "b", "d", "f"
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
+    odd = "('1','3','5','7','9','b','d','f')"
+    bitsums = F.expr(
+        f"""
+        aggregate(
+          transform(__toks, w -> substring(md5(w), 1, 16)),
+          array_repeat(0, 16),
+          (acc, h) -> zip_with(acc, sequence(1, 16),
+            (a, p) -> a + IF(substring(h, p, 1) IN {odd}, 1, -1))
+        )"""
     )
-    return tok_bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(__sums, sequence(0, 15),
+            (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b),
+                         CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    )
+    return (
+        c.select("doc_id", tokens(F.col("text")).alias("__toks"))
+        .select("doc_id", bitsums.alias("__sums"))
+        .select("doc_id", simhash.alias("simhash"))
     )
 
 
@@ -1558,16 +1572,45 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the training-sequence ids it lands in.
 
     The standard pretraining packing layout (GPT-style concat+chunk,
-    public) as ONE running-sum window.  The global order-by window is
-    single-partition here; the 100 TB version computes per-partition
-    token subtotals, prefix-sums the (tiny) subtotal table on the
-    driver, and adds the partition base offset — same results,
-    embarrassingly parallel."""
+    public), computed WITHOUT a global single-partition window:
+    range-partition by doc_id, run the prefix sum per partition, then
+    collect the K per-partition token subtotals (K rows — a metadata
+    round-trip, not a data collect), prefix-sum them on the driver and
+    add each partition's base offset back as a map literal.  Every
+    data-bearing stage is K-way parallel; the doc_id range exchange is
+    the only shuffle."""
     d = load_table(spark, sf_dir, "documents")
     n = F.size(tokens(F.col("text"))).cast("long")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    t = d.select("doc_id", n.alias("n_tokens"))
-    o = t.withColumn("start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")))
+    t = (
+        d.select("doc_id", n.alias("n_tokens"))
+        .repartitionByRange(32, F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # checkpoint so pid/run are fixed before the two consumers (subtotal
+    # collect + final projection) — and so the range layout can't be
+    # re-sampled differently between them
+    local = t.withColumn("run", F.sum("n_tokens").over(wloc)).localCheckpoint(eager=True)
+    subtot = sorted(
+        local.groupBy("pid").agg(F.max("run").alias("tot")).collect(),
+        key=lambda r: r["pid"],
+    )
+    bases: dict[int, int] = {}
+    acc = 0
+    for r in subtot:
+        bases[r["pid"]] = acc
+        acc += r["tot"] or 0
+    base_map = F.create_map(
+        *[F.lit(x) for kv in bases.items() for x in kv]
+    ) if bases else F.create_map()
+    o = local.withColumn(
+        "start_off",
+        F.col("run") - F.col("n_tokens") + F.coalesce(
+            F.element_at(base_map, F.col("pid")), F.lit(0)
+        ).cast("long"),
+    )
     return o.filter(F.col("n_tokens") > 0).select(
         "doc_id",
         "n_tokens",
@@ -1694,19 +1737,18 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one explode -> partial-agg token counts -> top-k vocab ->
     BROADCAST hash join back onto the token stream (vocab is tiny by
-    construction) -> per-doc conditional agg.  The global rank window
-    runs on the already-aggregated count table (|vocab| rows, not
-    |tokens|); at 100 TB you'd pre-prune with a per-partition top-1000
-    before the global rank — same result, bounded single-partition
-    input.  oov_rate is ONE int/int IEEE division — bit-identical
-    across engines (see tools/check_oracle.py discipline)."""
+    construction) -> per-doc conditional agg.  The vocab top-1000 is
+    orderBy+limit, which Catalyst plans as TakeOrderedAndProject:
+    per-partition 1000-row heaps merged on the driver — no global
+    sort, no single-partition window, scale-safe at any token count.
+    oov_rate is ONE int/int IEEE division — bit-identical across
+    engines (see tools/check_oracle.py discipline)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
-    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
     vocab = (
-        cnt.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= 1000)
+        cnt.orderBy(F.desc("c"), F.asc("w"))
+        .limit(1000)
         .select("w", F.lit(1).alias("in_vocab"))
     )
     joined = tok.join(F.broadcast(vocab), "w", "left")
