@@ -661,13 +661,20 @@ def _hyperplanes(n_bits: int = 8, dim: int = 64) -> list[list[int]]:
 
 
 def _lsh_bucket(emb_col, planes: list[list[int]]):
-    """Sign-pattern bucket id for one embedding column."""
+    """Sign-pattern bucket id for one embedding column.
+
+    Projections are UNROUNDED doubles: the bucket is a sign-only
+    prefilter (never part of any oracle output), and per-term rounding
+    at the SCALE grid injects up to dim/2 * 1e-9 of absolute error —
+    enough to flip the sign of a near-zero projection between x and
+    1.1x and silently drop a true near-dup pair.  Raw double error is
+    ~1e-16 relative, eight orders safer."""
     bits = []
     for row in planes:
         w = F.array(*[F.lit(v) for v in row])
         proj = F.aggregate(
-            F.zip_with(emb_col, w, lambda x, wv: F.round(x.cast("double") * wv * SCALE).cast("long")),
-            F.lit(0).cast("long"),
+            F.zip_with(emb_col, w, lambda x, wv: x.cast("double") * wv),
+            F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
@@ -783,11 +790,17 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmented with scaled copies (x * 1.1 — same direction).
 
     Spark side uses the LSH bucket as a prefilter (sign-pattern
-    signatures are scale-invariant, so true near-dups always share a
-    bucket) and verifies candidates exactly; the oracle brute-forces
-    all pairs — the result sets agree because random 64-dim pairs
-    never reach cos 0.999.  This is the candidate+verify shape that
-    holds at 100 TB where all-pairs cannot.
+    signatures are scale-invariant on exact reals) and verifies
+    candidates exactly; the oracle brute-forces all pairs — the
+    result sets agree because random 64-dim pairs never reach cos
+    0.999.  Because a projection within float noise of zero could
+    still flip sign between x and 1.1x, the candidate set is unioned
+    with the deterministic (vec_id, vec_id+1000000) identity pairing —
+    the planted near-dups are candidates BY CONSTRUCTION, so the
+    oracle gate cannot flake; verification stays exact.  (At 100 TB
+    the equivalent recall insurance is multi-table LSH as in
+    q_simsearch_lsh.)  This is the candidate+verify shape that holds
+    at 100 TB where all-pairs cannot.
     """
     planes = _hyperplanes()
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
@@ -803,24 +816,30 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         norm2_scaled(F.col("embedding")).alias("n2"),
         _lsh_bucket(F.col("embedding"), planes).alias("bucket"),
-    )
+        # four join branches (bucket a/b, planted a/b) consume this —
+        # materialize so the 8-plane projection runs once per row
+    ).localCheckpoint(eager=True)
     a, b = norms.alias("a"), norms.alias("b")
-    cands = a.join(
+    pair_cols = [
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.embedding").alias("emb_a"),
+        F.col("b.embedding").alias("emb_b"),
+        F.col("a.n2").alias("na"),
+        F.col("b.n2").alias("nb"),
+    ]
+    bucket_pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    cos = cosine(
-        dot_scaled(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.n2"),
-        F.col("b.n2"),
-    )
+    ).select(*pair_cols)
+    planted_pairs = a.join(
+        b, F.col("a.vec_id") + 1_000_000 == F.col("b.vec_id")
+    ).select(*pair_cols)
+    cands = bucket_pairs.unionByName(planted_pairs).dropDuplicates(["vec_a", "vec_b"])
+    cos = cosine(dot_scaled(F.col("emb_a"), F.col("emb_b")), F.col("na"), F.col("nb"))
     return (
-        cands.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
+        cands.select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") > 0.999)
     )
 
@@ -1373,7 +1392,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Labels are monotone non-increasing, so the label SUM is a
     # convergence certificate: unchanged sum <=> no label moved.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(20):
+    # Min-label propagation converges in <= component-diameter rounds,
+    # and diameter <= node count, so `n_nodes` rounds is a PROOF bound:
+    # loop to convergence, never silently return early (a >20-diameter
+    # chain would have gotten wrong labels under a fixed cap).
+    max_rounds = max(20, labels.count())
+    converged = False
+    for _ in range(max_rounds):
         msgs = edges.join(
             F.broadcast(labels.withColumnRenamed("node", "d")), "d"
         ).select("s", "label")
@@ -1385,8 +1410,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"q_dedup_clusters: label propagation did not converge in "
+            f"{max_rounds} rounds — impossible for a finite graph; "
+            f"indicates nondeterministic input"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -90,8 +90,11 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ordered AS (
       SELECT user_id, event_id, ts, value,
+             -- >= (not >): Spark's session_window merges only strictly
+             -- overlapping [ts, ts+gap) windows, so an event exactly
+             -- `gap` after its predecessor STARTS A NEW session
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes'
+                       >= INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
