@@ -28,12 +28,22 @@ _JSON_WIRE_TYPE = {
 }
 
 MICRO_TS = "io.debezium.time.MicroTimestamp"
+# Kafka Connect / Debezium logical types on the JSON wire (public
+# Debezium docs, decimal.handling.mode=precise default): a numeric
+# column travels as BASE64 of the big-endian unscaled integer, a uuid
+# as a logical-named string.
+CONNECT_DECIMAL = "org.apache.kafka.connect.data.Decimal"
+DEBEZIUM_UUID = "io.debezium.data.Uuid"
 
 
-def _field_schema_struct(f: T.StructField) -> Column:
+def _field_schema_struct(f: T.StructField, logical: dict[str, str] | None = None) -> Column:
     """One entry of ``schema.fields`` (README.md:127 shape)."""
     if isinstance(f.dataType, T.TimestampType):
         wire, name, version = "int64", MICRO_TS, 1
+    elif isinstance(f.dataType, T.DecimalType):
+        wire, name, version = "bytes", CONNECT_DECIMAL, 1
+    elif logical and f.name in logical:
+        wire, name, version = _JSON_WIRE_TYPE.get(f.dataType, "string"), logical[f.name], 1
     else:
         wire = _JSON_WIRE_TYPE.get(f.dataType, "string")
         name, version = None, None
@@ -62,15 +72,15 @@ def debezium_value_schema(payload_schema: T.StructType) -> T.StructType:
             T.StructField("field", T.StringType()),
         ]
     )
+    def _wire_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.TimestampType):
+            return T.LongType()  # MicroTimestamp int64
+        if isinstance(dt, T.DecimalType):
+            return T.StringType()  # Connect Decimal: base64 text
+        return dt
+
     wire_payload = T.StructType(
-        [
-            T.StructField(
-                f.name,
-                T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType,
-                f.nullable,
-            )
-            for f in payload_schema.fields
-        ]
+        [T.StructField(f.name, _wire_type(f.dataType), f.nullable) for f in payload_schema.fields]
     )
     return T.StructType(
         [
@@ -94,24 +104,40 @@ def envelope_schema(payload_schema: T.StructType) -> T.StructType:
     return debezium_value_schema(payload_schema)
 
 
-def build_envelope_json(payload_schema: T.StructType, schema_name: str) -> Column:
+def build_envelope_json(
+    payload_schema: T.StructType,
+    schema_name: str,
+    logical: dict[str, str] | None = None,
+) -> Column:
     """Serialize rows into the reference's wire JSON (inverse of parse).
     The column expression is built purely from ``payload_schema`` —
     apply it with ``df.select(...)`` on any frame carrying those
     columns.
 
     Timestamps are emitted as epoch-microseconds via ``unix_micros``
-    (reference wire type MicroTimestamp, README.md:127).
+    (reference wire type MicroTimestamp, README.md:127).  Decimals are
+    emitted precise-mode: base64 of the big-endian unscaled integer
+    (Connect Decimal logical type) — implemented over a 64-bit
+    unscaled value via hex/unhex, which covers Decimal(18,*) columns
+    with non-negative values (the fixture/reference domain; a full
+    arbitrary-precision signed path would BigInteger-encode in a
+    pandas_udf).  ``logical`` optionally names fields with a logical
+    wire type (e.g. ``{"user_uuid": DEBEZIUM_UUID}``).
     """
     payload_cols = []
     for f in payload_schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, T.TimestampType):
             c = F.unix_micros(c)
+        elif isinstance(f.dataType, T.DecimalType):
+            unscaled = (c * (10 ** f.dataType.scale)).cast("long")
+            c = F.base64(F.unhex(F.lpad(F.hex(unscaled), 16, "0")))
         payload_cols.append(c.alias(f.name))
     schema_col = F.struct(
         F.lit("struct").alias("type"),
-        F.array(*[_field_schema_struct(f) for f in payload_schema.fields]).alias("fields"),
+        F.array(
+            *[_field_schema_struct(f, logical) for f in payload_schema.fields]
+        ).alias("fields"),
         F.lit(False).alias("optional"),
         F.lit(schema_name).alias("name"),
     )
@@ -145,6 +171,13 @@ def parse_envelope(
         c = F.col(f"_envelope.payload.{f.name}")
         if isinstance(f.dataType, T.TimestampType):
             c = F.timestamp_micros(c)
+        elif isinstance(f.dataType, T.DecimalType):
+            # precise-mode inverse: base64 -> big-endian unscaled int ->
+            # exact decimal division (never a double in the path)
+            unscaled = F.conv(F.hex(F.unbase64(c)), 16, 10).cast(T.DecimalType(38, 0))
+            c = (
+                unscaled / F.lit(10 ** f.dataType.scale).cast(T.DecimalType(19, 0))
+            ).cast(f.dataType)
         out_cols.append(c.alias(f.name))
     keep = [c for c in df.columns if c != value_col]
     # PERMISSIVE from_json yields a struct of nulls (not a null struct)
@@ -157,6 +190,45 @@ def parse_envelope(
         F.col("_envelope.payload").isNull() & F.col("_envelope.schema").isNull()
     )
     return parsed.select(*keep, *out_cols, corrupt.alias("_corrupt"))
+
+
+def build_key_json(key_schema: T.StructType, schema_name: str) -> Column:
+    """Serialize the record KEY into its wire JSON envelope.
+
+    The reference configures the key converter identically to the value
+    converter (JsonConverter + schemas.enable, setup.sh:96-98,139-141),
+    so a key is the same self-describing ``{"schema","payload"}`` pair
+    with the table's PK columns as the payload — e.g.
+    ``{"schema":{"type":"struct","fields":[{"type":"int32",...,
+    "field":"user_id"}],"name":"...users.Key"},"payload":{"user_id":1}}``.
+    """
+    return build_envelope_json(key_schema, schema_name)
+
+
+def parse_key(
+    df: DataFrame,
+    key_schema: T.StructType,
+    key_col: str = "key",
+    prefix: str = "key_",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Parse the wire key envelope into ``{prefix}<pk-col>`` columns.
+
+    The value-side columns are untouched, so callers can assert
+    key/payload PK agreement (per-key ordering derives from the key in
+    the reference; this engine also derives it from ``_seq`` — both are
+    checked against each other in tests)."""
+    wire = debezium_value_schema(key_schema)
+    parsed = df.withColumn(
+        "_key_envelope",
+        F.from_json(F.col(key_col).cast("string"), wire, {"mode": mode}),
+    )
+    out = [
+        F.col(f"_key_envelope.payload.{f.name}").alias(f"{prefix}{f.name}")
+        for f in key_schema.fields
+    ]
+    keep = [c for c in df.columns if c != key_col]
+    return parsed.select(*keep, *out)
 
 
 def unwrap(df: DataFrame) -> DataFrame:

@@ -24,7 +24,13 @@ from ..sources.catalog import (
 )
 from ..sources.changelog import USERS_CHANGELOG_SQL, users_changelog
 from ..sources.tables import load_table
-from .envelope import build_envelope_json, parse_envelope
+from .envelope import (
+    DEBEZIUM_UUID,
+    build_envelope_json,
+    build_key_json,
+    parse_envelope,
+    parse_key,
+)
 from .upsert import apply_changelog, lww_dedup, upsert_batch
 
 # ---------------------------------------------------------------------------
@@ -467,4 +473,125 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("updated_at").alias("valid_from"),
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wire-format completeness: non-default type-map arms + key envelope
+
+
+@register(
+    "q_typemap_roundtrip",
+    oracle="""
+    SELECT event_id AS _seq,
+           CAST(user_id AS INTEGER) AS user_id,
+           event_id * 1000000000 AS big_id,
+           CAST(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(18,2)) / 100
+                AS DECIMAL(18,2))::VARCHAR AS balance_str,
+           substring(md5(CAST(user_id AS VARCHAR)), 1, 8) || '-' ||
+           substring(md5(CAST(user_id AS VARCHAR)), 9, 4) || '-' ||
+           substring(md5(CAST(user_id AS VARCHAR)), 13, 4) || '-' ||
+           substring(md5(CAST(user_id AS VARCHAR)), 17, 4) || '-' ||
+           substring(md5(CAST(user_id AS VARCHAR)), 21, 12) AS user_uuid,
+           ts AS updated_at
+    FROM events
+    """,
+)
+def q_typemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the type-map arms r1 never exercised on the data path
+    (reference setup.sh:42-47): bigint, numeric -> Decimal(18,2) in
+    Debezium precise mode (base64 big-endian unscaled int), uuid
+    (logical-named string), plus integer/timestamp, through
+    build-envelope -> parse-envelope.
+
+    Narrow per-row serde, no shuffle.  The decimal survives base64 ->
+    unscaled -> exact decimal division; it is EMITTED as its canonical
+    string ("123.40") because cross-engine Decimal objects do not hash
+    identically in the driver (r1 q_agg_basic lesson).
+    """
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    typed = e.select(
+        F.col("event_id").alias("_seq"),
+        F.col("user_id").cast("int").alias("user_id"),
+        (F.col("event_id") * 1000000000).alias("big_id"),
+        (cents.cast("decimal(18,2)") / 100).cast("decimal(18,2)").alias("balance"),
+        uuid.alias("user_uuid"),
+        F.col("ts").alias("updated_at"),
+    )
+    payload_schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("big_id", T.LongType()),
+            T.StructField("balance", T.DecimalType(18, 2)),
+            T.StructField("user_uuid", T.StringType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    )
+    wire = typed.select(
+        "_seq",
+        build_envelope_json(
+            payload_schema,
+            "postgres_cdc.iman.users.Value",
+            logical={"user_uuid": DEBEZIUM_UUID},
+        ).alias("value"),
+    )
+    parsed = parse_envelope(wire, payload_schema)
+    return parsed.select(
+        "_seq",
+        "user_id",
+        "big_id",
+        F.col("balance").cast("string").alias("balance_str"),
+        "user_uuid",
+        "updated_at",
+    )
+
+
+@register(
+    "q_key_envelope",
+    oracle="""
+    SELECT event_id AS _seq,
+           CAST(user_id AS INTEGER) AS payload_user_id,
+           CAST(user_id AS INTEGER) AS key_user_id,
+           TRUE AS key_matches
+    FROM events
+    """,
+)
+def q_key_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire KEY envelope parse (reference key converter, setup.sh:96-98):
+    serialize the PK into its own {"schema","payload"} JSON, parse it
+    back, and assert key/payload agreement — the key side of the wire
+    format the reference's per-key ordering rides on (this engine also
+    derives ordering from _seq; both paths must agree).
+    """
+    from pyspark.sql import types as T
+
+    key_schema = T.StructType([T.StructField("user_id", T.IntegerType(), False)])
+    log = _changelog(spark, sf_dir)
+    keyed = log.select(
+        "_seq",
+        F.col("user_id").alias("payload_user_id"),
+        "user_id",
+    ).select(
+        "_seq",
+        "payload_user_id",
+        build_key_json(key_schema, "postgres_cdc.iman.users.Key").alias("key"),
+    )
+    parsed = parse_key(keyed, key_schema)
+    return parsed.select(
+        "_seq",
+        "payload_user_id",
+        "key_user_id",
+        (F.col("key_user_id") == F.col("payload_user_id")).alias("key_matches"),
     )

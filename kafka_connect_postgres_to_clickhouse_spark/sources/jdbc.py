@@ -27,6 +27,76 @@ PG_DRIVER = "org.postgresql.Driver"
 CH_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
 
 
+# --- pure option builders -------------------------------------------------
+# The sandbox has no Postgres/Kafka/ClickHouse, so the live read/write
+# paths can't run under pytest.  Everything DECIDABLE without a
+# connection — option dicts, bound fallbacks, SQL strings — is factored
+# into pure functions and contract-tested (tests/test_adapters.py).
+
+
+def bounds_query(key: str, table: str) -> str:
+    """The min/max probe issued before a partitioned snapshot read."""
+    return f"SELECT min({key}) lo, max({key}) hi FROM {table}"
+
+
+def snapshot_reader_options(
+    url: str,
+    table: str,
+    key: str | None = None,
+    lo: object | None = None,
+    hi: object | None = None,
+    num_partitions: int = 32,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """JDBC reader options for the snapshot scan (setup.sh:92).
+
+    With ``key`` and non-NULL bounds, Spark issues ``num_partitions``
+    bounded-range queries concurrently — the scalable form of the
+    reference's single snapshot task.  An empty table yields NULL
+    bounds: fall back to ONE unpartitioned read rather than passing
+    the string "None" to the reader.
+    """
+    opts: dict[str, str] = {
+        "url": url,
+        "dbtable": table,
+        "driver": PG_DRIVER,
+        **(properties or {}),
+    }
+    if key is not None and lo is not None and hi is not None:
+        opts.update(
+            partitionColumn=key,
+            lowerBound=str(lo),
+            upperBound=str(hi),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def catalog_queries(schema: str = "iman") -> tuple[str, str]:
+    """The two information_schema probes (setup.sh:29-30,50-52)."""
+    tables = (
+        "SELECT table_schema, table_name, table_type FROM information_schema.tables "
+        f"WHERE table_schema = '{schema}'"
+    )
+    columns = (
+        "SELECT table_schema, table_name, column_name, ordinal_position, data_type, "
+        "is_nullable FROM information_schema.columns "
+        f"WHERE table_schema = '{schema}' ORDER BY table_name, ordinal_position"
+    )
+    return tables, columns
+
+
+def clickhouse_writer_options(url: str, table: str) -> dict[str, str]:
+    """JDBC writer options for the ClickHouse sink (setup.sh:116-137)."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "driver": CH_DRIVER,
+        "batchsize": "10000",
+        "isolationLevel": "NONE",
+    }
+
+
 def read_snapshot(
     spark: SparkSession,
     url: str,
@@ -37,37 +107,22 @@ def read_snapshot(
 ) -> DataFrame:
     """Initial snapshot scan (setup.sh:92) with key-range parallelism.
 
-    With ``key`` given, Spark issues ``num_partitions`` bounded-range
-    queries concurrently — the scalable form of the reference's single
-    snapshot task.  Predicate/column pushdown into Postgres is free.
+    Predicate/column pushdown into Postgres is free with the JDBC v2
+    source; all options come from ``snapshot_reader_options``.
     """
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("driver", PG_DRIVER)
-    )
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
+    lo = hi = None
     if key is not None:
         bounds = (
             spark.read.format("jdbc")
             .option("url", url)
             .option("driver", PG_DRIVER)
-            .option("query", f"SELECT min({key}) lo, max({key}) hi FROM {table}")
+            .option("query", bounds_query(key, table))
             .load()
             .collect()[0]
         )
-        # an empty table yields NULL bounds — fall back to a single
-        # unpartitioned read instead of passing "None" to the reader
-        if bounds.lo is not None and bounds.hi is not None:
-            reader = (
-                reader.option("partitionColumn", key)
-                .option("lowerBound", str(bounds.lo))
-                .option("upperBound", str(bounds.hi))
-                .option("numPartitions", str(num_partitions))
-            )
-    return reader.load()
+        lo, hi = bounds.lo, bounds.hi
+    opts = snapshot_reader_options(url, table, key, lo, hi, num_partitions, properties)
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def read_catalog(
@@ -83,16 +138,8 @@ def read_catalog(
             .load()
         )
 
-    tables = q(
-        "SELECT table_schema, table_name, table_type FROM information_schema.tables "
-        f"WHERE table_schema = '{schema}'"
-    )
-    columns = q(
-        "SELECT table_schema, table_name, column_name, ordinal_position, data_type, "
-        "is_nullable FROM information_schema.columns "
-        f"WHERE table_schema = '{schema}' ORDER BY table_name, ordinal_position"
-    )
-    return tables, columns
+    tables_sql, columns_sql = catalog_queries(schema)
+    return q(tables_sql), q(columns_sql)
 
 
 def write_clickhouse(
@@ -113,11 +160,7 @@ def write_clickhouse(
     deduped = lww_dedup(df, keys, version_cols)
     (
         deduped.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("driver", CH_DRIVER)
-        .option("batchsize", "10000")
-        .option("isolationLevel", "NONE")
+        .options(**clickhouse_writer_options(url, table))
         .mode(mode)
         .save()
     )

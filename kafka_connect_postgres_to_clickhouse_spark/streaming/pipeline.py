@@ -335,17 +335,26 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     ).select("event_id", "ts", "user_id", "c_name", "c_mktsegment")
 
 
+def kafka_reader_options(bootstrap: str, topics: str) -> dict[str, str]:
+    """Kafka reader options (setup.sh:117,144) — pure, contract-tested
+    (tests/test_adapters.py) since no broker exists in the sandbox."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topics,
+        "startingOffsets": "earliest",  # consumer.override.auto.offset.reset
+    }
+
+
 def kafka_source(spark: SparkSession, bootstrap: str, topics: str) -> DataFrame:
     """Production source (reference topic subscription, setup.sh:117).
 
-    Not exercised in tests (no broker in the container) — documented
-    for parity: the file stream above is column-compatible.
+    Not exercised live in tests (no broker in the container) — the
+    file stream above is column-compatible; the option surface is
+    contract-tested.
     """
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topics)
-        .option("startingOffsets", "earliest")  # setup.sh:144
+        .options(**kafka_reader_options(bootstrap, topics))
         .load()
         .select(
             F.col("offset").alias("_seq"),

@@ -93,3 +93,75 @@ def test_corrupt_record_routed_not_fatal(spark):
     parsed = parse_envelope(wire, payload.schema)
     assert parsed.filter(F.col("_corrupt")).count() == 1
     assert parsed.filter(~F.col("_corrupt")).count() == 5
+
+
+def test_key_envelope_matches_payload_pk(spark):
+    """Reference key converter (setup.sh:96-98): the key is its own
+    {"schema","payload"} JSON; its PK must equal the value payload's."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.envelope import (
+        build_key_json,
+        parse_key,
+    )
+
+    key_schema = T.StructType([T.StructField("user_id", T.IntegerType(), False)])
+    log = reference_scenario_changelog(spark)
+    keyed = log.select(
+        "_seq",
+        F.col("user_id").alias("payload_user_id"),
+        build_key_json(key_schema, "postgres_cdc.iman.users.Key").alias("key"),
+    )
+    # wire shape: self-describing schema with the PK field
+    sample = json.loads(keyed.select("key").first()[0])
+    assert sample["schema"]["name"] == "postgres_cdc.iman.users.Key"
+    assert sample["schema"]["fields"][0]["field"] == "user_id"
+    assert sample["schema"]["fields"][0]["type"] == "int32"
+    parsed = parse_key(keyed, key_schema).collect()
+    assert len(parsed) == 6
+    for r in parsed:
+        assert r.key_user_id == r.payload_user_id
+
+
+def test_decimal_uuid_bigint_envelope_roundtrip(spark):
+    """The typemap arms r1 never pushed through the data path
+    (setup.sh:42-47): numeric (Connect Decimal base64), uuid, bigint."""
+    from decimal import Decimal
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.envelope import (
+        CONNECT_DECIMAL,
+        DEBEZIUM_UUID,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("big_id", T.LongType()),
+            T.StructField("balance", T.DecimalType(18, 2)),
+            T.StructField("user_uuid", T.StringType()),
+        ]
+    )
+    rows = [
+        (7_000_000_000, Decimal("1234.56"), "d41d8cd9-8f00-b204-e980-0998ecf8427e"),
+        (1, Decimal("0.01"), "00000000-0000-0000-0000-000000000000"),
+        (2, Decimal("0.00"), "ffffffff-ffff-ffff-ffff-ffffffffffff"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    wire = df.select(
+        build_envelope_json(
+            schema, "t.Value", logical={"user_uuid": DEBEZIUM_UUID}
+        ).alias("value")
+    )
+    # precise-mode decimal: base64 of big-endian unscaled int (123456
+    # cents = 0x1E240); uuid carries its Debezium logical name
+    sample = json.loads(wire.first()[0])
+    fields = {f["field"]: f for f in sample["schema"]["fields"]}
+    assert fields["balance"]["type"] == "bytes"
+    assert fields["balance"]["name"] == CONNECT_DECIMAL
+    assert fields["user_uuid"]["name"] == DEBEZIUM_UUID
+    import base64
+
+    raw = base64.b64decode(sample["payload"]["balance"])
+    assert int.from_bytes(raw, "big") == 123456
+    out = {r.big_id: r for r in parse_envelope(wire, schema).collect()}
+    assert out[7_000_000_000].balance == Decimal("1234.56")
+    assert out[1].balance == Decimal("0.01")
+    assert out[2].balance == Decimal("0.00")
+    assert out[2].user_uuid == "ffffffff-ffff-ffff-ffff-ffffffffffff"
