@@ -44,6 +44,9 @@ _QUERY_MODULES = [
     "kafka_connect_postgres_to_clickhouse_spark.operators.window_queries",
     "kafka_connect_postgres_to_clickhouse_spark.operators.pipeline_queries",
     "kafka_connect_postgres_to_clickhouse_spark.operators.relational_queries",
+    # wave-3 extensions register last: new keys wait behind the
+    # driver-priority prefix until the current front is driver-proven
+    "kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries",
 ]
 
 
