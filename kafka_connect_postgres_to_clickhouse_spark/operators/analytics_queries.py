@@ -1203,22 +1203,29 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("n2").alias("c_n2"),
     )
-    cscore = norms.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        cosine(
-            dot_scaled(F.col("embedding"), F.col("c_emb")), F.col("n2"), F.col("c_n2")
-        ).alias("cs"),
+    def cell_scores(vecs: DataFrame) -> DataFrame:
+        return vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cent_id",
+            cosine(
+                dot_scaled(F.col("embedding"), F.col("c_emb")), F.col("n2"), F.col("c_n2")
+            ).alias("cs"),
+        )
+
+    # Nearest-centroid assignment is an argmax, not a ranking: max_by
+    # over struct(cs, -cent_id) (desc score, asc id tie-break) folds the
+    # N x centroids scoring pass into ONE partial aggregate — map-side
+    # combine, no window sort, no materialization barrier.  The probe
+    # side re-scores only the 5 query vectors (5 x centroids rows), so
+    # its top-4 window is over a trivially small set.
+    assign = cell_scores(norms).groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("cs"), -F.col("cent_id"))).alias("cent_id")
     )
     w_near = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
-    # assignment and probe-selection both read the ranked cell scores;
-    # materialize so the N x centroids scoring pass runs once
-    ranked = cscore.withColumn("rn", F.row_number().over(w_near)).localCheckpoint(
-        eager=True
-    )
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probes = (
-        ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 4))
+        cell_scores(norms.filter(F.col("vec_id") < 5))
+        .withColumn("rn", F.row_number().over(w_near))
+        .filter(F.col("rn") <= 4)
         .select(F.col("vec_id").alias("query_id"), "cent_id")
     )
     cands = (
