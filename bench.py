@@ -42,12 +42,27 @@ def main() -> None:
 
     import gc
 
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
+        _MATERIALIZED,
+    )
+
     for name in names:
+        # Session-materialized intermediates (analytics_queries
+        # ._materialize) carry across queries — that cross-query reuse
+        # is the realistic session behavior and is measured as-is.  But
+        # a re-measurement of THIS query must repeat the same work its
+        # first run did, so evict only the memo entries this query
+        # itself created before re-running (state from PRIOR queries is
+        # kept — it existed before the first run too).
+        pre_keys = set(_MATERIALIZED)
         t = run_once(name)
         # single-run timings on a shared host are noisy (observed 3x
         # swings on identical code); re-measure anything slow and keep
         # the min — the standard best-of-k estimate of true cost
         if t > 1.0:
+            for k in list(_MATERIALIZED):
+                if k not in pre_keys:
+                    del _MATERIALIZED[k]
             t = min(t, run_once(name))
         times[name] = round(t, 4)
         # drop py4j refs so the ContextCleaner can free localCheckpoint

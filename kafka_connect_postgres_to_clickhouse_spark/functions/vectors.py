@@ -32,6 +32,26 @@ def norm2_scaled(a: Column) -> Column:
     return dot_scaled(a, a)
 
 
+def sqdist_scaled(a: Column, b: Column) -> Column:
+    """SUM(round((a[i]-b[i])^2 * 1e9)) as BIGINT — exact squared L2.
+
+    Same discipline as dot_scaled: the per-element double difference
+    and product are bit-identical across engines, the rounded BIGINT
+    terms sum order-independently.  DuckDB twin spells the square as
+    (dx)*(dx), never pow(), to keep the IEEE sequence identical.
+    """
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.round(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * SCALE
+        ).cast("long"),
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
 def cosine(dot_s: Column, norm2_a: Column, norm2_b: Column) -> Column:
     """Cosine from scaled integers; identical IEEE sequence everywhere."""
     return dot_s.cast("double") / (

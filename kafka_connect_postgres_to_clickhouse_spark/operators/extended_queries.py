@@ -13,13 +13,14 @@ curation queries extend SURVEY.md section 2.8's training-data surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import SCALE
+from ..functions.text import shingles, tokens
+from ..functions.vectors import SCALE, sqdist_scaled
 from ..plans.registry import register
 from ..sources.tables import load_table
-from .analytics_queries import CORPUS_SQL, _corpus
+from .analytics_queries import CORPUS_SQL, SHINGLES_SQL, _corpus, q_neardup_jaccard
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -242,4 +243,304 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_chars").alias("best_n_chars"),
             "n_copies",
         )
+    )
+
+
+# --- wave 4 (round 2, second half) -----------------------------------------
+
+
+_PAIRS_SQL = f"""{SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    )"""
+
+
+@register(
+    "q_dup_graph_degree",
+    oracle=f"""
+    {_PAIRS_SQL},
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree
+    """,
+)
+def q_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate pair graph — the
+    audit that tells a curation pipeline whether its duplicates are
+    isolated pairs (degree 1) or boilerplate hubs (high degree, e.g.
+    license headers) BEFORE committing to a keep-one policy.
+
+    Scale plan: rides the session-materialized verified pair table
+    (q_neardup_jaccard via _materialize — zero recompute when the pair
+    query already ran), then two partial aggregates over pair-graph-
+    sized data; the corpus itself is never touched."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = nodes.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "q_cross_source_dups",
+    oracle=f"""
+    {_PAIRS_SQL},
+    meta AS (SELECT doc_id, source FROM corpus)
+    SELECT least(ma.source, mb.source) AS source_a,
+           greatest(ma.source, mb.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN meta ma ON ma.doc_id = p.doc_a
+    JOIN meta mb ON mb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts by (source, source) — which corpus
+    sources copy from each other.  Cross-source near-dups are usually
+    syndicated/boilerplate content; the matrix drives source-level
+    dedup priorities.
+
+    Scale plan: the (small) materialized pair table joins the corpus
+    doc->source projection on doc_id twice; Spark broadcasts the pair
+    side (duplicate-graph-sized), so the corpus metadata never
+    shuffles.  Output is bounded by |sources|^2."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    meta = _corpus(spark, sf_dir).select("doc_id", "source")
+    ma = meta.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    mb = meta.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        F.broadcast(pairs)
+        .join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "q_pmi_bigrams",
+    oracle="""
+    WITH uni AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    uc AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM uni),
+    bg AS (
+      SELECT unnest(
+        (SELECT coalesce(list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1]), [])
+         FROM (SELECT string_split(lower(text), ' ') AS t))
+      ) AS bigram
+      FROM documents
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS n_xy FROM bg GROUP BY bigram HAVING COUNT(*) >= 5)
+    SELECT bigram, n_xy,
+           (bc.n_xy * tot.n * 1000000) // (u1.n * u2.n) AS pmi_scaled
+    FROM bc, tot, uc u1, uc u2
+    WHERE u1.w = string_split(bc.bigram, ' ')[1]
+      AND u2.w = string_split(bc.bigram, ' ')[2]
+    ORDER BY pmi_scaled DESC, bigram LIMIT 20
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by pointwise mutual information — collocation
+    mining (q_bigrams ranks raw frequency; PMI surfaces phrases whose
+    parts co-occur far above chance).
+
+    Exactness: PMI is rank-equivalent to P(xy)/(P(x)P(y)), so the
+    score is the INTEGER (n_xy * N * 1e6) div (n_x * n_y) — pure
+    BIGINT arithmetic, identical in both engines, no log/float in the
+    ordering.  (Overflow bound: n_xy * N * 1e6 < 2^63 up to ~10^6
+    bigram count x 10^6 tokens; beyond that drop the 1e6 scale or go
+    DECIMAL.)  Scale plan: two partial-agg counts; the vocab-sized
+    unigram table broadcasts onto the bigram table (vocabularies fit
+    executor memory even at web scale; a shuffle join is the
+    fallback); top-20 is per-partition heaps."""
+    d = load_table(spark, sf_dir, "documents")
+    uni = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("n_w"))
+    tot = uni.agg(F.count("*").alias("n_tot"))
+    bc = (
+        d.select(F.explode(shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    sp = F.split(F.col("bigram"), " ")
+    u1 = uc.select(F.col("w").alias("w1"), F.col("n_w").alias("n1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("n_w").alias("n2"))
+    return (
+        bc.withColumn("w1", sp[0])
+        .withColumn("w2", sp[1])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "n_xy",
+            F.expr("(n_xy * n_tot * 1000000) div (n1 * n2)").alias("pmi_scaled"),
+        )
+        .orderBy(F.desc("pmi_scaled"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_rank_percent",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           dense_rank()   OVER w AS dr,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+)
+def q_rank_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / percent_rank / cume_dist over per-nation account
+    balances — the normalized-ranking window family (q_window_rank
+    covers rank/row_number; these three are the remaining ANSI ranking
+    functions).
+
+    All three are tie-invariant, so the output is deterministic under
+    equal balances; percent_rank's (rank-1)/(n-1) and cume_dist's
+    peers/n are single double divisions — identical IEEE in both
+    engines.  One hash-partitioned window per nation; no global
+    sort."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.dense_rank().over(w).alias("dr"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "q_kmeans",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    init AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < 8),
+    d1 AS (
+      SELECT e.vec_id, i.cid,
+             SUM(CAST(round((CAST(e.embedding[t.k] AS DOUBLE) - CAST(i.c[t.k] AS DOUBLE))
+                          * (CAST(e.embedding[t.k] AS DOUBLE) - CAST(i.c[t.k] AS DOUBLE))
+                          * 1000000000) AS BIGINT)) AS d
+      FROM e, init i, unnest(generate_series(1, len(e.embedding))) t(k)
+      GROUP BY e.vec_id, i.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    s1 AS (
+      SELECT a1.cid, t.k,
+             SUM(CAST(round(CAST(e.embedding[t.k] AS DOUBLE) * 1000000000) AS BIGINT)) AS s,
+             COUNT(*) AS cnt
+      FROM a1, e, unnest(generate_series(1, len(e.embedding))) t(k)
+      WHERE a1.vec_id = e.vec_id
+      GROUP BY a1.cid, t.k
+    ),
+    c1 AS (
+      SELECT cid, list(CAST(s AS DOUBLE) / cnt / 1000000000.0 ORDER BY k) AS c
+      FROM s1 GROUP BY cid
+    ),
+    d2 AS (
+      SELECT e.vec_id, c1.cid,
+             SUM(CAST(round((CAST(e.embedding[t.k] AS DOUBLE) - c1.c[t.k])
+                          * (CAST(e.embedding[t.k] AS DOUBLE) - c1.c[t.k])
+                          * 1000000000) AS BIGINT)) AS d
+      FROM e, c1, unnest(generate_series(1, len(e.embedding))) t(k)
+      GROUP BY e.vec_id, c1.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, COUNT(*) AS n_vecs, SUM(d) AS inertia_scaled
+    FROM a2 GROUP BY cid
+    """,
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8, deterministic init =
+    vectors 0..7) over the embedding corpus — the iterative
+    distributed-ML loop (IVF coarse quantizer training, corpus
+    clustering for mixture balancing).
+
+    The 100 TB iteration shape: centroids are k rows — they BROADCAST;
+    assignment is one narrow scan computing k scaled-integer squared
+    distances per vector (zip_with/aggregate, functions/vectors.py);
+    the centroid update shuffles only (k x dim) partial-sum rows,
+    never vectors; per-iteration lineage is cut with localCheckpoint
+    on the k-row centroid table (cluster deployments checkpoint to
+    durable storage).  Assignment argmin is MIN over struct(d, cid) —
+    a partial aggregate, no window over the corpus.  Exactness:
+    distances are order-independent BIGINT sums; centroid means divide
+    in the same IEEE sequence in both engines, so even after two
+    iterations every value hash-matches the oracle's unrolled SQL."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cid",
+            sqdist_scaled(F.col("embedding"), F.col("c")).alias("d"),
+        )
+        m = scored.groupBy("vec_id").agg(F.min(F.struct("d", "cid")).alias("m"))
+        return m.select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+
+    init = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    a1 = assign(init)
+    per_dim = (
+        a1.select("vec_id", "cid")
+        .join(e, "vec_id")
+        .select("cid", F.posexplode("embedding").alias("k0", "x"))
+        .groupBy("cid", "k0")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * SCALE).cast("long")).alias("s"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    c1 = (
+        per_dim.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k0", "s", "cnt"))),
+                lambda t: t["s"].cast("double") / t["cnt"] / F.lit(1_000_000_000.0),
+            ).alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a2 = assign(c1)
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_vecs"), F.sum("d").alias("inertia_scaled")
     )
