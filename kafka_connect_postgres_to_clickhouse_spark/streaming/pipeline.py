@@ -230,6 +230,60 @@ def deduped_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFram
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def deduped_stream_within_watermark(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts a key's state once the watermark passes its first-seen event
+    time, so state size tracks the watermark interval — not the full
+    key cardinality.  This is the 100 TB-safe variant of
+    ``deduped_stream``: plain dropDuplicates on a key column keeps
+    every key forever unless the event-time column is part of the key.
+    Semantics: duplicates arriving within the watermark interval of the
+    first occurrence are dropped; re-deliveries later than the
+    watermark (already impossible for an in-order-ish source) re-emit.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    interval_minutes: int = 5,
+) -> DataFrame:
+    """Watermarked stream-stream inner join on user_id with an
+    event-time interval bound: a right event joins a left event when it
+    lands within [left.ts, left.ts + interval].
+
+    The interval condition plus both-side watermarks is what makes the
+    join's buffered state FINITE (Spark evicts each side once the other
+    side's watermark passes the interval bound) — an unbounded-state
+    stream-stream equi-join would OOM at 100 TB/day stream rates.  The
+    join itself hash-shuffles both streams on user_id once.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l.user_id = r.user_id AND
+            r.ts >= l.ts AND
+            r.ts <= l.ts + INTERVAL {interval_minutes} MINUTES
+            """
+        ),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 def sessionized_stream(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
 ) -> DataFrame:

