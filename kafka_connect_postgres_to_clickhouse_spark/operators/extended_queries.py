@@ -835,7 +835,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     )
     deg = edges.groupBy("s").agg(F.count("*").alias("dg"))
-    e_deg = edges.join(deg, "s")
+    e_deg = edges.join(F.broadcast(deg), "s")
     p1 = (
         e_deg.select("d", F.expr("1000000 div dg").alias("c"))
         .groupBy("d")
@@ -843,7 +843,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").alias("doc_id"), "pr")
     )
     p2 = (
-        e_deg.join(p1.select(F.col("doc_id").alias("s"), "pr"), "s")
+        e_deg.join(F.broadcast(p1.select(F.col("doc_id").alias("s"), "pr")), "s")
         .select("d", F.expr("pr div dg").alias("c"))
         .groupBy("d")
         .agg(F.expr("150000 + (85 * sum(c)) div 100").alias("pr"))
