@@ -1,0 +1,93 @@
+"""Scale-path demonstrations: the physical-layout techniques a 100 TB
+deployment leans on — bucketed co-located joins (no shuffle at read
+time) and partition-pruned scans (no I/O outside the predicate's
+partitions).  These run at sf0.001 because what's asserted is the
+PLAN SHAPE, which is scale-invariant; the data just proves results
+stay correct under the re-layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-based join planning so the bucket layout (not the
+    broadcast fast path these tiny fixtures would otherwise take) is
+    what the plan exercises."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path, no_broadcast):
+    """Both sides bucketed on the join key with the same bucket count:
+    the SortMergeJoin reads co-located buckets directly — ZERO
+    Exchange operators in the plan.  At 100 TB this is the difference
+    between re-shuffling the fact table on every join and never
+    shuffling it again after ingest."""
+    c = load_table(spark, SF, "customer")
+    o = load_table(spark, SF, "orders")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}'")
+    for name, df, key in (("b_customer", c, "c_custkey"), ("b_orders", o, "o_custkey")):
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(4, key)
+            .sortBy(key)
+            .saveAsTable(f"bdemo.{name}")
+        )
+    bc, bo = spark.table("bdemo.b_customer"), spark.table("bdemo.b_orders")
+    joined = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # join reads the bucketed layout directly: the only Exchange allowed
+    # is the final groupBy's; neither join key is ever re-partitioned
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+    # and the result matches the plain (shuffled) parquet join
+    expected = {
+        (r.c_mktsegment, r.n, r.cents)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    got = {(r.c_mktsegment, r.n, r.cents) for r in joined.collect()}
+    assert got == expected
+    spark.sql("DROP TABLE IF EXISTS bdemo.b_customer")
+    spark.sql("DROP TABLE IF EXISTS bdemo.b_orders")
+    spark.sql("DROP DATABASE IF EXISTS bdemo")
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """Hive-style partitionBy(lang) layout: a lang-filtered read scans
+    ONLY that partition's files (PartitionFilters in the scan node,
+    partition count 1), the disk-layout analogue of predicate
+    pushdown."""
+    docs = load_table(spark, SF, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    target = sorted(langs)[0]
+    rd = spark.read.parquet(out).filter(F.col("lang") == target)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1]
+    n_total = docs.count()
+    n_target = docs.filter(F.col("lang") == target).count()
+    assert rd.count() == n_target < n_total
