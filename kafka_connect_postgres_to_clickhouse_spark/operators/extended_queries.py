@@ -552,13 +552,21 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {CORPUS_SQL},
     keyed AS (
       SELECT doc_id, text,
-             md5(array_to_string(list_slice(string_split(lower(text), ' '), 1, 3), ' ')) AS k
-      FROM corpus
+             md5(array_to_string(list_slice(t, 1, 3), ' ')) AS k1,
+             md5(array_to_string(list_slice(t, greatest(len(t) - 2, 1), len(t)), ' ')) AS k2
+      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM corpus)
+    ),
+    cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.text AS ta, b.text AS tb
+      FROM keyed a JOIN keyed b ON a.k1 = b.k1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.text, b.text
+      FROM keyed a JOIN keyed b ON a.k2 = b.k2 AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
-    FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.text, b.text) <= 12
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(ta, tb) <= 12
     """,
 )
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,37 +574,47 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     typo/truncation-tolerant dedup family (n-gram Jaccard is
     order-insensitive; edit distance catches character-level edits).
 
-    Candidate + verify at 100 TB: candidates are an equi-join on the
-    md5 of the first 3 tokens (shared-prefix blocking — the planted
-    near-dups drop the LAST token, so their blocks agree; production
-    blocking adds a suffix/middle key for full coverage), then
-    verification is THRESHOLD-BOUNDED Levenshtein — Spark's 3-arg
-    levenshtein(l, r, k) runs the O(len * k) banded algorithm and
-    returns -1 beyond k, so a 300-char pair costs ~3.6k cell updates,
-    not 90k.  The oracle's unbounded levenshtein agrees on every
-    surviving pair (both implement the standard unit-cost distance).
+    Candidate + verify at 100 TB: candidates are the UNION of two
+    blocking equi-joins — md5 of the first 3 tokens AND md5 of the
+    last 3 — so an edit near either end of a doc still collides with
+    its original (a single prefix key would miss docs whose opening
+    was edited; two keys bound the miss rate to middle-heavy edits).
+    Verification is THRESHOLD-BOUNDED Levenshtein — Spark's 3-arg
+    levenshtein(l, r, k) bands the DP and returns -1 beyond k.  The
+    oracle's unbounded levenshtein agrees on every surviving pair
+    (both implement the standard unit-cost distance).
     """
     c = _corpus(spark, sf_dir)
+    toks = tokens(F.col("text"))
     keyed = c.select(
         "doc_id",
         "text",
         F.length("text").alias("tlen"),
-        F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 3))).alias("k"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 3))).alias("k1"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("slice(split(lower(text), ' '), greatest(size(split(lower(text), ' ')) - 2, 1), 3)")
+            )
+        ).alias("k2"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
+
     # edit_dist <= 12 implies |len(a)-len(b)| <= 12: the length band is a
     # free necessary-condition filter evaluated before the banded DP.
-    pairs = a.join(
-        b,
-        (F.col("a.k") == F.col("b.k"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.tlen") - F.col("b.tlen")) <= 12),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.text").alias("ta"),
-        F.col("b.text").alias("tb"),
-    )
+    def block(key: str) -> DataFrame:
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.tlen") - F.col("b.tlen")) <= 12),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.text").alias("ta"),
+            F.col("b.text").alias("tb"),
+        )
+
+    pairs = block("k1").unionByName(block("k2")).dropDuplicates(["doc_a", "doc_b"])
     # Blocked pairs share a long common prefix by construction; edit
     # distance is invariant under common-prefix removal, so trim it
     # before the DP.  Measured ~4x over the banded DP on full strings
@@ -1018,4 +1036,162 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_clip_x100"),
         )
         .select("lang", "n_docs", "p05", "p95", "avg_clip_x100")
+    )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    counts for stage k only if stage k's event happens STRICTLY AFTER
+    their stage k-1 event — the order-sensitive product-analytics
+    staple (a purchase before any click is not a conversion).
+
+    Plan: each stage is one filtered partial-agg min-ts per user plus
+    a broadcast join against the previous stage's user-level table
+    (user-dim-sized, tiny relative to the event stream even at 100 TB
+    — and per-stage event filters are pushed to the scan).  No
+    windows, no per-user sort: min-ts + a timestamp comparison is the
+    whole state."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+    r AS (SELECT fw.cw, date_diff('day', fw.cw, act.w) // 7 AS week_k
+          FROM act JOIN fw ON act.user_id = fw.user_id)
+    SELECT cw AS cohort_week, week_k, COUNT(*) AS n_active
+    FROM r GROUP BY cw, week_k
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first event; n_active counts cohort members active k weeks later
+    — the triangle table behind every retention curve.
+
+    Exactness: both engines truncate weeks to Monday 00:00, so
+    week_k = datediff(day) div 7 is integer arithmetic on exact
+    multiples of 7 — no float, no timezone math (fixture timestamps
+    are naive).  Plan: first-event week is one partial-agg min per
+    user; activity is a distinct over (user, week) — both shuffle on
+    user_id and Catalyst reuses the exchange; the user-level cohort
+    table broadcasts back onto activity."""
+    e = load_table(spark, sf_dir, "events")
+    fw = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    act = e.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    return (
+        act.join(F.broadcast(fw), "user_id")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.expr("datediff(to_date(w), to_date(cw)) div 7").cast("long").alias("week_k"),
+        )
+        .groupBy("cohort_week", "week_k")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+                    FROM events),
+    days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    grid AS (SELECT u.user_id, d.day FROM users u, days d)
+    SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+           coalesce(daily.n, 0) AS n_events,
+           coalesce(last_value(daily.n IGNORE NULLS)
+                      OVER (PARTITION BY g.user_id ORDER BY g.day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0) AS n_locf
+    FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.day = g.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's daily event counts
+    onto the full calendar grid, zero-filling empty days and carrying
+    the last observation forward (LOCF) — the hypertable resampling
+    primitive behind dashboards and feature pipelines.
+
+    Plan: the calendar axis comes from one scalar min/max agg +
+    sequence() explode (a few hundred rows) cross-joined with the
+    distinct-user dim; the event stream itself collapses to per-(user,
+    day) partial aggs BEFORE any join, so the dense grid — not the
+    raw events — flows through the LEFT join and the per-user LOCF
+    window (hash-partitioned by user, never global).  All outputs are
+    integer counts; dates truncate identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    users = e.select("user_id").distinct()
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0)).alias("n_locf"),
+        )
     )

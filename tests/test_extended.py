@@ -164,3 +164,41 @@ def test_winsorize_bounds(spark, queries):
     for r in queries["q_winsorize"](spark, SF).collect():
         assert r.p05 <= r.p95
         assert 100 * r.p05 <= r.avg_clip_x100 <= 100 * r.p95
+
+
+def test_funnel_is_monotone(spark, queries):
+    """Stage counts can only shrink down the funnel, and stage-1 equals
+    the distinct viewer count."""
+    rows = {r.stage: r.n_users for r in queries["q_funnel"](spark, SF).collect()}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"] > 0
+    viewers = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows["1_view"] == viewers
+
+
+def test_retention_week0_covers_cohort(spark, queries):
+    """Every user is active in their own cohort week, so week_k=0 rows
+    sum to the total distinct-user count."""
+    r = queries["q_retention"](spark, SF)
+    week0 = r.filter(F.col("week_k") == 0).agg(F.sum("n_active")).collect()[0][0]
+    users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert week0 == users
+
+
+def test_gap_fill_grid_is_dense(spark, queries):
+    """Output is exactly |users| x |days|, zero-filled days carry the
+    previous observation, and per-user n_events sums match the raw
+    event counts."""
+    out = queries["q_gap_fill"](spark, SF)
+    e = load_table(spark, SF, "events")
+    users = e.select("user_id").distinct().count()
+    days = out.select("day").distinct().count()
+    assert out.count() == users * days
+    raw = e.count()
+    assert out.agg(F.sum("n_events")).collect()[0][0] == raw
+    assert out.filter((F.col("n_events") == 0) & (F.col("n_locf") < 0)).count() == 0
