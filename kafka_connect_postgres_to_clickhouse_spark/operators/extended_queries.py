@@ -1195,3 +1195,133 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0)).alias("n_locf"),
         )
     )
+
+
+@register(
+    "q_pysource_scan",
+    oracle="""
+    WITH g AS (SELECT range AS r FROM range(0, 2000)),
+    rows_ AS (
+      SELECT CASE r % 10 WHEN 0 THEN 'D' WHEN 1 THEN 'I' ELSE 'U' END AS op,
+             r % 100 AS pk, r AS seq, 'v' || r AS val
+      FROM g
+    )
+    SELECT pk, MAX(seq) AS last_seq,
+           arg_max(op, seq) AS last_op, arg_max(val, seq) AS last_val
+    FROM rows_ GROUP BY pk
+    """,
+)
+def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW compaction over a CUSTOM PYTHON DATA SOURCE
+    (sources/pydatasource.py, Spark 4 `pyspark.sql.datasource`): the
+    deterministic changelog generator replaces Debezium as the record
+    producer, and the standard max_by compaction collapses its 2000
+    events (20 versions x 100 keys) to current state — proving a new
+    source format drops into the existing operator surface untouched.
+
+    The DuckDB oracle rebuilds the generator's contract relationally
+    (range -> op/pk/seq), so even the source itself is value-checked.
+    Scale: generation is partitioned (each InputPartition serves its
+    own row range, nothing flows through the driver); compaction is
+    the one-shuffle max_by aggregate of operators/upsert.py.
+    (sf_dir unused: the source generates its input.)"""
+    from ..sources.pydatasource import register_changelog_gen
+
+    register_changelog_gen(spark)
+    df = (
+        spark.read.format("changelog_gen")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("pk").agg(
+        F.max("seq").alias("last_seq"),
+        F.expr("max_by(op, seq)").alias("last_op"),
+        F.expr("max_by(val, seq)").alias("last_val"),
+    )
+
+
+@register(
+    "q_udtf_ngrams",
+    oracle="""
+    WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT unnest(CASE WHEN len(t) >= 3
+                    THEN list_transform(generate_series(1, len(t) - 2),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END) AS ngram
+      FROM toks
+    )
+    SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+    ORDER BY n DESC, ngram LIMIT 20
+    """,
+)
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-gram phrases via a REAL Python UDTF (Spark 4 `@udtf`,
+    arrow-optimized) lateral-joined against the corpus — the
+    table-function arm of the UD*F surface (q_udf_scalar covers
+    scalar pandas_udf; explode-based queries cover the built-in path).
+
+    The UDTF emits one row per ngram OCCURRENCE (not distinct — the
+    contrast with SHINGLES_SQL's per-doc distinct); counting happens
+    JVM-side after the lateral join, so Python only tokenizes.  The
+    equivalent pure-expr pipeline (shingles()) is ~3x faster — the
+    docstring-level guidance stands: UDTFs are for logic exprs can't
+    express; this registry key pins the API contract (schema, lateral
+    join shape, arrow batching) for when that logic arrives."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="ngram string", useArrow=True)
+    class NGrams3:
+        def eval(self, text: str):  # noqa: ANN001
+            toks = text.lower().split(" ")
+            for i in range(len(toks) - 2):
+                yield (" ".join(toks[i : i + 3]),)
+
+    spark.udtf.register("ngrams3", NGrams3)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("x_docs_udtf")
+    return spark.sql(
+        """
+        SELECT g.ngram, COUNT(*) AS n
+        FROM x_docs_udtf, LATERAL ngrams3(text) g
+        GROUP BY g.ngram ORDER BY n DESC, g.ngram LIMIT 20
+        """
+    )
+
+
+@register(
+    "q_mad_pandas",
+    oracle="""
+    WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang)
+    SELECT d.lang, COUNT(*) AS n_docs, m.med AS med,
+           median(abs(d.n_chars - m.med)) AS mad
+    FROM documents d JOIN m ON d.lang = m.lang
+    GROUP BY d.lang, m.med
+    """,
+)
+def q_mad_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median absolute deviation of document length via
+    `applyInPandas` — the grouped-map pandas UDAF arm of the UD*F
+    surface: whole-group pandas computation where the aggregate
+    (nested median) has no built-in SQL form.
+
+    Exactness: medians of integers are either integers or exact .5
+    halves — numpy's two-middle average and DuckDB's quantile
+    interpolation produce bit-identical doubles here.  Scale: one
+    shuffle groups each lang's rows to one worker (lang cardinality
+    is tiny; for high-cardinality keys this pattern holds per key);
+    Arrow moves each group as columnar batches."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = float(pdf.n_chars.median())
+        mad = float((pdf.n_chars - med).abs().median())
+        return pd.DataFrame(
+            [{"lang": pdf.lang.iloc[0], "n_docs": len(pdf), "med": med, "mad": mad}]
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        stats, "lang string, n_docs long, med double, mad double"
+    )

@@ -713,3 +713,42 @@ def test_lww_tws_plan_and_fold_logic(spark, tmp_path):
     assert fold([b1], st) == [(12, 1, "b")]
     assert fold([b2], st) == []            # stale suppressed across batches
     assert fold([b3], st) == [(12, 2, "c")]  # same-ts higher seq wins
+
+
+def test_python_datasource_microbatch_stream(spark, tmp_path):
+    """Custom Python DataSourceStreamReader: the changelog generator
+    serves its deterministic row sequence in batch_rows-sized
+    microbatches; offsets are row indices, so the union of all batches
+    is exactly rows [0, rows) with no gaps or duplicates."""
+    import time
+
+    from kafka_connect_postgres_to_clickhouse_spark.sources.pydatasource import (
+        register_changelog_gen,
+    )
+
+    register_changelog_gen(spark)
+    stream = (
+        spark.readStream.format("changelog_gen")
+        .option("rows", "300")
+        .option("batch_rows", "100")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysrc_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pysrc"))
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM pysrc_out").collect()[0].c >= 300:
+            break
+        time.sleep(1)
+    q.stop()
+    rows = spark.sql("SELECT * FROM pysrc_out").collect()
+    assert len(rows) == 300
+    seqs = sorted(r.seq for r in rows)
+    assert seqs == list(range(300))           # no gaps, no duplicates
+    assert all(r.op == "D" for r in rows if r.seq % 10 == 0)
+    assert all(r.pk == r.seq % 15 for r in rows)  # 300 // 20 keys
