@@ -1325,3 +1325,339 @@ def q_mad_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInPandas(
         stats, "lang string, n_docs long, med double, mad double"
     )
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) shape: revenue flowing between two
+    specific nations, by supplier nation x customer nation x year.
+
+    100 TB plan: both dimension chains collapse to TINY broadcast
+    sides BEFORE touching the fact tables — suppliers of the two
+    nations (a few per nation) and customers of the two nations
+    (~8% of customers) each join map-side, so lineitem and orders are
+    pre-filtered to the two nations' rows before the single
+    orderkey-shuffle join between them; the asymmetric pair condition
+    reduces to supp_nation <> cust_nation once both sides are
+    restricted to the pair.  Revenue uses integer-cents sums
+    (relational_queries.py:8-20)."""
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) shape: top-20 customers by
+    revenue lost to returns in one quarter.
+
+    100 TB plan: the quarter predicate is PUSHED to the orders scan
+    (partition pruning on o_orderdate at scale) and the returnflag
+    filter to the lineitem scan; the fact-fact join shuffles once on
+    orderkey; revenue pre-aggregates BY CUSTKEY BEFORE customer
+    attributes join (aggregate-then-join: the agg output is at most
+    one row per customer, vastly smaller than the joined fact rows);
+    nation (25 rows) broadcasts; top-20 is TakeOrderedAndProject with
+    the unique-key tiebreak (c_custkey) per the exactness rules."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    cn = _t(spark, sf_dir, "customer").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        rev.join(cn, rev["o_custkey"] == cn["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "n_name",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_map_ops",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    k AS (SELECT * FROM c WHERE n >= 15)
+    SELECT user_id, event_type, n,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS INT) AS user_kept_types
+    FROM k
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: per-user event-type counts carried
+    through map construction (`map_from_entries`), map-level filtering
+    (`map_filter`), map cardinality (`size`), and `explode` back to
+    rows — the ClickHouse Map(K,V) parity arm (reference sink tables
+    can hold Map columns; setup.sh's type CASE is scalar-only, so this
+    is EXT surface).
+
+    Exactness: all values are integer counts — no float hazards; the
+    oracle's window count is the map's size.  Scale: one groupBy
+    shuffle builds the counts, one more collects each user's map
+    (combiner-friendly: collect_list of (type,n) structs is bounded by
+    the event-type cardinality); map ops are per-row JVM expressions,
+    and explode restores rows without any further exchange."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    k = m.select(
+        "user_id", F.map_filter("m", lambda _, v: v >= 15).alias("m")
+    ).filter(F.size("m") > 0)
+    return k.select(
+        "user_id",
+        F.size("m").alias("user_kept_types"),
+        F.explode("m").alias("event_type", "n"),
+    )
+
+
+@register(
+    "q_boilerplate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(generate_series(1, len(t) - 2),
+                                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS sh
+      FROM toks
+    ),
+    dfx AS (SELECT sh, COUNT(*) AS df FROM grams GROUP BY sh),
+    boiler AS (SELECT sh FROM dfx WHERE df >= 4),
+    pd AS (
+      SELECT g.doc_id, COUNT(*) AS n_sh, COUNT(b.sh) AS n_boiler
+      FROM grams g LEFT JOIN boiler b ON g.sh = b.sh
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_sh, n_boiler,
+           CAST(n_boiler AS DOUBLE) / n_sh AS boiler_frac
+    FROM pd WHERE n_boiler * 5 >= n_sh
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: flag documents whose distinct
+    3-gram shingles are >=20% "boilerplate" (shingles shared by >= 4
+    documents — the fixture-scale analogue of C4's `appears in >= N
+    pages` rule; at corpus scale the threshold is a document
+    FRACTION, not an absolute count).
+
+    100 TB shape: one shuffle computes shingle document-frequency
+    (map-side partial counts first), the boilerplate set — by
+    construction a tiny high-df tail — is localCheckpointed and
+    BROADCAST back against the per-doc shingle stream (no second
+    shuffle of the corpus), and the per-doc flag aggregation re-uses
+    the doc_id partitioning.  The boiler_frac division runs in the
+    same IEEE order both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    g = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh")
+    )
+    boiler = (
+        g.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 4)
+        .select("sh")
+        .localCheckpoint(eager=True)  # tiny; broadcast materialized rows,
+        #                               never a live agg lineage (perf rule)
+    )
+    hits = g.join(
+        F.broadcast(boiler.withColumn("hit", F.lit(1))), "sh", "left"
+    )
+    pd_ = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"), F.count("hit").alias("n_boiler")
+    )
+    return pd_.filter(F.col("n_boiler") * 5 >= F.col("n_sh")).select(
+        "doc_id", "n_sh", "n_boiler",
+        (F.col("n_boiler").cast("double") / F.col("n_sh")).alias("boiler_frac"),
+    )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT))
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    i AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+          FROM embeddings WHERE vec_id < 8),
+    d1 AS (
+      SELECT e.vec_id, i.cid,
+             SUM(CAST(round((CAST(e.embedding[t.k] AS DOUBLE) - i.c[t.k])
+                          * (CAST(e.embedding[t.k] AS DOUBLE) - i.c[t.k])
+                          * 1000000000) AS BIGINT)) AS d
+      FROM e, i, unnest(generate_series(1, len(e.embedding))) t(k)
+      GROUP BY e.vec_id, i.cid
+    ),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    n AS (
+      SELECT a.vec_id, a.cid, e.embedding,
+             (SELECT SUM(CAST(round(CAST(e.embedding[t.k] AS DOUBLE)
+                                  * CAST(e.embedding[t.k] AS DOUBLE)
+                                  * 1000000000) AS BIGINT))
+              FROM unnest(generate_series(1, len(e.embedding))) t(k)) AS n2
+      FROM a JOIN e ON a.vec_id = e.vec_id
+    ),
+    p AS (
+      SELECT x.vec_id AS va, y.vec_id AS vb, x.n2 AS na, y.n2 AS nb,
+             (SELECT SUM(CAST(round(CAST(x.embedding[t.k] AS DOUBLE)
+                                  * CAST(y.embedding[t.k] AS DOUBLE)
+                                  * 1000000000) AS BIGINT))
+              FROM unnest(generate_series(1, len(x.embedding))) t(k)) AS dot
+      FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT vb FROM p
+      WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+            > 0.999
+    )
+    SELECT n.vec_id, n.cid, (dropped.vb IS NULL) AS kept
+    FROM n LEFT JOIN dropped ON n.vec_id = dropped.vb
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings around fixed centroids, then
+    drop any vector with a higher-similarity twin (cos > 0.999) INSIDE
+    its cluster, keeping the lowest vec_id as representative.
+
+    The whole point of the cluster stage is scale: candidate pairs are
+    confined to cluster-mates, so the quadratic verify is bounded per
+    cluster instead of corpus-wide (all-pairs at 100 TB is
+    impossible; within a 1/k-th cluster it's (n/k)^2 work across k
+    parallel groups).  Centroids (8 rows) broadcast for assignment —
+    one narrow scan — and the per-cluster self-join shuffles the
+    corpus once on cid.  Exactness: squared distances and dots are
+    scaled-integer sums (functions/vectors.py); the oracle replicates
+    the identical algorithm, so even the ANN-style assignment is
+    value-exact.  Corpus plants x-vs-1.1x near-dup copies (same
+    direction => cosine ~1) to make the drop set non-trivial."""
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.1).cast("float")
+        ).alias("embedding"),
+    )
+    e = base.unionByName(scaled)
+    init = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    scored = e.crossJoin(F.broadcast(init)).select(
+        "vec_id", "embedding", "cid",
+        sqdist_scaled(F.col("embedding"), F.col("c")).alias("d"),
+    )
+    a = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid", "embedding")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.embedding").alias("embedding"),
+        )
+    )
+    from ..functions.vectors import cosine, dot_scaled, norm2_scaled  # noqa: PLC0415
+
+    n = a.select(
+        "vec_id", "cid", "embedding", norm2_scaled(F.col("embedding")).alias("n2")
+    ).localCheckpoint(eager=True)  # feeds both sides of the pair join
+    x, y = n.alias("x"), n.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.cid") == F.col("y.cid")) & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        F.col("y.vec_id").alias("vb"),
+        cosine(
+            dot_scaled(F.col("x.embedding"), F.col("y.embedding")),
+            F.col("x.n2"),
+            F.col("y.n2"),
+        ).alias("cos"),
+    )
+    dropped = pairs.filter(F.col("cos") > 0.999).select("vb").distinct()
+    return (
+        n.join(dropped, n["vec_id"] == dropped["vb"], "left")
+        .select("vec_id", "cid", F.col("vb").isNull().alias("kept"))
+    )
