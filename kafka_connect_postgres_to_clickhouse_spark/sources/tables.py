@@ -18,6 +18,7 @@ from functools import lru_cache
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = [
     "region",
@@ -40,22 +41,35 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, normalizing TIMESTAMP(NANOS) columns.
+    """Read one fixture table, normalizing timestamp flavors.
 
-    Spark has no nanosecond timestamp type; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` those columns arrive as
-    int64 nanos and we truncate to microsecond timestamps — exactly
-    what DuckDB does when it reads the same files, so oracle compares
-    stay exact.  Integer division (``div``) avoids the double-precision
-    loss a ``/ 1000`` would introduce on epoch-nanos magnitudes.
+    The fixtures have shipped with two different parquet timestamp
+    encodings across driver rounds, and every operator downstream
+    assumes plain session-TZ ``TIMESTAMP`` (``unix_micros``, interval
+    arithmetic, and windowing all reject NTZ), so both are normalized
+    here — the one place every query loads through:
+
+    - TIMESTAMP(NANOS) (round-1 files): Spark has no nanos type; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as int64
+      nanos and truncate to microsecond timestamps — exactly what
+      DuckDB does reading the same files.  Integer ``div`` avoids the
+      double-precision loss a ``/ 1000`` would introduce.
+    - TIMESTAMP_NTZ (round-2 files, ``timestamp[us]`` without UTC
+      adjustment): cast to ``timestamp``.  The session timezone is
+      pinned to UTC first, so the cast maps wall-clock to the identical
+      instant DuckDB reports, independent of the caller session's
+      defaults (the driver builds its own SparkSession; both confs are
+      runtime-settable).
     """
     path = f"{sf_dir}/{name}.parquet"
-    # Self-sufficient under a caller-owned session (the driver builds
-    # its own SparkSession): this legacy conf is runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
