@@ -1661,3 +1661,628 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(dropped, n["vec_id"] == dropped["vb"], "left")
         .select("vec_id", "cid", F.col("vb").isNull().alias("kept"))
     )
+
+
+# --- wave 7 (round 2) -------------------------------------------------------
+
+
+@register(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)
+                         AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100
+             / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the canonical full-scan
+    aggregation: one pass over lineitem, eight aggregates, 6 groups.
+
+    100 TB plan: this is the best case for Spark — a single scan with
+    the date filter pushed to parquet, all aggregates computed in one
+    map-side partial agg (6 groups survive the shuffle), whole-stage
+    codegen end to end.  Exactness: every money column is a fixed-point
+    decimal in disguise (price 2dp, price*(1-disc) 4dp,
+    *(1+tax) 6dp), so each is summed as a scaled BIGINT and converted
+    to DOUBLE once, with identical parenthesization in the oracle
+    (relational_queries.py:8-20 discipline)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    base = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    charge6 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 1000000
+    ).cast("long")
+    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        (F.sum(base).cast("double") / 100).alias("sum_base_price"),
+        (F.sum(disc4).cast("double") / 10000).alias("sum_disc_price"),
+        (F.sum(charge6).cast("double") / 1000000).alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(base).cast("double") / 100 / F.count("*")).alias("avg_price"),
+        (F.sum(dpct).cast("double") / 100 / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+                AS DOUBLE) / 10000 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 4
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter + global sum,
+    zero joins — the predicate-pushdown showcase.
+
+    100 TB plan: all three predicates reach the parquet scan
+    (PushedFilters on shipdate/quantity; the discount band filters
+    post-scan on the integer-scaled value to dodge double-literal
+    equality pitfalls), and the single global sum is a map-side
+    partial agg into a 1-row reduce.  Discount is 2dp so
+    round(d*100) BETWEEN 2 AND 4 is the exact band."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.round(F.col("l_discount") * 100).cast("long").between(2, 4)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 10000
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking) shape, adapted to the fixture
+    schema: the fixture lineitem has no commitdate/receiptdate, so the
+    "late order" predicate becomes an item shipped more than 30 days
+    after the order date (same EXISTS-correlated-on-the-fact structure
+    as published Q4).
+
+    100 TB plan: the half-year predicate pushes to the orders scan;
+    the EXISTS becomes a LEFT SEMI hash join on orderkey with the
+    non-equi ship-lag condition evaluated as the join residual — one
+    shuffle, no row explosion (semi join emits each order at most
+    once); the 5-group count is a trivial partial agg."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o["o_orderkey"] == l["l_orderkey"])
+            & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority) shape, adapted: the
+    fixture lineitem has no shipmode column, so lines group by
+    l_returnflag; the essence — fact-fact join with conditional
+    (pivoted) counts of high- vs low-priority orders — is intact.
+
+    100 TB plan: the year predicate pushes to the lineitem scan and
+    prunes before the single orderkey shuffle; both conditional counts
+    compute in one partial agg (no double scan of the join output)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): two stacked aggregations —
+    orders per customer (with an ON-clause filter, keeping zero-order
+    customers via LEFT JOIN), then the histogram of those counts.
+    The comment-regex exclusion of published Q13 maps to the
+    o_orderpriority <> '5-LOW' exclusion on the fixture schema.
+
+    100 TB plan: the priority filter is pushed INTO the join's right
+    side (scan-level), the join + first agg share one custkey shuffle,
+    and the second agg reduces per-customer rows (already tiny) by
+    c_count.  COUNT(o_orderkey) counts non-NULL only, preserving
+    0-count customers exactly as the oracle does."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+    SELECT CAST(100 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+           / SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    promo parts — the conditional-aggregate-over-join shape.
+
+    100 TB plan: the month predicate prunes lineitem at the scan; part
+    (a dimension) BROADCASTS so the fact never shuffles; numerator and
+    denominator accumulate in the same partial agg pass.  Both sides
+    compute the final percentage as one DOUBLE division of two exact
+    scaled-BIGINT sums."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                (100 * F.sum(F.when(F.col("p_type") == "PROMO", disc4).otherwise(0)))
+                .cast("double")
+                / F.sum(disc4)
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunctive multi-arm
+    predicate spanning both join sides — the classic test that an
+    engine turns OR-of-ANDs into a join residual instead of a
+    cross-product filter.
+
+    100 TB plan: part BROADCASTS (dimension), the disjunction's
+    part-only arms (brand/size) could prune the build side while the
+    lineitem-only bounds (quantity) prune the scan; the combined
+    residual evaluates during the hash probe.  Revenue is the scaled
+    4dp sum."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda b, smax, qlo, qhi: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    disc4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(arm("Brand#1", 15, 1, 11) | arm("Brand#2", 25, 10, 20) | arm("Brand#3", 50, 20, 30))
+        .agg(
+            (F.sum(disc4).cast("double") / 10000).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer WHERE c_acctbal > 0 AND c_nationkey < 10
+    ),
+    stats AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c, COUNT(*) AS n_c FROM pos)
+    SELECT c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(bal_c) AS DOUBLE) / 100 AS totacctbal
+    FROM pos, stats
+    WHERE bal_c * n_c > sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) shape, adapted: the fixture
+    customer has no phone, so the country-code IN-list maps to
+    c_nationkey < 10, and "above average positive balance" customers
+    with no RECENT orders (none since 1999-01-01 — the fixture's
+    every-customer-orders density makes the literal no-orders-ever
+    predicate empty) are counted per nation.
+
+    100 TB plan: the scalar average is a 1-row broadcast joined
+    map-side; the above-average comparison is INTEGER-exact
+    (bal*n > sum, no float average); the NOT EXISTS is a LEFT ANTI
+    hash join on custkey (Catalyst's decorrelation target shape);
+    one partial agg finishes.  No window, no second customer scan."""
+    pos = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_acctbal") > 0) & (F.col("c_nationkey") < 10))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+    )
+    stats = pos.agg(
+        F.sum("bal_c").cast("long").alias("sum_c"), F.count("*").alias("n_c")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_c") * F.col("n_c") > F.col("sum_c"))
+        .join(o, pos["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_c").cast("double") / 100).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents),
+    cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+    per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS cs
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n AS n_tokens,
+           CAST(round(ln(n) * 1000000) AS BIGINT) - cs // n AS entropy_scaled
+    FROM per
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats, 1e-6-scaled) — the
+    standard lexical-diversity quality signal: near-zero entropy means
+    a doc repeats a handful of tokens (spam/boilerplate), high entropy
+    means diverse vocabulary.
+
+    H = ln(n) - (1/n) * sum_w c_w ln(c_w), so ln() is evaluated only on
+    INTEGER token counts and quantized to 1e-6-scaled BIGINT at once —
+    the same portability discipline as q_perplexity (a last-ulp libm
+    difference cannot move the rounded value off the same integer
+    except on a measure-zero boundary).  The final value is pure BIGINT
+    arithmetic: scaled ln(n) minus the truncated integer mean.
+
+    100 TB plan: one groupBy(doc_id, w) partial agg over the token
+    stream, one groupBy(doc_id) partial agg — both shuffles carry
+    counts, never text; no window, no broadcast needed."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    sc = F.round(F.ln(F.col("c")) * 1000000).cast("long")
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * sc).cast("long").alias("cs"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (
+            F.round(F.ln(F.col("n")) * 1000000).cast("long") - F.expr("cs div n")
+        ).alias("entropy_scaled"),
+    )
+
+
+@register(
+    "q_zipf_slope",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    uc AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
+    top AS (SELECT w, n_w FROM uc ORDER BY n_w DESC, w LIMIT 100),
+    r AS (SELECT ROW_NUMBER() OVER (ORDER BY n_w DESC, w) AS rk, n_w FROM top),
+    s AS (SELECT CAST(round(ln(rk) * 1000000) AS BIGINT) AS x,
+                 CAST(round(ln(n_w) * 1000000) AS BIGINT) AS y FROM r),
+    m AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM s)
+    SELECT n AS n_terms,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS zipf_slope
+    FROM m
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    corpus's top-100 tokens — the classic corpus-health diagnostic
+    (natural language tracks slope ~ -1; generated/templated text
+    deviates sharply).
+
+    Exactness: ln() is quantized to 1e-6-scaled BIGINTs on the 100
+    (rank, freq) integer pairs, and the OLS slope is a single DOUBLE
+    division of two exact BIGINT Gram determinants — identical in both
+    engines (products bounded ~1e18, inside BIGINT).
+
+    100 TB plan: the vocabulary count is one partial agg; the top-100
+    selection is TakeOrderedAndProject (per-partition heaps, no global
+    sort); only the 100 survivors pass through the single-partition
+    rank window — a constant-size step, not a data-size one."""
+    d = load_table(spark, sf_dir, "documents")
+    uc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    top = uc.orderBy(F.desc("n_w"), F.asc("w")).limit(100)
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy(F.desc("n_w"), F.asc("w")))
+    s = top.select(
+        F.round(F.ln(rk) * 1000000).cast("long").alias("x"),
+        F.round(F.ln(F.col("n_w")) * 1000000).cast("long").alias("y"),
+    )
+    m = s.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return m.select(
+        F.col("n").alias("n_terms"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "q_span_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS arr FROM documents),
+    t2 AS (SELECT doc_id, arr, len(arr) // 10 AS nsp FROM t WHERE len(arr) // 10 > 0),
+    sp AS (SELECT doc_id,
+                  md5(array_to_string(arr[(10 * i + 1):(10 * i + 10)], ' ')) AS h
+           FROM t2, UNNEST(range(nsp)) AS u(i)),
+    ph AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           (10000 * CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT))
+             // CAST(COUNT(*) AS BIGINT) AS dup_bp
+    FROM sp JOIN ph USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup signal (Dolma/RefinedWeb style), adapted to
+    the fixture's unpunctuated token streams: documents split into
+    DISJOINT 10-token spans (the "paragraphs"), and each doc reports
+    how many of its spans also appear verbatim in another document —
+    the per-doc duplicated-content fraction (basis points) used to
+    drop partially-copied pages.
+
+    100 TB plan: span extraction is a per-row array expression (no
+    shuffle, payload never leaves the row until hashed to 32 bytes);
+    the span->doc-frequency table is one partial-agg groupBy on the
+    hash; the hash-equi join back is shuffle-on-hash (both sides
+    already hashed, no skew — md5 is uniform); one groupBy(doc_id)
+    finishes.  Text shuffles as md5 digests only."""
+    d = load_table(spark, sf_dir, "documents")
+    t2 = (
+        d.select("doc_id", tokens(F.col("text")).alias("arr"))
+        .withColumn("nsp", F.expr("size(arr) div 10"))
+        .filter(F.col("nsp") > 0)
+    )
+    sp = t2.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, nsp - 1),"
+                " i -> md5(concat_ws(' ', slice(arr, i * 10 + 1, 10))))"
+            )
+        ).alias("h"),
+    )
+    ph = sp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        sp.join(ph, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("(10000 * n_dup_spans) div n_spans").alias("dup_bp"),
+        )
+    )
+
+
+@register(
+    "q_bow_dedup",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      md5(text) AS h_exact,
+                      md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+                        AS h_bag
+               FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT h_exact) AS n_exact_texts,
+           COUNT(DISTINCT h_bag) AS n_bags,
+           COUNT(DISTINCT h_exact) - COUNT(DISTINCT h_bag) AS n_reorder_dups
+    FROM b
+    """,
+)
+def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words (order-insensitive) exact dedup audit: hash each
+    doc's SORTED token multiset and compare distinct-bag count against
+    distinct-text count — catching duplicates that differ only by
+    token order (shuffled/re-templated copies), which plain exact
+    dedup (q_dedup_exact) misses and fuzzy dedup overpays for.
+
+    100 TB plan: sort+hash is a per-row array expression (the 32-byte
+    digest is all that ever shuffles), and the three distinct-counts
+    run in one expanded aggregate over digests.  Sorting is
+    lexicographic on plain lowercase ASCII tokens — identical in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        F.md5(F.col("text")).alias("h_exact"),
+        F.md5(F.concat_ws(" ", F.array_sort(tokens(F.col("text"))))).alias("h_bag"),
+    )
+    return b.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h_exact").alias("n_exact_texts"),
+        F.countDistinct("h_bag").alias("n_bags"),
+        (F.countDistinct("h_exact") - F.countDistinct("h_bag")).alias("n_reorder_dups"),
+    )
+
+
+@register(
+    "q_event_topk_hourly",
+    oracle="""
+    WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+               FROM events GROUP BY hour, event_type),
+    r AS (SELECT hour, event_type, n_events,
+                 ROW_NUMBER() OVER (PARTITION BY hour
+                                    ORDER BY n_events DESC, event_type) AS rn
+          FROM c)
+    SELECT hour, event_type, n_events FROM r WHERE rn = 1
+    """,
+)
+def q_event_topk_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant event type per hour — the grouped top-1 shape (trending
+    item per time bucket) that pairs a time-bucketed count with a
+    per-bucket rank.
+
+    100 TB plan: the count is one partial agg on (hour, type) — at
+    most |types| rows per hour survive the map side; the rank window
+    partitions BY HOUR (thousands of independent partitions, no global
+    ordering); deterministic tie-break on event_type per the exactness
+    rules."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("hour").orderBy(F.desc("n_events"), F.asc("event_type"))
+    )
+    return c.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
