@@ -20,7 +20,13 @@ from ..functions.text import shingles, tokens
 from ..functions.vectors import SCALE, sqdist_scaled
 from ..plans.registry import register
 from ..sources.tables import load_table
-from .analytics_queries import CORPUS_SQL, SHINGLES_SQL, _corpus, q_neardup_jaccard
+from .analytics_queries import (
+    CORPUS_SQL,
+    SHINGLES_SQL,
+    _corpus,
+    _corpus_shingles,
+    q_neardup_jaccard,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2286,3 +2292,417 @@ def q_event_topk_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("hour").orderBy(F.desc("n_events"), F.asc("event_type"))
     )
     return c.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+
+# --- wave 8 (round 2) -------------------------------------------------------
+
+
+@register(
+    "q_knn_classify",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    d AS (
+      SELECT q.vec_id AS query_id, any_value(q.label) AS true_label,
+             e.vec_id AS nbr_id, any_value(e.label) AS nbr_label,
+             SUM(CAST(round((CAST(e.embedding[t.k] AS DOUBLE) - CAST(q.embedding[t.k] AS DOUBLE))
+                          * (CAST(e.embedding[t.k] AS DOUBLE) - CAST(q.embedding[t.k] AS DOUBLE))
+                          * 1000000000) AS BIGINT)) AS d2
+      FROM q, e, unnest(generate_series(1, len(q.embedding))) t(k)
+      WHERE e.vec_id <> q.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    ),
+    top5 AS (
+      SELECT * FROM (
+        SELECT query_id, true_label, nbr_label,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, nbr_id) AS rn
+        FROM d
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, any_value(true_label) AS true_label, nbr_label, COUNT(*) AS v
+      FROM top5 GROUP BY query_id, nbr_label
+    )
+    SELECT query_id, true_label, nbr_label AS pred_label, v AS votes,
+           CASE WHEN nbr_label = true_label THEN 1 ELSE 0 END AS correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nbr_label) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label prediction (k=5, squared-L2, majority
+    vote) for 20 held-out query vectors against the rest of the corpus
+    — the standard embedding-space label-propagation / auto-labeling
+    primitive for training-data curation.
+
+    100 TB plan: the 20 queries BROADCAST; the corpus streams through
+    ONE narrow scan computing 20 scaled-integer distances per vector
+    (functions/vectors.py discipline — order-independent BIGINT sums,
+    hash-exact vs the oracle); the per-query top-5 is a window over the
+    20-query × corpus score stream partitioned by query (at larger
+    query sets this becomes groupBy(query) + min-heap via max_by(k));
+    the vote is a tiny two-level agg.  Ties break on (votes DESC,
+    label ASC) deterministically."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qemb"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("nbr_id"),
+            F.col("label").alias("nbr_label"),
+            sqdist_scaled(F.col("embedding"), F.col("qemb")).alias("d2"),
+        )
+    )
+    top5 = (
+        scored.withColumn(
+            "rn", F.row_number().over(W.partitionBy("query_id").orderBy("d2", "nbr_id"))
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    votes = top5.groupBy("query_id", "nbr_label").agg(
+        F.any_value(F.col("true_label")).alias("true_label"),
+        F.count("*").alias("v"),
+    )
+    best = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("v"), F.asc("nbr_label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        "query_id",
+        "true_label",
+        F.col("nbr_label").alias("pred_label"),
+        F.col("v").alias("votes"),
+        F.when(F.col("nbr_label") == F.col("true_label"), 1).otherwise(0).alias("correct"),
+    )
+
+
+@register(
+    "q_centroid_classify",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    s AS (
+      SELECT label, t.k,
+             SUM(CAST(round(CAST(embedding[t.k] AS DOUBLE) * 1000000000) AS BIGINT)) AS s,
+             COUNT(*) AS cnt
+      FROM e, unnest(generate_series(1, len(embedding))) t(k)
+      GROUP BY label, t.k
+    ),
+    c AS (
+      SELECT label AS clabel, list(CAST(s AS DOUBLE) / cnt / 1000000000.0 ORDER BY k) AS cvec
+      FROM s GROUP BY label
+    ),
+    d AS (
+      SELECT e.vec_id, any_value(e.label) AS true_label, c.clabel,
+             SUM(CAST(round((CAST(e.embedding[t.k] AS DOUBLE) - c.cvec[t.k])
+                          * (CAST(e.embedding[t.k] AS DOUBLE) - c.cvec[t.k])
+                          * 1000000000) AS BIGINT)) AS d2
+      FROM e, c, unnest(generate_series(1, len(e.embedding))) t(k)
+      GROUP BY e.vec_id, c.clabel
+    ),
+    a AS (
+      SELECT vec_id, true_label, clabel AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT true_label, pred_label, COUNT(*) AS n_vecs
+    FROM a GROUP BY true_label, pred_label
+    """,
+)
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification + confusion matrix: compute each
+    label's mean embedding, re-assign every vector to its nearest
+    label centroid, and report the (true, predicted) count matrix —
+    the embedding-space label-quality audit (noisy labels show up as
+    off-diagonal mass).
+
+    100 TB plan: per-(label, dim) sums are ONE partial agg over the
+    posexploded corpus (shuffles (labels x dims) rows, never vectors);
+    the 10 centroid rows broadcast back; assignment is a narrow scan
+    with an argmin partial agg (min over struct(d2, label) — no window
+    over the corpus); the confusion matrix is a 100-cell final agg.
+    Exactness mirrors q_kmeans: scaled-int sums, one IEEE division
+    sequence for the means, scaled-int distances."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("k0", "x"))
+        .groupBy("label", "k0")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * SCALE).cast("long")).alias("s"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    cents = (
+        per_dim.groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k0", "s", "cnt"))),
+                lambda t: t["s"].cast("double") / t["cnt"] / F.lit(1_000_000_000.0),
+            ).alias("cvec")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        sqdist_scaled(F.col("embedding"), F.col("cvec")).alias("d2"),
+    )
+    a = scored.groupBy("vec_id").agg(
+        F.any_value(F.col("label")).alias("true_label"),
+        F.min(F.struct("d2", "clabel")).alias("m"),
+    )
+    return (
+        a.select("true_label", F.col("m.clabel").alias("pred_label"))
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+@register(
+    "q_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT t.k AS dim,
+             CAST(round(CAST(embedding[t.k] AS DOUBLE) * 1000000000) AS BIGINT) AS xs,
+             CAST(round(CAST(embedding[t.k] AS DOUBLE) * 1000000) AS BIGINT) AS xs6
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(k)
+    )
+    SELECT dim, COUNT(*) AS n,
+           CAST(SUM(xs) AS BIGINT) AS sum_scaled,
+           CAST(SUM(xs6 * xs6) AS BIGINT) AS sumsq_scaled2,
+           CAST(MIN(xs) AS BIGINT) AS min_scaled,
+           CAST(MAX(xs) AS BIGINT) AS max_scaled
+    FROM x GROUP BY dim
+    """,
+)
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment statistics of the embedding corpus (sum,
+    sum-of-squares, min, max on the 1e9-scaled integer grid) — the
+    PCA/whitening/quantizer-calibration precursor: mean and variance
+    per coordinate derive exactly from these sums.
+
+    100 TB plan: posexplode + ONE partial agg keyed by dim — the
+    shuffle carries (dims x partitions) partial rows, never vectors;
+    all moments are order-independent BIGINT sums.  The linear sum
+    rides the standard 1e9 grid; the SQUARE uses a coarser 1e6 grid on
+    purpose: unit-normalized coordinates give xs6^2 <= 1e12 per term,
+    keeping the per-dim sum inside int64 to ~9e6 corpus rows per
+    1.0-magnitude coordinate — and ~1e18 rows at the fixture's |x|<1
+    scale (a 1e9-grid square overflows a single term already at
+    |x|>3)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("k0", "v")).select(
+        (F.col("k0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * SCALE).cast("long").alias("xs"),
+        F.round(F.col("v").cast("double") * 1000000).cast("long").alias("xs6"),
+    )
+    return x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("xs").cast("long").alias("sum_scaled"),
+        F.sum(F.col("xs6") * F.col("xs6")).cast("long").alias("sumsq_scaled2"),
+        F.min("xs").cast("long").alias("min_scaled"),
+        F.max("xs").cast("long").alias("max_scaled"),
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    {SHINGLES_SQL}
+    , first_seen AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM grams GROUP BY sh
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           (10000 * CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT))
+             // CAST(COUNT(*) AS BIGINT) AS novelty_bp
+    FROM grams g JOIN first_seen f USING (sh)
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    3-grams whose FIRST corpus appearance (by doc_id ingestion
+    order) is this document — the streaming-corpus freshness signal
+    (low novelty = the doc mostly repeats earlier content; the
+    arrival-order twin of q_decontaminate's benchmark overlap).
+
+    100 TB plan: rides the session-memoized shingle posting table
+    (one explode amortized across the dedup family); first-seen is a
+    partial-agg MIN by shingle; the join back is hash-equi on the
+    shingle (uniform md5-able key, no skew); one groupBy(doc_id)
+    finishes.  Integer basis points, no floats."""
+    g = _corpus_shingles(spark, sf_dir)
+    first = g.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(10000 * n_novel) div n_grams").alias("novelty_bp"),
+        )
+    )
+
+
+@register(
+    "q_session_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    ),
+    per AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_s
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
+    FROM per GROUP BY user_id
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30-minute inactivity
+    gap) with per-user session statistics — the batch twin of the
+    streaming applyInPandasWithState sessionizer
+    (streaming/pipeline.py) and the auditable base truth for it.
+
+    Boundary semantics: an event EXACTLY 30 minutes after its
+    predecessor continues the session (is_new only when gap is
+    STRICTLY greater) — stated explicitly in both engines' CASE.
+
+    100 TB plan: everything partitions by user_id — the lag window,
+    the running-sum session numbering, and both aggregations reuse ONE
+    hash partitioning (no global windows anywhere); session
+    durations are integer seconds."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    m = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = m.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("dur_s"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum("dur_s").cast("long").alias("total_dur_s"),
+    )
+
+
+@register(
+    "q_anomaly_days",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, day
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.cnt
+    FROM d JOIN g USING (event_type)
+    WHERE n_days >= 2
+      AND (n_days * cnt - s) * (n_days * cnt - s)
+          * (n_days - 1)
+          > 4 * n_days * (n_days * ss - s * s)
+    """,
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags per event type: days whose count
+    deviates from the type's mean by more than 2 sample standard
+    deviations — the pipeline-health monitor for ingestion streams.
+
+    The z-score test is ALL-INTEGER: with n days, sum s, sum-of-
+    squares ss, the condition |cnt - s/n| > 2 * sqrt((ss - s^2/n)/(n-1))
+    multiplies through to (n*cnt - s)^2 * (n-1) > 4 * n * (n*ss - s^2)
+    — exact BIGINT arithmetic, no sqrt, no float, engine-identical.
+    (Bounds: daily counts ~1e6 -> n*cnt ~ 3e8, squared 1e17 * n ~ 4e19
+    exceeds int64 at extreme volumes — production swaps to
+    DECIMAL(38,0); fixture magnitudes are far inside.)
+
+    100 TB plan: one partial-agg count by (type, day), a per-type
+    stats agg over the tiny day table, broadcast join back — nothing
+    heavier than the daily rollup ever shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    g = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ss"),
+    )
+    dev = F.col("n_days") * F.col("cnt") - F.col("s")
+    return (
+        d.join(F.broadcast(g), "event_type")
+        .filter(
+            (F.col("n_days") >= 2)
+            & (
+                dev * dev * (F.col("n_days") - 1)
+                > 4 * F.col("n_days") * (F.col("n_days") * F.col("ss") - F.col("s") * F.col("s"))
+            )
+        )
+        .select("event_type", "day", "cnt")
+    )
