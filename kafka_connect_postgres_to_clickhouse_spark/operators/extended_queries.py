@@ -2706,3 +2706,352 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "day", "cnt")
     )
+
+
+# --- wave 9 (round 2) -------------------------------------------------------
+
+
+@register(
+    "q_window_ignore_nulls",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pval
+      FROM events
+    )
+    SELECT event_id, user_id,
+           last_value(pval IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value,
+           nth_value(pval, 1 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_purchase_value
+    FROM v
+    """,
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: for every event, the user's most
+    recent and first purchase amount so far — the sparse-attribute
+    carry-forward (LOCF over a DERIVED null pattern, complementing
+    q_gap_fill's dense grid).
+
+    100 TB plan: one window partitioned by user_id (hash-partitioned,
+    no global ordering), both navigations share the frame; values are
+    pass-through doubles (hash-safe).  Spark's last(ignorenulls=True)
+    and nth_value(ignoreNulls=True) compile to the same
+    UnboundedPreceding frame as the oracle's IGNORE NULLS clauses."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return v.select(
+        "event_id",
+        "user_id",
+        F.last("pval", ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.nth_value("pval", 1, ignoreNulls=True).over(w).alias("first_purchase_value"),
+    )
+
+
+@register(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP)
+             AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS TIMESTAMP)
+             AS quarter_start,
+           CAST(isodow(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_dow,
+           CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week
+    FROM orders
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic surface parity: month addition with
+    end-of-month clamping (add_months: Jan 31 + 1mo = Feb 28 in BOTH
+    engines), last_day, quarter truncation, ISO day-of-week/week
+    numbers, day-of-year — the date dimension builder for reporting
+    sinks (reference setup.sh:46 maps timestamps; this is the derived
+    calendar both sides agree on).
+
+    100 TB plan: pure per-row expressions over one scan — no shuffle,
+    fully codegen'd.  Spark's weekday() is 0=Monday, so iso_dow =
+    weekday+1 matches DuckDB's isodow exactly; weekofyear is ISO in
+    both.  Date results are emitted as midnight TIMESTAMPs on both
+    sides: Spark's toPandas renders DATE as python date objects while
+    DuckDB renders datetime64, and value-hashers don't canonicalize
+    across that pair."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.cast("timestamp").alias("order_date"),
+        F.add_months(d, 3).cast("timestamp").alias("due_date"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").cast("timestamp").alias("quarter_start"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+    )
+
+
+@register(
+    "q_num_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS pallets,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS full_pallets,
+           CAST(l_orderkey % 97 AS BIGINT) AS shard,
+           CAST((((l_partkey - 2 * l_suppkey) % 13) + 13) % 13 AS BIGINT) AS pmod13,
+           CAST(sign(l_quantity - 25) AS BIGINT) AS over_median,
+           CAST(greatest(l_partkey, l_suppkey) AS BIGINT) AS hi_key,
+           CAST(least(l_partkey, l_suppkey) AS BIGINT) AS lo_key,
+           abs(CAST(round(l_extendedprice * 100) AS BIGINT) - 5000000) AS cents_from_50k
+    FROM lineitem
+    """,
+)
+def q_num_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar-function parity: ceil/floor division, modulo
+    sharding, POSITIVE modulo of a signed expression (the ((a%b)+b)%b
+    identity — Spark's pmod spelled portably), sign, greatest/least,
+    and integer abs — the building blocks of partitioning/bucketing
+    expressions.
+
+    100 TB plan: per-row expressions, one codegen'd scan, no shuffle.
+    ceil/floor operate on integral-valued quantities divided by an
+    integer constant — exact in double, identical in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    signed = F.col("l_partkey") - 2 * F.col("l_suppkey")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ceil(F.col("l_quantity") / 7).cast("long").alias("pallets"),
+        F.floor(F.col("l_quantity") / 7).cast("long").alias("full_pallets"),
+        (F.col("l_orderkey") % 97).cast("long").alias("shard"),
+        (((signed % 13) + 13) % 13).cast("long").alias("pmod13"),
+        F.signum(F.col("l_quantity") - 25).cast("long").alias("over_median"),
+        F.greatest("l_partkey", "l_suppkey").cast("long").alias("hi_key"),
+        F.least("l_partkey", "l_suppkey").cast("long").alias("lo_key"),
+        F.abs(
+            F.round(F.col("l_extendedprice") * 100).cast("long") - 5000000
+        ).alias("cents_from_50k"),
+    )
+
+
+_HEXPOS = "instr('0123456789abcdef', substring({h}, {i}, 1)) - 1"
+
+
+def _hex_bucket_sql(h: str, nchars: int) -> str:
+    """Portable hex-prefix -> integer bucket (both engines lack a shared
+    hex-to-int cast; position arithmetic over the hex alphabet is
+    engine-identical)."""
+    terms = []
+    for i in range(1, nchars + 1):
+        terms.append(f"({_HEXPOS.format(h=h, i=i)}) * {16 ** (nchars - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hex_bucket_col(h, nchars: int):
+    acc = None
+    for i in range(1, nchars + 1):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        term = digit * (16 ** (nchars - i))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@register(
+    "q_cms_freq",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    rows_ AS (
+      SELECT w, j,
+             {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || ':' || w)", 2)} AS bucket
+      FROM toks, UNNEST([0, 1, 2, 3]) AS u(j)
+    ),
+    cms AS (SELECT j, bucket, COUNT(*) AS cell FROM rows_ GROUP BY j, bucket),
+    probes AS (SELECT unnest(['join', 'spark', 'window', 'scan', 'zzz_absent']) AS w),
+    pb AS (
+      SELECT w, j,
+             {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || ':' || w)", 2)} AS bucket
+      FROM probes, UNNEST([0, 1, 2, 3]) AS u(j)
+    ),
+    est AS (
+      SELECT pb.w, MIN(COALESCE(cms.cell, 0)) AS cms_est
+      FROM pb LEFT JOIN cms ON pb.j = cms.j AND pb.bucket = cms.bucket
+      GROUP BY pb.w
+    ),
+    truth AS (SELECT w, COUNT(*) AS true_cnt FROM toks GROUP BY w)
+    SELECT est.w AS w, COALESCE(truth.true_cnt, 0) AS true_cnt, est.cms_est
+    FROM est LEFT JOIN truth ON est.w = truth.w
+    """,
+)
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (depth 4, width 256,
+    md5-derived row hashes): build the sketch over the corpus token
+    stream, then point-estimate five probe words (including one absent
+    word) against exact truth — the bounded-memory frequency primitive
+    for streams where an exact vocabulary count can't be held.
+
+    CMS guarantees est >= truth; the overestimate shrinks with width.
+    Everything is deterministic integer arithmetic: buckets come from
+    hex-position arithmetic over md5 prefixes (identical in both
+    engines), cells are COUNT(*)s, the estimate is a MIN over 4 cells.
+
+    100 TB plan: the sketch is ONE partial agg over a 4x-expanded
+    token stream into at most 4*256 cells (the classic
+    sketch-then-merge shape: per-partition sketches combine by cell
+    addition — exactly what partial aggregation does); probes join the
+    1024-row sketch broadcast-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    seeds = F.array([F.lit(j) for j in range(4)])
+    rows = toks.select(
+        "w", F.explode(seeds).alias("j")
+    ).select(
+        "w",
+        "j",
+        _hex_bucket_col(
+            F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("w"))), 2
+        ).alias("bucket"),
+    )
+    cms = rows.groupBy("j", "bucket").agg(F.count("*").alias("cell"))
+    probe_words = ["join", "spark", "window", "scan", "zzz_absent"]
+    probes = spark.createDataFrame([(w,) for w in probe_words], ["w"])
+    pb = probes.select(
+        "w", F.explode(seeds).alias("j")
+    ).select(
+        "w",
+        "j",
+        _hex_bucket_col(
+            F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("w"))), 2
+        ).alias("bucket"),
+    )
+    est = (
+        pb.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy("w")
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cms_est"))
+    )
+    truth = toks.groupBy("w").agg(F.count("*").alias("true_cnt"))
+    return (
+        est.join(truth, "w", "left")
+        .select("w", F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"), "cms_est")
+    )
+
+
+@register(
+    "q_bloom_membership",
+    oracle=f"""
+    WITH train AS (
+      SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE source = 'src0'
+    ),
+    bits AS (
+      SELECT DISTINCT {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || '#' || w)", 3)} AS bit
+      FROM train, UNNEST([0, 1, 2]) AS u(j)
+    ),
+    test AS (
+      SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE source = 'src1'
+    ),
+    tb AS (
+      SELECT w, {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || '#' || w)", 3)} AS bit
+      FROM test, UNNEST([0, 1, 2]) AS u(j)
+    ),
+    hits AS (
+      SELECT tb.w, COUNT(*) AS n_set
+      FROM tb JOIN bits ON tb.bit = bits.bit
+      GROUP BY tb.w
+    ),
+    verdicts AS (
+      SELECT test.w,
+             CASE WHEN COALESCE(hits.n_set, 0) = 3 THEN 1 ELSE 0 END AS bloom_member,
+             CASE WHEN train2.w IS NOT NULL THEN 1 ELSE 0 END AS true_member
+      FROM test LEFT JOIN hits ON test.w = hits.w
+                LEFT JOIN train train2 ON test.w = train2.w
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tested,
+           CAST(SUM(true_member) AS BIGINT) AS n_true_members,
+           CAST(SUM(bloom_member) AS BIGINT) AS n_bloom_members,
+           CAST(SUM(CASE WHEN bloom_member = 1 AND true_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN bloom_member = 0 AND true_member = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives
+    FROM verdicts
+    """,
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (m=4096 bits, k=3 md5-derived hashes):
+    build the filter over src0's vocabulary, probe src1's vocabulary,
+    and report hit/false-positive counts against exact truth — the
+    bounded-memory membership primitive (join pre-filtering,
+    decontamination prescreens).  False negatives must be ZERO by
+    construction; the query proves it.
+
+    100 TB plan: the bit set is a DISTINCT aggregate into at most 4096
+    rows (per-partition bitmaps OR-merge — again the partial-agg
+    shape) that BROADCASTS to the probe side; probes are 3 narrow
+    hash-joins against it; everything integer, deterministic,
+    engine-identical via hex-position bucket arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    seeds = F.array([F.lit(j) for j in range(3)])
+
+    def vocab(src: str) -> DataFrame:
+        return (
+            d.filter(F.col("source") == src)
+            .select(F.explode(tokens(F.col("text"))).alias("w"))
+            .distinct()
+        )
+
+    def bit_rows(df: DataFrame) -> DataFrame:
+        return df.select("w", F.explode(seeds).alias("j")).select(
+            "w",
+            _hex_bucket_col(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit("#"), F.col("w"))), 3
+            ).alias("bit"),
+        )
+
+    train = vocab("src0")
+    bits = bit_rows(train).select("bit").distinct()
+    test = vocab("src1")
+    tb = bit_rows(test)
+    hits = (
+        tb.join(F.broadcast(bits), "bit")
+        .groupBy("w")
+        .agg(F.count("*").alias("n_set"))
+    )
+    verdicts = (
+        test.join(hits, "w", "left")
+        .join(
+            train.select(F.col("w").alias("tw")),
+            F.col("w") == F.col("tw"),
+            "left",
+        )
+        .select(
+            F.when(F.coalesce(F.col("n_set"), F.lit(0)) == 3, 1)
+            .otherwise(0)
+            .alias("bloom_member"),
+            F.when(F.col("tw").isNotNull(), 1).otherwise(0).alias("true_member"),
+        )
+    )
+    return verdicts.agg(
+        F.count("*").alias("n_tested"),
+        F.sum("true_member").cast("long").alias("n_true_members"),
+        F.sum("bloom_member").cast("long").alias("n_bloom_members"),
+        F.sum(
+            F.when((F.col("bloom_member") == 1) & (F.col("true_member") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_false_positives"),
+        F.sum(
+            F.when((F.col("bloom_member") == 0) & (F.col("true_member") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_false_negatives"),
+    )

@@ -41,6 +41,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     def canon(v):
         if isinstance(v, float):
             return round(v, 9)
+        if type(v).__name__ == "date":  # datetime.date (Spark DATE cols)
+            return pd.Timestamp(v)
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return tuple(canon(x) for x in v)
         if isinstance(v, dict):
