@@ -3055,3 +3055,293 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("bloom_member") == 0) & (F.col("true_member") == 1), 1).otherwise(0)
         ).cast("long").alias("n_false_negatives"),
     )
+
+
+# --- wave 10 (round 2): TPC-H completion ------------------------------------
+# With Q8/Q15/Q17/Q21 below, every TPC-H query expressible on the fixture
+# schema is covered (1,3,4,5,6,7,8,10,12,13,14,15,17,18,19,21,22 — the five
+# absent ones, 2/9/11/16/20, all require the partsupp table the fixtures
+# don't ship).
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v4,
+             n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v4 ELSE 0 END) AS DOUBLE)
+             / SUM(v4) AS mkt_share,
+           COUNT(*) AS n_items
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of
+    AMERICA-region PROMO-part revenue by order year — the deepest
+    snowflake in the suite (8 relations, two independent nation
+    dimensions).
+
+    100 TB plan: every dimension chain collapses BEFORE the facts —
+    region→nation→customer broadcasts onto orders, part (filtered to
+    PROMO) and supplier→nation broadcast onto lineitem — so the only
+    big shuffle is the single lineitem⋈orders orderkey join; the
+    share is a ratio of two exact scaled sums in one partial agg."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cnk"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("cnk")
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("snk")
+    ).select("s_suppkey", "supp_nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    v4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select("o_year", "supp_nation", v4.alias("v4"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v4")).otherwise(0))
+                .cast("double")
+                / F.sum("v4")
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                  AS BIGINT) AS total4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total4 AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier, rev
+    WHERE s_suppkey = l_suppkey
+      AND total4 = (SELECT MAX(total4) FROM rev)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    revenue — the view-plus-scalar-max shape (ties kept, not top-1).
+
+    100 TB plan: revenue per supplier is one partial agg off the
+    quarter-pruned scan; the scalar MAX is a 1-row broadcast joined
+    map-side; the equality compare happens on the EXACT scaled-BIGINT
+    total (a double-rendered revenue could split ties); supplier
+    attributes broadcast."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    v4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    rev = l.groupBy("l_suppkey").agg(F.sum(v4).cast("long").alias("total4"))
+    mx = rev.agg(F.max("total4").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("total4").cast("double") / 10000).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / 7
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem, part, pq
+    WHERE p_partkey = l_partkey AND pk = l_partkey
+      AND p_brand = 'Brand#3'
+      AND CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sum_q
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines of Brand#3 parts
+    whose quantity is below 20%% of that part's average — the
+    correlated-scalar-subquery-decorrelated-to-aggregate-join shape.
+
+    100 TB plan: the per-part average becomes ONE partial agg keyed by
+    partkey (never a correlated probe); the threshold compare
+    multiplies through to INTEGER arithmetic (qty*5*cnt < sum) — no
+    float average, no tie ambiguity; the part filter broadcasts.  The
+    fact shuffles once on partkey to meet the aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    qint = F.round(F.col("l_quantity")).cast("long")
+    pq = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qint).cast("long").alias("sum_q"), F.count("*").alias("cnt")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(pq, F.col("l_partkey") == F.col("pk"))
+        .filter(qint * 5 * F.col("cnt") < F.col("sum_q"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+                / 100
+                / 7
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    WITH fo AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ),
+    ls AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    od AS (
+      SELECT l_orderkey, COUNT(*) AS ns, CAST(SUM(is_late) AS BIGINT) AS nls
+      FROM ls GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM ls JOIN od USING (l_orderkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+    WHERE is_late = 1 AND ns > 1 AND nls = 1 AND n_name = 'NATION_5'
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) shape: suppliers
+    from NATION_5 who were the ONLY late supplier on a multi-supplier
+    finalized order.  The published EXISTS / NOT EXISTS pair over
+    lineitem is algebraized into per-(order, supplier) lateness flags
+    plus per-order counts — the same result set, but expressible as
+    pure aggregates (and the form both engines compute identically;
+    lateness = shipped > 30 days after order date, as in q_tpch_q4).
+
+    100 TB plan: the status filter prunes orders before their single
+    broadcast onto lineitem; the flag table and per-order counts
+    REUSE one orderkey partitioning (two stacked partial aggs, no
+    second fact scan for the EXISTS arms — the published form would
+    scan lineitem three times); supplier/nation broadcast at the
+    end."""
+    fo = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), 1
+    ).otherwise(0)
+    ls = (
+        l.join(F.broadcast(fo), l["l_orderkey"] == fo["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    od = ls.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("ns"), F.sum("is_late").cast("long").alias("nls")
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        ls.join(od, ls["l_orderkey"] == od["ok"])
+        .filter((F.col("is_late") == 1) & (F.col("ns") > 1) & (F.col("nls") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "q_blocklist",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                ['slow', 'error', 'fail'])) AS n_hits
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           (10000 * CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT))
+             // COUNT(*) AS flagged_bp,
+           CAST(SUM(n_hits) AS BIGINT) AS total_distinct_hits
+    FROM d GROUP BY source
+    """,
+)
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-term filtering audit: per source, how many documents
+    contain any of a (tiny, broadcastable) flagged-term list and how
+    many distinct flagged terms they hit — the lexicon-based content
+    filter every curation pipeline runs (PII / toxicity / spam lists
+    scale the same way: list in memory, one scan).
+
+    100 TB plan: the intersect is a per-row array expression against a
+    LITERAL array (no join at all — the degenerate best case of a
+    broadcast); one partial agg by source.  Distinct-token
+    intersection on both sides (Spark array_intersect de-duplicates;
+    the oracle applies list_distinct explicitly)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = F.array(F.lit("slow"), F.lit("error"), F.lit("fail"))
+    n_hits = F.size(F.array_intersect(F.array_distinct(tokens(F.col("text"))), terms))
+    flagged = F.when(F.col("n_hits") > 0, 1).otherwise(0)
+    return (
+        d.select("source", n_hits.alias("n_hits"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+            F.sum("n_hits").cast("long").alias("total_distinct_hits"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            F.expr("(10000 * n_flagged) div n_docs").alias("flagged_bp"),
+            "total_distinct_hits",
+        )
+    )
