@@ -3345,3 +3345,200 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_distinct_hits",
         )
     )
+
+
+# --- wave 11 (round 2) ------------------------------------------------------
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                        IGNORE NULLS) OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+                        IGNORE NULLS) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+      SELECT CASE WHEN touch_ts IS NOT NULL
+                       AND date_diff('second', touch_ts, ts) <= 3600
+                  THEN touch_type ELSE 'none' END AS channel,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM t WHERE event_type = 'purchase'
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS revenue
+    FROM p GROUP BY channel
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent view/click within the preceding hour (else 'none'),
+    and revenue totals roll up per channel — the standard event-stream
+    marketing attribution shape.
+
+    The carry-forward uses TWO last_value(IGNORE NULLS) columns over
+    the same 1-PRECEDING frame; they null out on exactly the same rows,
+    so they always describe the same touch event — no struct carry
+    needed, and the frame excludes the purchase row itself.
+
+    100 TB plan: one window partitioned by user_id, then one partial
+    agg over 3 channels; purchase values quantize to exact cents
+    before summing (events.value is 2dp-semantic but not exactly
+    representable — a raw double SUM would be order-dependent)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("view", "click")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    t = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    p = t.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (
+                F.unix_timestamp("ts") - F.unix_timestamp("touch_ts") <= 3600
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise("none")
+        .alias("channel"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return p.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        (F.sum("cents").cast("double") / 100).alias("revenue"),
+    )
+
+
+@register(
+    "q_span_self_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS arr FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(arr) // 10 AS n_spans,
+             len(list_distinct(list_transform(range(len(arr) // 10),
+                 i -> array_to_string(arr[(10 * i + 1):(10 * i + 10)], ' '))))
+               AS n_unique
+      FROM t WHERE len(arr) // 10 > 0
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           (10000 * CAST(n_spans - n_unique AS BIGINT)) // CAST(n_spans AS BIGINT)
+             AS self_rep_bp
+    FROM s
+    """,
+)
+def q_span_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document span repetition: the fraction of a doc's
+    disjoint 10-token spans that are copies of an earlier span in the
+    SAME doc — the looping/stuttering-generation signal (Gopher's
+    duplicate-paragraph fraction; complements q_repetition's trigram
+    granularity and q_span_dedup's cross-doc scope).
+
+    100 TB plan: pure per-row array expressions — span slicing,
+    distinct, counting all happen inside the row; NO shuffle, NO
+    explode, nothing but a codegen'd scan.  The ideal operator
+    shape."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", tokens(F.col("text")).alias("arr"))
+        .withColumn("n_spans", F.expr("size(arr) div 10"))
+        .filter(F.col("n_spans") > 0)
+    )
+    spans = F.expr(
+        "transform(sequence(0, n_spans - 1), i -> concat_ws(' ', slice(arr, i * 10 + 1, 10)))"
+    )
+    s = t.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.size(F.array_distinct(spans)).cast("long").alias("n_unique"),
+    )
+    return s.select(
+        "doc_id",
+        "n_spans",
+        "n_unique",
+        F.expr("(10000 * (n_spans - n_unique)) div n_spans").alias("self_rep_bp"),
+    )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    ),
+    tri AS (
+      SELECT unnest(list_transform(generate_series(1, len(path) - 2),
+                    i -> path[i] || '>' || path[i+1] || '>' || path[i+2])) AS p3
+      FROM seq WHERE len(path) >= 3
+    )
+    SELECT p3, COUNT(*) AS n_occurrences
+    FROM tri GROUP BY p3
+    ORDER BY n_occurrences DESC, p3 LIMIT 20
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the corpus's 20 most common 3-step
+    event-type sequences (view>click>purchase, ...) — the journey-
+    analysis shape that needs per-entity ORDERED reassembly before
+    n-gramming.
+
+    Determinism: the per-user sequence is rebuilt by sorting collected
+    (ts, event_id, type) structs — a total order — matching the
+    oracle's ORDER BY ts, event_id list aggregate.
+
+    100 TB plan: ONE shuffle groups events by user (per-user arrays
+    are bounded by per-user activity, not corpus size); path
+    trigramming is a per-row slice-zip (functions/text.py idiom); the
+    final count is a partial agg over |event_types|^3 possible keys
+    with a TakeOrdered top-20."""
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.select("user_id", F.struct("ts", "event_id", "event_type").alias("rec"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("rec")).alias("recs"))
+        .select(F.expr("transform(recs, r -> r.event_type)").alias("path"))
+        .filter(F.size("path") >= 3)
+    )
+    win = F.greatest(F.size("path") - 2, F.lit(0))
+    tri = seq.select(
+        F.explode(
+            F.zip_with(
+                F.slice("path", 1, win),
+                F.zip_with(
+                    F.slice(F.col("path"), 2, win),
+                    F.slice(F.col("path"), 3, win),
+                    lambda b, c: F.concat_ws(">", b, c),
+                ),
+                lambda a, bc: F.concat_ws(">", a, bc),
+            )
+        ).alias("p3")
+    )
+    return (
+        tri.groupBy("p3")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("p3"))
+        .limit(20)
+    )
