@@ -60,42 +60,55 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Keys pulled to the front of the post-analytics/window block — every
-# key WITHOUT a green driver entry in CORRECTNESS_r01: the two r1
-# hash-FAILs (fixed this round — their green entry is the proof), the
-# two new wire-format queries, and the 11 relational-tail keys past
-# r1's 50-entry cutoff.  35 analytics/window + these 15 = exactly 50,
-# so a 50-entry driver window covers every previously-unverified key;
-# the 48 r1-green pipeline/relational keys ride behind (stable, re-
-# verified locally via tools/check_oracle.py every round).
-_PRIORITY_KEYS = [
-    "q_typemap_roundtrip",
-    "q_key_envelope",
-    "q_agg_basic",
-    "q_rollup",
-    "q_pivot",
-    "q_agg_minmax_by",
-    "q_median",
-    "q_in_between",
-    "q_ntile",
-    "q_window_frame_range",
-    "q_agg_filter",
-    "q_unpivot",
-    "q_first_last",
-    "q_skew_salted",
-    "q_distinct_sketch",
-]
+def _driver_green_keys() -> set[str]:
+    """Keys already hash-proven by a PAST driver round.
+
+    The driver writes CORRECTNESS_r{N}.json into the repo root each
+    round but covers only a bounded registry prefix per round, so the
+    registry self-rotates: keys with a recorded green entry yield the
+    front of the ordering to keys still awaiting one.  (A key that
+    regressed to hash_match=false re-enters the priority front
+    automatically.)
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    red: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                green.add(key)
+                red.discard(key)
+            else:
+                red.add(key)
+                green.discard(key)
+    return green - red
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
+    """Registry in driver-priority order: unproven keys first.
+
+    Within each half the original registration order is kept (stable,
+    documented in SURVEY.md section 2.8); across rounds the front
+    shrinks as CORRECTNESS artifacts accumulate, giving every key a
+    driver-green entry after ceil(N / window) rounds regardless of the
+    driver's per-round coverage cap.
+    """
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    front = [
-        k
-        for k, s in REGISTRY.items()
-        if s.fn.__module__.rsplit(".", 1)[-1] in ("analytics_queries", "window_queries")
-    ]
-    ordered = front + [k for k in _PRIORITY_KEYS if k not in front] + [
-        k for k in REGISTRY if k not in front and k not in _PRIORITY_KEYS
-    ]
+    proven = _driver_green_keys()
+    unproven = [k for k in REGISTRY if k not in proven]
+    ordered = unproven + [k for k in REGISTRY if k in proven]
     return {k: REGISTRY[k] for k in ordered}
