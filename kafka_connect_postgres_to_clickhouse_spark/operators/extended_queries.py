@@ -3542,3 +3542,114 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("p3"))
         .limit(20)
     )
+
+
+# --- wave 12 (round 2) ------------------------------------------------------
+
+
+@register(
+    "q_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator surface: rollup rows tagged with which
+    grouping columns are aggregated away — the disambiguator between a
+    genuine NULL key and a subtotal row (q_rollup leaves that implicit;
+    BI layers need the flags).
+
+    100 TB plan: Spark expands rollup into one Expand + partial agg —
+    the flags are free metadata, no extra pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty")
+    )
+
+
+@register(
+    "q_monthly_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY month
+    )
+    SELECT month,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(cents - lag(cents) OVER (ORDER BY month) AS DOUBLE)
+             / lag(cents) OVER (ORDER BY month) AS mom_growth
+    FROM m
+    """,
+)
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reporting staple that
+    stacks a lag window on a time rollup (first month NULL growth).
+
+    100 TB plan: the rollup collapses the fact table to ~tens of month
+    rows in one partial agg; the unpartitioned lag window then runs
+    over that TINY aggregate (a deliberate, bounded exception to the
+    no-global-window rule — |months|, not |orders|); the growth ratio
+    divides two exact cent BIGINTs."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    lag = F.lag("cents").over(W.orderBy("month"))
+    return m.select(
+        "month",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        ((F.col("cents") - lag).cast("double") / lag).alias("mom_growth"),
+    )
+
+
+@register(
+    "q_copurchase",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often bought
+    in the same order — the association-mining primitive (and the text
+    co-occurrence shape in disguise).
+
+    100 TB plan: distinct (order, part) first (one partial agg —
+    dedups multi-line items BEFORE pairing), then a self equi-join on
+    orderkey whose output is bounded by sum(basket_size^2) per order —
+    baskets are small and bounded, never corpus-sized (a hot basket
+    would salt-split); the pair count partial-aggregates and top-20 is
+    TakeOrdered.  The a<b canonicalization halves the pair space and
+    makes rows unique."""
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
