@@ -3653,3 +3653,148 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --- wave 13 (round 2) ------------------------------------------------------
+
+
+@register(
+    "q_text_embed_join",
+    oracle="""
+    WITH j AS (
+      SELECT d.doc_id, d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    s AS (
+      SELECT lang, t.k,
+             SUM(CAST(round(CAST(embedding[t.k] AS DOUBLE) * 1000000000) AS BIGINT)) AS s,
+             COUNT(*) AS cnt
+      FROM j, unnest(generate_series(1, len(embedding))) t(k)
+      GROUP BY lang, t.k
+    ),
+    c AS (
+      SELECT lang, list(CAST(s AS DOUBLE) / cnt / 1000000000.0 ORDER BY k) AS cvec
+      FROM s GROUP BY lang
+    ),
+    scored AS (
+      SELECT j.doc_id, j.lang,
+             SUM(CAST(round(CAST(j.embedding[t.k] AS DOUBLE) * c.cvec[t.k]
+                            * 1000000000) AS BIGINT)) AS dot,
+             SUM(CAST(round(CAST(j.embedding[t.k] AS DOUBLE)
+                            * CAST(j.embedding[t.k] AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS n2e,
+             SUM(CAST(round(c.cvec[t.k] * c.cvec[t.k] * 1000000000) AS BIGINT)) AS n2c
+      FROM j JOIN c USING (lang),
+           unnest(generate_series(1, len(j.embedding))) t(k)
+      GROUP BY j.doc_id, j.lang
+    )
+    SELECT doc_id, lang,
+           CAST(round(CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(n2e AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS centroid_cos_scaled
+    FROM scored
+    """,
+)
+def q_text_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: documents ⋈ embeddings on doc_id = vec_id,
+    scoring each document's embedding against its LANGUAGE's mean
+    embedding — the text↔vector outlier audit (a doc far from its
+    language centroid is mislabeled, mis-embedded, or code-switched).
+
+    100 TB plan: the modality join is a plain equi-join on the shared
+    key (both sides bucket by it at scale); centroids are one
+    (lang x dim) partial agg that broadcasts back; scoring is a narrow
+    per-row pass (functions/vectors.py scaled-integer dot/norms, the
+    cosine's IEEE sequence identical in both engines, quantized to
+    1e-6 for the hash)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = d.join(e, d["doc_id"] == e["vec_id"]).select("doc_id", "lang", "embedding")
+    per_dim = (
+        j.select("lang", F.posexplode("embedding").alias("k0", "x"))
+        .groupBy("lang", "k0")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * SCALE).cast("long")).alias("s"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    cents = per_dim.groupBy("lang").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k0", "s", "cnt"))),
+            lambda t: t["s"].cast("double") / t["cnt"] / F.lit(1_000_000_000.0),
+        ).alias("cvec")
+    )
+    from ..functions.vectors import dot_scaled, norm2_scaled
+
+    scored = j.join(F.broadcast(cents), "lang").select(
+        "doc_id",
+        "lang",
+        dot_scaled(F.col("embedding"), F.col("cvec")).alias("dot"),
+        norm2_scaled(F.col("embedding")).alias("n2e"),
+        norm2_scaled(F.col("cvec")).alias("n2c"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("n2e").cast("double")) * F.sqrt(F.col("n2c").cast("double")))
+            * 1000000
+        )
+        .cast("long")
+        .alias("centroid_cos_scaled"),
+    )
+
+
+@register(
+    "q_len_token_corr",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(n_chars AS BIGINT) AS a,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+      FROM documents
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a * b) AS BIGINT) AS sab,
+             CAST(SUM(a * a) AS BIGINT) AS saa,
+             CAST(SUM(b * b) AS BIGINT) AS sbb
+      FROM x
+    )
+    SELECT n AS n_docs,
+           CAST(n * sab - sa * sb AS DOUBLE)
+             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS pearson_r
+    FROM m
+    """,
+)
+def q_len_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation between character length and token
+    count — the data-profiling correlation primitive, computed the
+    scale-correct way: five BIGINT sums in ONE partial-agg pass (no
+    centering pass, no double accumulation), with the final r as one
+    IEEE expression over exact integers.
+
+    100 TB plan: a single scan reduced map-side to one 6-number row;
+    numerically exact regardless of partitioning or row order —
+    contrast with naive corr() implementations whose running double
+    sums drift and depend on partition order."""
+    d = load_table(spark, sf_dir, "documents")
+    x = d.select(
+        F.col("n_chars").cast("long").alias("a"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("b"),
+    )
+    m = x.agg(
+        F.count("*").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    )
+    return m.select(F.col("n").alias("n_docs"), (num / den).alias("pearson_r"))
