@@ -3798,3 +3798,137 @@ def q_len_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
     )
     return m.select(F.col("n").alias("n_docs"), (num / den).alias("pearson_r"))
+
+
+# --- wave 14 (round 2): CDC-adjacent maintenance ops ------------------------
+
+from .pipeline_queries import CHANGELOG_CTE, _changelog  # noqa: E402
+
+
+@register(
+    "q_incremental_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+    FROM events GROUP BY day
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained daily rollup: a BASE aggregate built
+    from history (ts < 2024-01-20) merged with a DELTA aggregate of
+    late-arriving rows — the Spark expression of the reference sink's
+    materialized-view pattern (ClickHouse continuous aggregates /
+    SummingMergeTree): never recompute history, re-aggregate partial
+    states.
+
+    The ORACLE is the direct full recompute, so the hash gate PROVES
+    merged-incremental == recomputed — the invariant that makes
+    incremental maintenance trustworthy.
+
+    100 TB plan: base and delta are independent partial aggs (the base
+    would be a stored table in production; counts and cent-sums are
+    mergeable states), the merge is a re-aggregation of (days x 2)
+    tiny rows — unionByName + one groupBy, no fact re-scan of
+    history."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+            F.count("*").alias("n_events"), F.sum(cents).alias("cents")
+        )
+
+    base = rollup(e.filter(F.col("ts") < cutoff))
+    delta = rollup(e.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("cents").alias("cents"))
+        .select(
+            "day", "n_events", (F.col("cents").cast("double") / 100).alias("total_value")
+        )
+    )
+
+
+@register(
+    "q_scd2_asof",
+    oracle=f"""
+    {CHANGELOG_CTE},
+    v AS (
+      SELECT *, lead(updated_at) OVER (
+        PARTITION BY user_id ORDER BY updated_at, _seq) AS valid_to
+      FROM changelog
+    )
+    SELECT user_id, username, account_type, updated_at AS valid_from
+    FROM v
+    WHERE op <> 'd'
+      AND updated_at <= TIMESTAMP '2024-01-15'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+    """,
+)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) lookup over the SCD2 history: the
+    state of every key AS OF 2024-01-15 — what the LWW sink looked
+    like at a past instant, recoverable only because q_scd2 keeps
+    versions the reference's ReplacingMergeTree collapses.
+
+    Interval semantics [valid_from, valid_to): an update AT the
+    as-of instant is visible; its predecessor is not.  Delete events
+    close intervals but never produce rows, so a key whose last
+    pre-T event is a delete correctly vanishes from the as-of view.
+
+    100 TB plan: one per-key window (same partitioning as every other
+    changelog op), then a pure filter — at scale the valid_from/
+    valid_to pair is exactly what partition-pruned time-travel reads
+    index on."""
+    from pyspark.sql import Window as W
+
+    t = F.lit("2024-01-15").cast("timestamp")
+    log = _changelog(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("updated_at", "_seq")
+    v = log.withColumn("valid_to", F.lead("updated_at").over(w))
+    return (
+        v.filter(F.col("op") != "d")
+        .filter(
+            (F.col("updated_at") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        .select(
+            "user_id", "username", "account_type", F.col("updated_at").alias("valid_from")
+        )
+    )
+
+
+@register(
+    "q_key_churn",
+    oracle=f"""
+    {CHANGELOG_CTE}
+    SELECT user_id,
+           CAST(SUM(CASE WHEN op <> 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+           CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           MIN(updated_at) AS first_seen,
+           MAX(updated_at) AS last_updated,
+           COUNT(DISTINCT account_type) AS n_distinct_types
+    FROM changelog GROUP BY user_id
+    """,
+)
+def q_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key churn audit over the raw changelog: upsert/delete
+    volumes, first/last activity, and value diversity per key — the
+    CDC operational dashboard (hot keys dominate merge cost in a
+    ReplacingMergeTree sink; this is the query that finds them before
+    they hurt).
+
+    100 TB plan: ONE partial agg keyed by the changelog key — the
+    same partitioning the upsert path already imposes; no window, no
+    join."""
+    log = _changelog(spark, sf_dir)
+    return log.groupBy("user_id").agg(
+        F.sum(F.when(F.col("op") != "d", 1).otherwise(0)).cast("long").alias("n_upserts"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).cast("long").alias("n_deletes"),
+        F.min("updated_at").alias("first_seen"),
+        F.max("updated_at").alias("last_updated"),
+        F.countDistinct("account_type").alias("n_distinct_types"),
+    )
