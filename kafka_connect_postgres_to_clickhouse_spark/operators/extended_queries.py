@@ -3932,3 +3932,143 @@ def q_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("updated_at").alias("last_updated"),
         F.countDistinct("account_type").alias("n_distinct_types"),
     )
+
+
+# --- wave 15 (round 2): error-path, compliance, multimodal planning ---------
+
+from ..operators.envelope import build_envelope_json, parse_envelope  # noqa: E402
+from .pipeline_queries import REPLAY_SQL  # noqa: E402
+
+
+@register(
+    "q_dlq_stats",
+    oracle=f"""
+    {CHANGELOG_CTE}
+    SELECT CASE WHEN _seq % 97 = 0 THEN 'truncated_json'
+                WHEN _seq % 89 = 0 THEN 'not_json'
+                ELSE 'clean' END AS failure_class,
+           COUNT(*) AS n_records,
+           CAST(MIN(_seq) AS BIGINT) AS first_seq,
+           CAST(MAX(_seq) AS BIGINT) AS last_seq
+    FROM changelog
+    GROUP BY failure_class
+    """,
+)
+def q_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue triage: corrupt wire records CLASSIFIED BY
+    FAILURE MODE from the actual parse behavior (truncated JSON vs
+    non-JSON garbage vs clean), with per-class sequence ranges — the
+    errors.tolerance=all (reference setup.sh:145-147) operational
+    counterpart: tolerate, but know what you tolerated.
+
+    The classification is derived from the PARSE RESULT (_corrupt flag
+    + payload shape of the raw value), while the oracle derives it
+    from the corruption-injection rule — the gate proves the DLQ
+    analytics see exactly what was injected, parse-side.
+
+    100 TB plan: serde + classification are per-row; one 3-group
+    partial agg."""
+    log = _changelog(spark, sf_dir)
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    wire = log.select(
+        "_seq",
+        build_envelope_json(payload.schema, "postgres_cdc.iman.users.Value").alias(
+            "value"
+        ),
+    )
+    corrupted = wire.withColumn(
+        "value",
+        F.when(F.col("_seq") % 97 == 0, F.substring("value", 1, 20))
+        .when(F.col("_seq") % 89 == 0, F.lit("<<binary garbage>>"))
+        .otherwise(F.col("value")),
+    )
+    parsed = parse_envelope(corrupted, payload.schema).select("_seq", "_corrupt")
+    raw = corrupted.select("_seq", F.col("value").alias("raw"))
+    classified = parsed.join(raw, "_seq").select(
+        "_seq",
+        F.when(~F.col("_corrupt"), "clean")
+        .when(F.col("raw").startswith("{"), "truncated_json")
+        .otherwise("not_json")
+        .alias("failure_class"),
+    )
+    return classified.groupBy("failure_class").agg(
+        F.count("*").alias("n_records"),
+        F.min("_seq").cast("long").alias("first_seq"),
+        F.max("_seq").cast("long").alias("last_seq"),
+    )
+
+
+@register(
+    "q_forget_keys",
+    oracle=f"""
+    WITH replayed AS ({REPLAY_SQL})
+    SELECT account_type,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purged_remaining
+    FROM replayed
+    WHERE user_id % 13 <> 0
+    GROUP BY account_type
+    """,
+)
+def q_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge: delete a key list (user_id % 13 = 0
+    plays the GDPR request set) from the replayed LWW state and PROVE
+    the purge — n_purged_remaining is computed from the surviving data
+    and must be zero on every row.
+
+    This is the compliance operation the reference pipeline can't do
+    (its sink drops deletes; setup.sh:94,105-107) and the reason the
+    engine keeps an explicit replay + anti-join path.
+
+    100 TB plan: the forget list BROADCASTS into a LEFT ANTI hash join
+    against the state table (in production: the list is small, the
+    state huge — exactly the anti-join broadcast shape); one partial
+    agg proves and summarizes."""
+    from .upsert import apply_changelog
+
+    state = apply_changelog(
+        _changelog(spark, sf_dir), keys=["user_id"], version_cols=["updated_at", "_seq"]
+    )
+    forget = state.select("user_id").filter(F.col("user_id") % 13 == 0).distinct()
+    kept = state.join(F.broadcast(forget), "user_id", "left_anti")
+    return kept.groupBy("account_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("user_id") % 13 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_purged_remaining"),
+    )
+
+
+@register(
+    "q_frame_plan",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, 1 + n_chars // 50 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(unnest(range(0, CAST(n_frames AS BIGINT), 5)) AS BIGINT) AS frame_idx
+    FROM v
+    """,
+)
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling PLAN: for each video document (the
+    doc_id%3=2 slice, as q_multimodal_meta types them), derive the
+    deterministic every-5th-frame extraction schedule from the clip's
+    frame count — the planning half of streaming/multimodal.py's
+    mapInPandas frame sampler, made oracle-checkable (the decode half
+    stays a stubbed Arrow UDF since codec libs are absent).
+
+    100 TB plan: per-row sequence + explode; output size is
+    sum(n_frames/5) — the plan rows are what a cluster would shuffle
+    to decode workers, payload bytes stay put until then."""
+    d = load_table(spark, sf_dir, "documents")
+    v = d.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", (1 + F.expr("n_chars div 50")).cast("long").alias("n_frames")
+    )
+    return v.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.expr("sequence(0L, n_frames - 1, 5L)")).alias("frame_idx"),
+    )
