@@ -4072,3 +4072,116 @@ def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.explode(F.expr("sequence(0L, n_frames - 1, 5L)")).alias("frame_idx"),
     )
+
+
+# --- wave 16 (round 2) ------------------------------------------------------
+
+
+@register(
+    "q_truncate_middle",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS arr FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(arr) AS BIGINT) AS n_tokens,
+           CASE WHEN len(arr) <= 32 THEN array_to_string(arr, ' ')
+                ELSE array_to_string(arr[1:16], ' ') || ' ... ' ||
+                     array_to_string(arr[len(arr) - 15:len(arr)], ' ')
+           END AS fitted_text,
+           CAST(CASE WHEN len(arr) <= 32 THEN 0 ELSE len(arr) - 32 END AS BIGINT)
+             AS n_dropped
+    FROM t
+    """,
+)
+def q_truncate_middle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Middle truncation to a 32-token budget (keep head 16 + tail 16,
+    elide the middle) — the context-window fitting strategy that
+    preserves openings and conclusions (the standard long-doc
+    treatment for retrieval and eval prompts; head-only truncation
+    loses the ending).
+
+    100 TB plan: pure per-row slicing — no shuffle, no explode; the
+    elision marker makes the transform visibly lossy and auditable
+    via n_dropped."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("arr"))
+    n = F.size("arr")
+    fitted = F.when(n <= 32, F.concat_ws(" ", F.col("arr"))).otherwise(
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.slice("arr", 1, 16)),
+            F.lit("..."),
+            F.concat_ws(" ", F.expr("slice(arr, size(arr) - 15, 16)")),
+        )
+    )
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        fitted.alias("fitted_text"),
+        F.when(n <= 32, 0).otherwise(n - 32).cast("long").alias("n_dropped"),
+    )
+
+
+@register(
+    "q_clean_text",
+    oracle="""
+    WITH noisy AS (
+      SELECT doc_id,
+             '  ' || replace(text, ' ', CASE WHEN doc_id % 2 = 0
+                                             THEN '  ' ELSE ' ' END) || '
+' AS raw
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(replace(raw, chr(10), ' '), ' +', ' ', 'g')) AS clean
+      FROM noisy
+    )
+    SELECT c.doc_id,
+           CAST(length(c.raw) AS BIGINT) AS raw_len,
+           CAST(length(c.clean) AS BIGINT) AS clean_len,
+           CASE WHEN c.clean = d.text THEN 1 ELSE 0 END AS roundtrip_ok
+    FROM cleaned c JOIN documents d USING (doc_id)
+    """,
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace normalization with a built-in PROOF: deterministically
+    noise each document (leading/trailing whitespace, doubled interior
+    spaces on even doc_ids, trailing newline), clean it (collapse runs,
+    strip edges, fold newlines), and assert the clean text round-trips
+    to the original — roundtrip_ok must be 1 on every row, making the
+    cleaning rules' correctness part of the oracle gate.
+
+    100 TB plan: noise + clean + compare are all per-row string
+    expressions in one codegen'd scan; the self-join on doc_id is the
+    only (broadcast-sized at test SF, co-partitioned at scale)
+    reunion with the pristine text."""
+    d = load_table(spark, sf_dir, "documents")
+    noisy = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.regexp_replace(F.col("text"), " ", "  "),
+            ).otherwise(F.col("text")),
+            F.lit("\n"),
+        ).alias("raw"),
+    )
+    cleaned = noisy.select(
+        "doc_id",
+        "raw",
+        F.trim(
+            F.regexp_replace(F.regexp_replace("raw", "\n", " "), " +", " ")
+        ).alias("clean"),
+    )
+    return (
+        cleaned.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.length("raw").cast("long").alias("raw_len"),
+            F.length("clean").cast("long").alias("clean_len"),
+            F.when(F.col("clean") == F.col("text"), 1).otherwise(0).alias("roundtrip_ok"),
+        )
+    )
