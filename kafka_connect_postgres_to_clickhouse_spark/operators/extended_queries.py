@@ -4185,3 +4185,42 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("clean") == F.col("text"), 1).otherwise(0).alias("roundtrip_ok"),
         )
     )
+
+
+@register(
+    "q_skew_audit",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY l_orderkey
+    ),
+    g AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n_rows) AS BIGINT) AS n_total FROM k)
+    SELECT key, n_rows,
+           (n_rows * n_keys * 100) // n_total AS pct_of_mean_x100
+    FROM k, g
+    ORDER BY n_rows DESC, key LIMIT 10
+    """,
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit: the 10 heaviest join/aggregation keys
+    with their load expressed as an integer percentage of the mean key
+    load — the pre-flight check behind every salting / AQE-skew
+    decision (run it on the key you are ABOUT to shuffle on; a top key
+    at 10000x mean means salt first).
+
+    100 TB plan: one partial-agg count by key, a 1-row global stat
+    broadcast, TakeOrdered top-10 — the audit never costs more than
+    the shuffle it protects.  The ratio is integer arithmetic
+    (n*keys*100/total), portable and overflow-safe to ~1e14 rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    k = l.groupBy(F.col("l_orderkey").alias("key")).agg(F.count("*").alias("n_rows"))
+    g = k.agg(F.count("*").alias("n_keys"), F.sum("n_rows").cast("long").alias("n_total"))
+    return (
+        k.crossJoin(F.broadcast(g))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("(n_rows * n_keys * 100) div n_total").alias("pct_of_mean_x100"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(10)
+    )

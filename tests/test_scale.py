@@ -91,3 +91,56 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     n_total = docs.count()
     n_target = docs.filter(F.col("lang") == target).count()
     assert rd.count() == n_target < n_total
+
+
+# --- plan-shape regression guards (explain-only, no execution) --------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_star_joins_broadcast_dimensions(spark):
+    """Every TPC-H star/snowflake query must broadcast its dimension
+    chains — a regression to shuffling nation/region/part/supplier
+    would silently 10x the shuffle volume at scale."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for key in ("q_tpch_q3", "q_tpch_q5", "q_tpch_q8", "q_tpch_q14"):
+        plan = _plan(qs[key](spark, SF))
+        assert "BroadcastHashJoin" in plan, f"{key} lost its broadcast joins"
+        assert "CartesianProduct" not in plan, f"{key} degraded to a cross join"
+
+
+def test_tpch_q6_pushes_filters_to_scan(spark):
+    """Q6's predicates must reach the parquet scan (PushedFilters),
+    not evaluate post-scan only."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q_tpch_q6"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_fact_fact_joins_keep_single_shuffle_key(spark):
+    """Q21's stacked aggregates must reuse the orderkey partitioning —
+    more than a handful of Exchanges means the lineage re-shuffles the
+    fact table."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q_tpch_q21"](spark, SF))
+    assert plan.count("Exchange") <= 12  # observed 9 incl. tiny dim/agg exchanges
+    assert "CartesianProduct" not in plan
+
+
+def test_per_row_ops_have_no_exchange(spark):
+    """Operators documented as zero-shuffle single scans must stay
+    that way (the per-row family: span self-repetition, quantize,
+    chunking, truncation)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for key in ("q_span_self_repetition", "q_truncate_middle"):
+        plan = _plan(qs[key](spark, SF))
+        assert "Exchange" not in plan, f"{key} grew a shuffle"

@@ -752,3 +752,72 @@ def test_python_datasource_microbatch_stream(spark, tmp_path):
     assert seqs == list(range(300))           # no gaps, no duplicates
     assert all(r.op == "D" for r in rows if r.seq % 10 == 0)
     assert all(r.pk == r.seq % 15 for r in rows)  # 300 // 20 keys
+
+
+def test_streaming_incremental_rollup_equals_batch(spark, tmp_path):
+    """Streaming continuous-aggregate maintenance: a foreachBatch that
+    merges per-microbatch partial states (count, cents) into a stored
+    daily rollup must converge to EXACTLY the direct batch rollup over
+    the full data — q_incremental_rollup's invariant, proven through
+    the real streaming path with multiple microbatches.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "roll_src"
+    os.makedirs(src)
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 10.10),
+            (2, "2024-01-01 11:00:00", 0.25),
+            (3, "2024-01-02 09:00:00", 5.05),
+        ],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    late = spark.createDataFrame(
+        [(4, "2024-01-01 23:00:00", 1.00), (5, "2024-01-03 01:00:00", 2.50)],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    events.coalesce(1).write.json(str(src / "b1"))
+    late.coalesce(1).write.json(str(src / "b2"))
+
+    state_dir = str(tmp_path / "rollup_state")
+    stream = spark.readStream.schema("event_id long, ts timestamp, value double").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src / "*"))
+
+    def merge(batch, epoch_id):
+        part = batch.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        if os.path.exists(state_dir):
+            prev = batch.sparkSession.read.parquet(state_dir)
+            part = prev.unionByName(part).groupBy("day").agg(
+                F.sum("n_events").alias("n_events"), F.sum("cents").alias("cents")
+            )
+        part.coalesce(1).write.mode("overwrite").parquet(state_dir + "_tmp")
+        final = batch.sparkSession.read.parquet(state_dir + "_tmp")
+        final.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = stream.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", str(tmp_path / "roll_ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    merged = {
+        (str(r.day), r.n_events, r.cents)
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    direct = {
+        (str(r.day), r.n_events, r.cents)
+        for r in events.unionByName(late)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert merged == direct
