@@ -4224,3 +4224,108 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "key")
         .limit(10)
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    {_PAIRS_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pairs p1
+    JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+    JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the near-duplicate graph — the clustering-
+    coefficient numerator: triangles mean transitively-copied content
+    (A~B~C~A), the signature of template families rather than pairwise
+    coincidence; with q_dup_graph_degree it decides cluster-level vs
+    pair-level dedup policy.
+
+    The count uses the oriented-wedge algorithm: every edge is stored
+    once as (a < b), wedges (a->b1, a->b2 with b1 < b2) are closed by
+    looking up (b1, b2) — each triangle counted exactly once, never
+    6x.
+
+    100 TB plan: rides the memoized verified pair table; two hash
+    equi-joins over EDGE-sized data (wedge generation is bounded by
+    sum-of-squared-degrees — the degree audit above is the guard);
+    the corpus text is never touched."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b1"))
+    p2 = pairs.select(F.col("doc_a").alias("a2"), F.col("doc_b").alias("b2"))
+    wedges = p1.join(p2, (F.col("a") == F.col("a2")) & (F.col("b2") > F.col("b1")))
+    closer = pairs.select(F.col("doc_a").alias("c1"), F.col("doc_b").alias("c2"))
+    tri = wedges.join(
+        closer, (F.col("c1") == F.col("b1")) & (F.col("c2") == F.col("b2"))
+    )
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+@register(
+    "q_mutual_info",
+    oracle="""
+    WITH j AS (SELECT lang, source FROM documents),
+    nxy AS (SELECT lang, source, COUNT(*) AS n_xy FROM j GROUP BY lang, source),
+    nx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM nxy GROUP BY lang),
+    ny AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM nxy GROUP BY source),
+    g AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM nxy),
+    terms AS (
+      SELECT n_xy,
+             CAST(round(ln(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)) * 1000000) AS BIGINT)
+               AS s_xy
+      FROM nxy JOIN nx USING (lang) JOIN ny USING (source), g
+    )
+    SELECT CAST(SUM(n_xy) AS BIGINT) AS n_docs,
+           GREATEST(CAST(SUM(n_xy * s_xy) AS BIGINT), 0) // CAST(SUM(n_xy) AS BIGINT)
+             AS mi_scaled
+    FROM terms
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (lang x
+    source), in 1e-6-scaled nats — the dataset-design dependence
+    check: MI near zero means sources are language-balanced; high MI
+    means language coverage is concentrated in few sources (a sampling
+    hazard for training mixes).
+
+    Exactness: MI = (1/n) * sum n_xy * ln(n_xy*n / (n_x*n_y)); the ln
+    argument is one double division of exact BIGINTs, quantized per
+    CELL (|langs|x|sources| cells, ~100) — the q_perplexity
+    discipline; the final value is integer arithmetic, clamped at 0
+    (MI is non-negative; quantization noise on a true-zero MI could
+    otherwise go epsilon-negative, where DuckDB's floor-div and
+    Spark's trunc-div disagree).
+
+    100 TB plan: one (x, y) partial agg over the scan; marginals
+    derive from the CELL table (never a second scan); everything after
+    is ~100 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    nxy = d.groupBy("lang", "source").agg(F.count("*").alias("n_xy"))
+    nx = nxy.groupBy("lang").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    ny = nxy.groupBy("source").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    g = nxy.agg(F.sum("n_xy").cast("long").alias("n"))
+    terms = (
+        nxy.join(F.broadcast(nx), "lang")
+        .join(F.broadcast(ny), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n_xy",
+            F.round(
+                F.ln(
+                    F.col("n_xy").cast("double") * F.col("n") / (F.col("n_x") * F.col("n_y"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("s_xy"),
+        )
+    )
+    return terms.agg(
+        F.sum("n_xy").cast("long").alias("n_docs"),
+        F.expr(
+            "GREATEST(CAST(sum(n_xy * s_xy) AS BIGINT), 0L)"
+            " div CAST(sum(n_xy) AS BIGINT)"
+        ).alias("mi_scaled"),
+    )
