@@ -4329,3 +4329,93 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(sum(n_xy) AS BIGINT)"
         ).alias("mi_scaled"),
     )
+
+
+@register(
+    "q_dup_ranges",
+    oracle=f"""
+    WITH {CORPUS_SQL},
+    t AS (SELECT doc_id, string_split(lower(text), ' ') AS arr FROM corpus),
+    wins AS (
+      SELECT doc_id, i, i + 7 AS endpos,
+             md5(array_to_string(arr[i:i + 7], ' ')) AS h
+      FROM t, UNNEST(generate_series(1, len(arr) - 7)) AS u(i)
+      WHERE len(arr) >= 8
+    ),
+    ph AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY h),
+    hits AS (
+      SELECT doc_id, i, endpos FROM wins JOIN ph USING (h) WHERE nd > 1
+    ),
+    marked AS (
+      SELECT doc_id, i, endpos,
+             CASE WHEN i > COALESCE(MAX(endpos) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hits
+    ),
+    grouped AS (
+      SELECT doc_id, i, endpos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked
+    )
+    SELECT doc_id, CAST(grp AS BIGINT) AS range_id,
+           CAST(MIN(i) AS BIGINT) AS range_start,
+           CAST(MAX(endpos) AS BIGINT) AS range_end,
+           CAST(MAX(endpos) - MIN(i) + 1 AS BIGINT) AS range_len
+    FROM grouped GROUP BY doc_id, grp
+    """,
+)
+def q_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token ranges per document — the exact-
+    substring dedup shape (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499,
+    approximated at window granularity): every stride-1 8-token window
+    shared verbatim with ANOTHER document is found, and overlapping
+    hits merge into maximal [start, end] ranges — the spans a
+    surgical dedup would cut, rather than dropping whole documents.
+
+    Pipeline: per-row window hashing (text leaves the row only as
+    digests) -> one hash groupBy for cross-doc frequency -> equi-join
+    back -> per-doc gaps-and-islands (running MAX(end) over position
+    order) to merge overlaps.
+
+    100 TB plan: the stride-1 explode is 1 row/token (the same cost
+    class as the shingle pipelines, shuffled as 32-byte digests);
+    islands-merging windows partition BY DOC — thousands of small
+    independent partitions, never a global order."""
+    from pyspark.sql import Window as W
+
+    c = _corpus(spark, sf_dir)
+    # shingles() zips shifted slices (functions/text.py) — a transform
+    # lambda indexing the token array would re-inline the tokenization
+    # into every element access (measured ~10x slower here)
+    t = c.select("doc_id", shingles(F.col("text"), 8).alias("sh8")).filter(
+        F.size("sh8") > 0
+    )
+    wins = t.select("doc_id", F.posexplode("sh8").alias("p0", "sh")).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("i"),
+        (F.col("p0") + 8).alias("endpos"),
+        F.md5("sh").alias("h"),
+    )
+    ph = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    hits = wins.join(ph, "h").filter(F.col("nd") > 1).select("doc_id", "i", "endpos")
+    wprev = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    marked = hits.withColumn(
+        "is_new",
+        F.when(
+            F.col("i") > F.coalesce(F.max("endpos").over(wprev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    wrun = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    grouped = marked.withColumn("grp", F.sum("is_new").over(wrun))
+    return (
+        grouped.groupBy("doc_id", F.col("grp").cast("long").alias("range_id"))
+        .agg(
+            F.min("i").cast("long").alias("range_start"),
+            F.max("endpos").cast("long").alias("range_end"),
+            (F.max("endpos") - F.min("i") + 1).cast("long").alias("range_len"),
+        )
+    )
