@@ -4419,3 +4419,116 @@ def q_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("endpos") - F.min("i") + 1).cast("long").alias("range_len"),
         )
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_chars_seen,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                  AS BIGINT) AS n_bpe,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars_seen) AS BIGINT) AS total_chars,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           (100 * CAST(SUM(n_chars_seen) AS BIGINT)) // CAST(SUM(n_bpe) AS BIGINT)
+             AS chars_per_token_x100,
+           (100 * CAST(SUM(n_bpe) AS BIGINT)) // CAST(SUM(n_words) AS BIGINT)
+             AS tokens_per_word_x100
+    FROM t GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: characters per (BPE-ish) token
+    and tokens per whitespace word — the per-language compression
+    audit that drives training-mix token budgeting (a language whose
+    fertility is 2x pays 2x the context length for the same text).
+
+    100 TB plan: per-row counting expressions + ONE partial agg by
+    lang; the ratios are integer basis points of exact sums."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars_seen"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).cast("long").alias("n_bpe"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars_seen").cast("long").alias("total_chars"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_bpe_tokens",
+            F.expr("(100 * total_chars) div total_bpe_tokens").alias(
+                "chars_per_token_x100"
+            ),
+            F.expr("(100 * total_bpe_tokens) div total_words").alias(
+                "tokens_per_word_x100"
+            ),
+        )
+    )
+
+
+@register(
+    "q_langid_confusion",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    counts AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+    prof AS (
+      SELECT lang AS plang, w FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rn
+        FROM counts
+      ) WHERE rn <= 10
+    ),
+    doctok AS (SELECT DISTINCT doc_id, lang, w FROM tok),
+    hits AS (
+      SELECT d.doc_id, d.lang, p.plang, COUNT(*) AS n_hits
+      FROM doctok d JOIN prof p ON d.w = p.w
+      GROUP BY d.doc_id, d.lang, p.plang
+    ),
+    best AS (
+      SELECT doc_id, lang, plang AS pred_lang FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY n_hits DESC, plang) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT lang AS true_lang, pred_lang, COUNT(*) AS n_docs
+    FROM best GROUP BY true_lang, pred_lang
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: aggregate q_lang_id's per-document
+    predictions into (true, predicted) counts — the classifier-quality
+    audit that turns a per-doc label column into a deployable
+    go/no-go (off-diagonal mass = filter damage if the predictor
+    gates a training mix).
+
+    100 TB plan: adds one ~|langs|^2-cell partial agg on top of
+    q_lang_id's broadcast-profile join pipeline — the expensive part
+    (profile build + hit counting) is identical and documented
+    there."""
+    from .analytics_queries import q_lang_id
+
+    best = q_lang_id(spark, sf_dir)
+    return (
+        best.groupBy(F.col("lang").alias("true_lang"), F.col("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )
