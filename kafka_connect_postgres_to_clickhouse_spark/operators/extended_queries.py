@@ -4532,3 +4532,86 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.groupBy(F.col("lang").alias("true_lang"), F.col("pred_lang"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "q_null_profile",
+    oracle="""
+    SELECT 'event_type' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN event_type = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+    FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*),
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN props = '' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM events
+    """,
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column null/blank profiling — the first query every ingestion
+    pipeline runs on a new feed (silent null floods are the most
+    common upstream breakage; the reference's envelope marks
+    nullability per field, README.md:127, and this audits what
+    actually arrived).
+
+    100 TB plan: all columns profile in ONE scan (a single partial
+    agg computes every indicator; the per-column rows are a constant-
+    size reshape of that one row — Spark side uses one agg + stack,
+    not one scan per column like the naive UNION)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).cast("long").alias("et_null"),
+        F.sum(F.when(F.col("event_type") == "", 1).otherwise(0)).cast("long").alias("et_blank"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).cast("long").alias("pr_null"),
+        F.sum(F.when(F.col("props") == "", 1).otherwise(0)).cast("long").alias("pr_blank"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("v_null"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 'event_type', n_rows, et_null, et_blank,"
+            " 'props', n_rows, pr_null, pr_blank,"
+            " 'value', n_rows, v_null, CAST(0 AS BIGINT))"
+            " AS (col_name, n_rows, n_null, n_blank)"
+        )
+    )
+
+
+@register(
+    "q_cardinality_profile",
+    oracle="""
+    SELECT 'user_id' AS col_name, COUNT(DISTINCT user_id) AS n_distinct FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(DISTINCT event_type) FROM events
+    UNION ALL
+    SELECT 'day', COUNT(DISTINCT date_trunc('day', ts)) FROM events
+    """,
+)
+def q_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distinct-cardinality profile — the partitioning/
+    bucketing design input (key cardinality decides bucket counts,
+    broadcast eligibility, and dictionary-encoding wins).
+
+    100 TB plan: the three exact distincts share one scan via Spark's
+    multi-distinct expand (at extreme scale swap to
+    approx_count_distinct, as q_agg_approx_distinct demonstrates);
+    output is 3 constant rows."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_type").alias("t"),
+        F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("d"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'user_id', u, 'event_type', t, 'day', d)"
+            " AS (col_name, n_distinct)"
+        )
+    )
