@@ -4615,3 +4615,57 @@ def q_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (col_name, n_distinct)"
         )
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    outdeg AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out FROM pairs GROUP BY from_type
+    )
+    SELECT from_type, to_type, n AS n_transitions,
+           (10000 * n) // n_out AS prob_bp
+    FROM pairs JOIN outdeg USING (from_type)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: counts
+    and integer-basis-point probabilities of each (from -> to) step in
+    per-user time order — q_event_paths' pairwise core, normalized
+    into the behavioral model (anomalous sessions score low under it).
+
+    100 TB plan: one per-user lead() window (hash partitioned), a
+    |types|^2-cell partial agg, and a broadcast of the |types|-row
+    out-degree table; probabilities are exact integer ratios."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n_transitions"))
+    outdeg = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_out")
+    )
+    return (
+        pairs.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("(10000 * n_transitions) div n_out").alias("prob_bp"),
+        )
+    )
