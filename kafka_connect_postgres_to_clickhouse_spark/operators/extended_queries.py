@@ -4669,3 +4669,124 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * n_transitions) div n_out").alias("prob_bp"),
         )
     )
+
+
+from ..plans.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "q_lsh_calibration",
+    oracle=f"""
+    WITH mh AS (SELECT * FROM ({_REG["q_neardup_minhash"].oracle})),
+    jc AS (SELECT doc_a, doc_b FROM ({_REG["q_neardup_jaccard"].oracle})),
+    u AS (
+      SELECT COALESCE(mh.doc_a, jc.doc_a) AS doc_a,
+             CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+             CASE WHEN jc.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+      FROM mh FULL OUTER JOIN jc
+        ON mh.doc_a = jc.doc_a AND mh.doc_b = jc.doc_b
+    )
+    SELECT CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_true) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(is_cand * is_true) AS BIGINT) AS n_hits,
+           (10000 * CAST(SUM(is_cand * is_true) AS BIGINT))
+             // CAST(SUM(is_cand) AS BIGINT) AS precision_bp,
+           (10000 * CAST(SUM(is_cand * is_true) AS BIGINT))
+             // CAST(SUM(is_true) AS BIGINT) AS recall_bp
+    FROM u
+    """,
+)
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-stage calibration: set-compare the MinHash-banded
+    candidate pairs against the exact-Jaccard (>= 0.5) truth and
+    report precision/recall in basis points — the measurement that
+    justifies (or re-tunes) the band/row configuration before
+    trusting the cheap stage at full scale.  The oracle COMPOSES the
+    two member queries' own oracle SQL, so this stays consistent with
+    them by construction.
+
+    100 TB plan: both pair tables ride the session-memoized shingle
+    pipeline; the comparison is a full outer equi-join over EDGE-
+    sized data + one 1-row agg."""
+    from .analytics_queries import q_neardup_minhash
+
+    mh = q_neardup_minhash(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
+    jc = q_neardup_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    u = mh.join(jc, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+        F.coalesce("is_true", F.lit(0)).alias("is_true"),
+    )
+    return u.agg(
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.sum("is_true").cast("long").alias("n_true_pairs"),
+        F.sum(F.col("is_cand") * F.col("is_true")).cast("long").alias("n_hits"),
+        F.expr(
+            "(10000 * CAST(sum(is_cand * is_true) AS BIGINT))"
+            " div CAST(sum(is_cand) AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr(
+            "(10000 * CAST(sum(is_cand * is_true) AS BIGINT))"
+            " div CAST(sum(is_true) AS BIGINT)"
+        ).alias("recall_bp"),
+    )
+
+
+@register(
+    "q_basket_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+    deg AS (SELECT l_partkey, COUNT(*) AS n_p FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_ab,
+           (100 * n_ab * n_orders) // (da.n_p * db.n_p) AS lift_x100
+    FROM pairs
+    JOIN deg da ON da.l_partkey = part_a
+    JOIN deg db ON db.l_partkey = part_b, tot
+    ORDER BY n_ab DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift for the top co-purchase pairs: joint frequency
+    over the independence expectation, as an exact integer ratio
+    (lift_x100 > 100 means genuinely associated, not just popular) —
+    q_copurchase's counts upgraded to the statistic rule-mining
+    actually thresholds on.
+
+    100 TB plan: reuses the distinct (order, part) projection for all
+    three aggregates (pair counts, part degrees, order total); degrees
+    and the 1-row total broadcast onto the pair table; integer
+    arithmetic end-to-end (n_ab * n_orders bounded by
+    |orders|^2 ~ 1e18 at 1e9 orders — swap to DECIMAL beyond)."""
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    tot = op.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    deg = op.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    da = deg.select(F.col("l_partkey").alias("pa"), F.col("n_p").alias("n_a"))
+    db = deg.select(F.col("l_partkey").alias("pb"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), F.col("part_a") == F.col("pa"))
+        .join(F.broadcast(db), F.col("part_b") == F.col("pb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("(100 * n_ab * n_orders) div (n_a * n_b)").alias("lift_x100"),
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(20)
+    )
