@@ -55,3 +55,19 @@ def test_registry_complete_and_aliased():
     for k, spec in q.items():
         if spec.oracle is not None:
             assert "SELECT" in spec.oracle.upper(), k
+
+
+def test_every_registry_query_executes(spark):
+    """Whole-registry smoke in ONE shared session at sf0.001: every
+    key must plan and execute (count) without error, in registry
+    order — catching cross-query session interactions (memoized
+    intermediates, temp views, conf mutations) that the per-query
+    oracle gate, which also shares a session but may run subsets,
+    could order differently."""
+    failures = []
+    for name, spec in load_all_queries().items():
+        try:
+            spec.fn(spark, "/root/testdata/sf0.001").count()
+        except Exception as exc:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {exc}")
+    assert not failures, "\n".join(failures[:5])
