@@ -4790,3 +4790,71 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INTEGER) AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_b
+      FROM u
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           (10000 * x_a) // n_a AS rate_a_bp,
+           (10000 * x_b) // n_b AS rate_b_bp,
+           CASE WHEN (x_a * n_b - x_b * n_a) * (x_a * n_b - x_b * n_a) * (n_a + n_b)
+                     > 4 * n_a * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+                THEN 1 ELSE 0 END AS significant_2sigma
+    FROM s
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test (pooled z-test at 2 sigma),
+    ALL-INTEGER: user_id parity plays the randomized arm assignment,
+    conversion = any purchase.  The pooled z^2 > 4 condition multiplies
+    through to (x_a*n_b - x_b*n_a)^2 * (n_a+n_b) >
+    4 * n_a*n_b*(x_a+x_b)*(n_a+n_b-x_a-x_b) — no sqrt, no float,
+    engine-identical (bounds: cross-products overflow int64 past ~1e6
+    conversions; swap to DECIMAL(38,0) in production).
+
+    100 TB plan: one per-user partial agg (conversion flags), then a
+    1-row arm rollup; the experiment never shuffles event rows by
+    anything but user."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "converted")
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    return s.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.expr("(10000 * x_a) div n_a").alias("rate_a_bp"),
+        F.expr("(10000 * x_b) div n_b").alias("rate_b_bp"),
+        F.expr(
+            "CASE WHEN (x_a * n_b - x_b * n_a) * (x_a * n_b - x_b * n_a) * (n_a + n_b)"
+            " > 4 * n_a * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b)"
+            " THEN 1 ELSE 0 END"
+        ).alias("significant_2sigma"),
+    )
