@@ -4858,3 +4858,66 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("significant_2sigma"),
     )
+
+
+@register(
+    "q_augment_dropout",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS arr FROM documents),
+    aug AS (
+      SELECT doc_id, len(arr) AS n_orig,
+             list_transform(
+               list_filter(
+                 list_zip(arr, range(1, len(arr) + 1)),
+                 z -> substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                    CAST(z[2] AS VARCHAR)), 1, 1) >= '3'),
+               z -> CAST(z[1] AS VARCHAR)) AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_orig AS BIGINT) AS n_orig,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(array_to_string(kept, ' ')) AS aug_md5
+    FROM aug
+    """,
+)
+def q_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation: each token is kept or
+    dropped by a SEEDED hash of (doc_id, position) — ~19% dropout
+    (first md5 nibble < '3') — the reproducible augmentation
+    primitive (same seed -> same augmented corpus on every engine and
+    every rerun, unlike rand()-based dropout which is neither
+    reproducible nor oracle-checkable).
+
+    100 TB plan: per-row zip/filter/transform array expressions — no
+    shuffle; the augmented text leaves the row only as a digest here
+    (a real pipeline would write it as a column)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("arr"))
+    zipped = F.zip_with(
+        F.col("arr"),
+        F.sequence(F.lit(1), F.size("arr")),
+        lambda tok, i: F.struct(tok.alias("t"), i.alias("i")),
+    )
+    kept = F.transform(
+        F.filter(
+            zipped,
+            lambda z: F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), z["i"].cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            >= "3",
+        ),
+        lambda z: z["t"],
+    )
+    return t.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_orig"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("aug_md5"),
+    )
