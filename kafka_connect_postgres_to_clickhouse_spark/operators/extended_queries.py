@@ -4921,3 +4921,116 @@ def q_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.concat_ws(" ", kept)).alias("aug_md5"),
     )
+
+
+@register(
+    "q_span_corruption",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS arr FROM documents),
+    marks AS (
+      SELECT doc_id, arr,
+             list_transform(range(1, len(arr) + 1),
+               i -> CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                                        CAST((i - 1) // 5 AS VARCHAR)), 1, 1) < '3'
+                         THEN 1 ELSE 0 END) AS m
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(arr) AS BIGINT) AS n_tokens,
+           CAST(list_sum(m) AS BIGINT) AS n_masked,
+           (10000 * CAST(list_sum(m) AS BIGINT)) // CAST(len(arr) AS BIGINT)
+             AS masked_bp
+    FROM marks
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan (arXiv:1910.10683 objective shape):
+    tokens are masked in CONTIGUOUS 5-token blocks chosen by a seeded
+    hash of (doc_id, block index) — ~19% expected corruption in
+    contiguous spans rather than q_augment_dropout's i.i.d. singles,
+    matching how denoising objectives actually corrupt.
+
+    100 TB plan: the mask is a per-row array expression (block index
+    = position div 5 keeps spans contiguous with ONE hash per block);
+    zero shuffle; masked-token counts are exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("arr"))
+    m = F.transform(
+        F.sequence(F.lit(1), F.size("arr")),
+        lambda i: F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.floor((i - 1) / 5).cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "3",
+            1,
+        ).otherwise(0),
+    )
+    return t.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_tokens"),
+        F.aggregate(m, F.lit(0).cast("long"), lambda a, v: a + v).alias("n_masked"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        F.expr("(10000 * n_masked) div n_tokens").alias("masked_bp"),
+    )
+
+
+@register(
+    "q_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source,
+             len(string_split(text, ' ')) AS n_toks,
+             md5(text) AS h
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           (10000 * CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT)) // COUNT(*)
+             AS dup_bp
+    FROM base
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the corpus-level summary block a data
+    release ships (doc/lang/source counts, token totals and range,
+    exact-duplicate rate) — every figure derived in ONE pass and
+    hash-verified, so the card can never drift from the data.
+
+    100 TB plan: a single scan with per-row token counts feeding one
+    global partial agg (distincts over lang/source/md5 expand in the
+    same aggregate); constant-size output."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+        (F.count("*") - F.countDistinct("h")).cast("long").alias("n_exact_dups"),
+        F.expr(
+            "(10000 * (count(1) - count(DISTINCT h))) div count(1)"
+        ).alias("dup_bp"),
+    )
