@@ -5034,3 +5034,65 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(10000 * (count(1) - count(DISTINCT h))) div count(1)"
         ).alias("dup_bp"),
     )
+
+
+@register(
+    "q_mix_plan",
+    oracle="""
+    WITH lt AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) // 2 AS budget FROM lt),
+    tgt AS (
+      SELECT lang, lang_tokens,
+             CASE lang WHEN 'en' THEN 4000 ELSE 1500 END AS target_bp
+      FROM lt
+    )
+    SELECT lang, lang_tokens, target_bp,
+           LEAST(10000,
+                 (10000 * ((target_bp * budget) // 10000)) // lang_tokens) AS keep_bp,
+           (LEAST(10000,
+                  (10000 * ((target_bp * budget) // 10000)) // lang_tokens)
+            * lang_tokens) // 10000 AS planned_tokens
+    FROM tgt, tot
+    """,
+)
+def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalance PLANNER: given target language shares
+    (en 40%, others 15%) and a token budget (half the corpus), derive
+    each language's deterministic keep-rate and the tokens it will
+    actually contribute — keep_bp saturates at 10000 when a language
+    is under-resourced, surfacing the shortfall a naive sampler would
+    silently paper over.  The execution half is q_stratified_sample
+    (hash-threshold keeps at exactly these rates); this is the
+    planning half every mix redesign runs first.
+
+    100 TB plan: one per-lang partial agg, a 1-row budget broadcast,
+    constant-size integer arithmetic output."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("lang_tokens")
+    )
+    tot = lt.agg(F.expr("CAST(sum(lang_tokens) AS BIGINT) div 2").alias("budget"))
+    tgt = lt.withColumn(
+        "target_bp", F.when(F.col("lang") == "en", 4000).otherwise(1500)
+    )
+    return (
+        tgt.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "lang_tokens",
+            "target_bp",
+            F.expr(
+                "LEAST(10000, (10000 * ((target_bp * budget) div 10000)) div lang_tokens)"
+            ).alias("keep_bp"),
+        )
+        .select(
+            "lang",
+            "lang_tokens",
+            "target_bp",
+            "keep_bp",
+            F.expr("(keep_bp * lang_tokens) div 10000").alias("planned_tokens"),
+        )
+    )
