@@ -5096,3 +5096,73 @@ def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(keep_bp * lang_tokens) div 10000").alias("planned_tokens"),
         )
     )
+
+
+@register(
+    "q_incremental_neardup",
+    oracle=f"""
+    {SHINGLES_SQL},
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(substring(md5(sh), {4 * s + 1}, 4)) AS minh{s}" for s in range(8))}
+      FROM grams GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             CASE band {" ".join(f"WHEN {b} THEN minh{2 * b} || ',' || minh{2 * b + 1}" for b in range(4))} END AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
+    )
+    SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+    FROM bands n JOIN bands o
+      ON n.band = o.band AND n.band_key = o.band_key
+    WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000
+    """,
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-duplicate screening: MinHash-band candidates
+    between a NEW ingest batch (the corpus's planted doc_id >= 1M
+    variants) and the EXISTING corpus only — the continuous-ingestion
+    shape where each arriving batch probes stored signatures and the
+    corpus NEVER re-joins against itself (q_neardup_minhash's
+    all-corpus variant is the bootstrap; this is the steady state,
+    and the exact-hash twin is q_incremental_dedup).
+
+    100 TB plan: corpus signatures are computed once and stored (here:
+    session-memoized shingle postings -> one partial agg); the batch
+    side is tiny, so the band join is effectively batch-broadcast
+    against the signature table's band index."""
+    from .analytics_queries import _corpus_shingles, _materialize
+
+    posts = _materialize(
+        spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir)
+    ).select("doc_id", F.md5("sh").alias("h"))
+    sigs = posts.groupBy("doc_id").agg(
+        *[F.min(F.substring("h", 4 * s + 1, 4)).alias(f"minh{s}") for s in range(8)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"minh{2 * b}"), F.lit(","), F.col(f"minh{2 * b + 1}")
+                        ).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    new = bands.filter(F.col("doc_id") >= 1_000_000).alias("n")
+    old = bands.filter(F.col("doc_id") < 1_000_000).alias("o")
+    return (
+        new.join(
+            old,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("new_doc"), F.col("o.doc_id").alias("old_doc"))
+        .distinct()
+    )
