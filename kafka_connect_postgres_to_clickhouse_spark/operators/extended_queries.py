@@ -5166,3 +5166,98 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n.doc_id").alias("new_doc"), F.col("o.doc_id").alias("old_doc"))
         .distinct()
     )
+
+
+@register(
+    "q_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS n
+      FROM events GROUP BY event_type, dow
+    ),
+    t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM d GROUP BY event_type)
+    SELECT d.event_type, CAST(dow AS INTEGER) AS iso_dow, n AS n_events,
+           (10000 * n * 7) // total AS seasonality_bp
+    FROM d JOIN t USING (event_type)
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: each weekday's
+    share of the type's volume scaled so a flat profile reads 10000 —
+    the weekly-rhythm diagnostic (a Monday error spike at 2x baseline
+    reads 20000) that feeds anomaly thresholds and capacity plans.
+
+    100 TB plan: one (type, dow) partial agg, per-type totals derived
+    from those 35 rows, integer index — nothing beyond the rollup ever
+    exists."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        (F.weekday(F.col("ts").cast("date")) + 1).cast("int").alias("iso_dow"),
+    ).agg(F.count("*").alias("n_events"))
+    t = d.groupBy("event_type").agg(F.sum("n_events").cast("long").alias("total"))
+    return (
+        d.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "iso_dow",
+            "n_events",
+            F.expr("(10000 * n_events * 7) div total").alias("seasonality_bp"),
+        )
+    )
+
+
+@register(
+    "q_quantize_error",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    ),
+    err AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(
+                      (CAST(x AS DOUBLE)
+                       - CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER)
+                         * mx / 127.0)
+                      * (CAST(x AS DOUBLE)
+                         - CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER)
+                           * mx / 127.0)
+                      * 1000000000000) AS BIGINT)) AS e2
+      FROM m WHERE mx > 0
+    )
+    SELECT vec_id,
+           CAST(len(e2) AS BIGINT) AS dim,
+           CAST(list_sum(e2) AS BIGINT) AS sse_scaled12
+    FROM err
+    """,
+)
+def q_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization error audit: per-vector sum of squared
+    reconstruction errors (1e-12-scaled BIGINT) for q_quantize's
+    absmax scheme — the go/no-go number before committing an ANN
+    index to int8 (error concentrates on vectors with one dominant
+    coordinate; this finds them).
+
+    Exactness: quantize, dequantize, square, and scale are one IEEE
+    expression sequence on both engines, quantized to integers per
+    ELEMENT then summed order-independently (functions/vectors.py
+    discipline).  100 TB plan: pure per-row arrays, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    m = e.select("vec_id", "embedding", F.array_max(xd).alias("mx")).filter(
+        F.col("mx") > 0
+    )
+    def sq_err(x):
+        deq = F.round(x.cast("double") * 127.0 / F.col("mx")).cast("int") * F.col("mx") / 127.0
+        diff = x.cast("double") - deq
+        return F.round(diff * diff * 1000000000000).cast("long")
+
+    e2 = F.transform(F.col("embedding"), sq_err)
+    return m.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.aggregate(e2, F.lit(0).cast("long"), lambda a, v: a + v).alias("sse_scaled12"),
+    )
