@@ -5261,3 +5261,107 @@ def q_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("long").alias("dim"),
         F.aggregate(e2, F.lit(0).cast("long"), lambda a, v: a + v).alias("sse_scaled12"),
     )
+
+
+@register(
+    "q_containment",
+    oracle=f"""
+    {SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS BIGINT) AS n_common,
+           (10000 * c) // LEAST(sa.n, sb.n) AS containment_bp
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 10000 * c >= 8000 * LEAST(sa.n, sb.n)
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs:
+    |A ∩ B| / min(|A|, |B|) >= 0.8 — catches SUBSET copies (a short
+    doc quoted wholesale inside a long one) that Jaccard structurally
+    misses (the union denominator dilutes them below any threshold).
+    The standard companion threshold to q_neardup_jaccard in
+    plagiarism/quote detection.
+
+    Exactness: the threshold compares 10000*c against 8000*min(n)
+    in pure integers — no float ratio at the decision point.
+
+    100 TB plan: rides the same memoized shingle postings and
+    inverted-index join as the Jaccard family (one hash shuffle);
+    candidate generation is identical, only the verify arithmetic
+    differs."""
+    g = _corpus_shingles(spark, sf_dir)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = g.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("da"))
+        .join(sb, F.col("doc_b") == F.col("db"))
+        .filter(10000 * F.col("c") >= 8000 * F.least("na", "nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").cast("long").alias("n_common"),
+            F.expr("(10000 * c) div LEAST(na, nb)").alias("containment_bp"),
+        )
+    )
+
+
+@register(
+    "q_active_users_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    win AS (
+      SELECT user_id, day + to_days(CAST(o AS INTEGER)) AS obs_day
+      FROM ud, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS u(o)
+    ),
+    days AS (SELECT DISTINCT date_trunc('day', ts) AS obs_day FROM events)
+    SELECT w.obs_day, COUNT(DISTINCT w.user_id) AS wau
+    FROM win w JOIN days d ON w.obs_day = d.obs_day
+    GROUP BY w.obs_day
+    """,
+)
+def q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (WAU) per observed day, EXACT: each
+    (user, active-day) pair projects onto the 7 observation days it
+    keeps the user "active" for, then one distinct-count per day —
+    the engagement KPI computed without a rolling-distinct window
+    (which no engine does exactly at scale).
+
+    100 TB plan: the x7 projection happens AFTER per-day dedup (the
+    (user, day) grain is tiny next to raw events), restriction to
+    observed days bounds the grid, and the distinct count shuffles
+    (day, user) pairs — the standard exact-WAU layout."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    win = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), o -> date_add(CAST(day AS DATE), o))")
+        ).alias("obs_date"),
+    ).select("user_id", F.col("obs_date").cast("timestamp").alias("obs_day"))
+    days = e.select(F.date_trunc("day", F.col("ts")).alias("obs_day")).distinct()
+    return (
+        win.join(days, "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
