@@ -5365,3 +5365,150 @@ def q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("obs_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "q_minhash_estimate",
+    oracle=f"""
+    {SHINGLES_SQL},
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(substring(md5(sh), {4 * s + 1}, 4)) AS minh{s}" for s in range(8))}
+      FROM grams GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+      SELECT doc_a, doc_b, (10000 * c) // (sa.n + sb.n - c) AS exact_bp
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    )
+    SELECT e.doc_a, e.doc_b, e.exact_bp,
+           (10000 * ({" + ".join(f"CASE WHEN x.minh{s} = y.minh{s} THEN 1 ELSE 0 END" for s in range(8))})) // 8 AS est_bp
+    FROM exact e
+    JOIN sigs x ON x.doc_id = e.doc_a
+    JOIN sigs y ON y.doc_id = e.doc_b
+    """,
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair MinHash Jaccard ESTIMATE vs exact truth: for every
+    verified near-dup pair, the fraction of agreeing signature slices
+    (the unbiased MinHash estimator, k=8) next to the exact Jaccard in
+    basis points — the estimator-variance audit that says whether k is
+    big enough BEFORE trusting signatures at the next scale-up
+    (q_lsh_calibration grades the candidate SET; this grades the
+    ESTIMATOR).
+
+    100 TB plan: signatures and exact pairs both ride the memoized
+    shingle pipeline; the comparison joins 8-column signature rows
+    onto the edge table — edge-sized work, integer outputs."""
+    from .analytics_queries import _corpus_shingles, _materialize
+
+    posts = _materialize(
+        spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir)
+    ).select("doc_id", "sh", F.md5("sh").alias("h"))
+    sigs = posts.groupBy("doc_id").agg(
+        *[F.min(F.substring("h", 4 * s + 1, 4)).alias(f"minh{s}") for s in range(8)]
+    )
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = posts.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = posts.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    exact = (
+        common.join(sa, F.col("doc_a") == F.col("da"))
+        .join(sb, F.col("doc_b") == F.col("db"))
+        .filter(
+            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.5
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(10000 * c) div (na + nb - c)").alias("exact_bp"),
+        )
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("xa"), *[F.col(f"minh{s}").alias(f"x{s}") for s in range(8)]
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("yb"), *[F.col(f"minh{s}").alias(f"y{s}") for s in range(8)]
+    )
+    agree = sum(
+        F.when(F.col(f"x{s}") == F.col(f"y{s}"), 1).otherwise(0) for s in range(8)
+    )
+    return (
+        exact.join(x, F.col("doc_a") == F.col("xa"))
+        .join(y, F.col("doc_b") == F.col("yb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "exact_bp",
+            ((10000 * agree) / 8).cast("long").alias("est_bp"),
+        )
+    )
+
+
+@register(
+    "q_conversion_lag",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT user_id, MIN(ts) AS first_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    lag_s AS (
+      SELECT CAST(date_diff('second', first_view, first_purchase) AS BIGINT) AS s
+      FROM fv JOIN fp USING (user_id)
+      WHERE first_purchase >= first_view
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(quantile_cont(s, 0.5) AS DOUBLE) AS p50_s,
+           CAST(quantile_cont(s, 0.9) AS DOUBLE) AS p90_s
+    FROM lag_s
+    """,
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact median and p90 of the lag
+    from a user's FIRST view to FIRST purchase — the conversion-
+    velocity KPI (integer-second lags; exact interpolated percentiles
+    match DuckDB's quantile_cont, same discipline as q_median).
+
+    100 TB plan: two MIN partial aggs share the user_id partitioning
+    with their join; percentiles run over the converted-user lag
+    column (users-sized, not events-sized)."""
+    e = load_table(spark, sf_dir, "events")
+    fv = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    fp = e.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("ts").alias("first_purchase")
+    )
+    lag_s = (
+        fv.join(fp, "user_id")
+        .filter(F.col("first_purchase") >= F.col("first_view"))
+        .select(
+            (
+                F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+            ).cast("long").alias("s")
+        )
+    )
+    return lag_s.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(s, 0.5)").cast("double").alias("p50_s"),
+        F.expr("percentile(s, 0.9)").cast("double").alias("p90_s"),
+    )
