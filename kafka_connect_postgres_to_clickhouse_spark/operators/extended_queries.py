@@ -5512,3 +5512,64 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(s, 0.5)").cast("double").alias("p50_s"),
         F.expr("percentile(s, 0.9)").cast("double").alias("p90_s"),
     )
+
+
+@register(
+    "q_supplier_share",
+    oracle="""
+    WITH r AS (
+      SELECT s_nationkey, l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                  AS BIGINT) AS rev4
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, l_suppkey
+    )
+    SELECT s_nationkey, l_suppkey AS suppkey,
+           CAST(rev4 AS DOUBLE) / 10000 AS revenue,
+           (10000 * rev4) // SUM(rev4) OVER (PARTITION BY s_nationkey) AS share_bp,
+           CAST(RANK() OVER (PARTITION BY s_nationkey ORDER BY rev4 DESC, l_suppkey)
+                AS INTEGER) AS rank_in_nation
+    FROM r
+    """,
+)
+def q_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share-of-group: each supplier's basis-point share of its
+    nation's revenue plus in-nation rank — the ratio-to-window-total
+    reporting shape (market share, wallet share, contribution
+    analysis) that combines a window SUM and a window RANK over one
+    partitioning.
+
+    100 TB plan: the fact collapses to (nation, supplier) rows in one
+    partial agg BEFORE any window; both windows share the nation
+    partitioning over that small aggregate; the share divides exact
+    scaled BIGINTs."""
+    from pyspark.sql import Window as W
+
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    r = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev4).cast("long").alias("rev4"))
+    )
+    wn = W.partitionBy("s_nationkey")
+    return r.select(
+        "s_nationkey",
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("rev4").cast("double") / 10000).alias("revenue"),
+        F.expr("10000 * rev4").cast("long").alias("_num"),
+        F.sum("rev4").over(wn).alias("_den"),
+        F.rank()
+        .over(wn.orderBy(F.desc("rev4"), F.asc("l_suppkey")))
+        .cast("int")
+        .alias("rank_in_nation"),
+    ).select(
+        "s_nationkey",
+        "suppkey",
+        "revenue",
+        F.expr("_num div _den").alias("share_bp"),
+        "rank_in_nation",
+    )
