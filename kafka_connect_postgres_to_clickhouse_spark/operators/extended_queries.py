@@ -5573,3 +5573,146 @@ def q_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_num div _den").alias("share_bp"),
         "rank_in_nation",
     )
+
+
+@register(
+    "q_ref_integrity",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS n_orphan_lineitems,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        AS n_childless_orders,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS n_orphan_orders,
+      (SELECT CAST(MAX(cnt) AS BIGINT) FROM
+        (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey))
+        AS max_fanout
+    """,
+)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphaned
+    facts (lineitems without orders, orders without customers),
+    childless orders, and the max join fanout — the constraint checks
+    a lake has to RUN because it cannot DECLARE them (no FK
+    enforcement in parquet), and the first thing to audit after any
+    backfill.
+
+    100 TB plan: each orphan check is a LEFT ANTI hash join counted
+    (never a per-row probe); fanout is one partial-agg count; the
+    four 1-row results cross-join into the report row."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    orphan_l = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("n_orphan_lineitems"))
+    )
+    childless = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_anti")
+        .agg(F.count("*").alias("n_childless_orders"))
+    )
+    orphan_o = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("n_orphan_orders"))
+    )
+    fanout = (
+        l.groupBy("l_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.max("cnt").cast("long").alias("max_fanout"))
+    )
+    return orphan_l.crossJoin(childless).crossJoin(orphan_o).crossJoin(fanout)
+
+
+@register(
+    "q_hot_cold_keys",
+    oracle="""
+    WITH a AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    thr AS (SELECT quantile_cont(n, 0.95) AS p95 FROM a),
+    tiered AS (
+      SELECT CASE WHEN n > p95 THEN 'hot' ELSE 'cold' END AS tier, n
+      FROM a, thr
+    )
+    SELECT tier, COUNT(*) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           (10000 * CAST(SUM(n) AS BIGINT))
+             // (SELECT CAST(SUM(n) AS BIGINT) FROM a) AS event_share_bp
+    FROM tiered GROUP BY tier
+    """,
+)
+def q_hot_cold_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold key tiering: split keys at the p95 activity threshold
+    and report each tier's population and traffic share — the
+    operational sequel to q_skew_audit (skew finds the heads; tiering
+    sizes the cache/salting budget they justify).
+
+    100 TB plan: per-key counts are one partial agg; the exact p95 is
+    computed over KEY-grain rows and broadcast as a 1-row threshold;
+    integer share arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    thr = a.agg(F.expr("percentile(n, 0.95)").alias("p95"))
+    tot = a.agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        a.crossJoin(F.broadcast(thr))
+        .select(
+            F.when(F.col("n") > F.col("p95"), "hot").otherwise("cold").alias("tier"),
+            "n",
+        )
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_users"), F.sum("n").cast("long").alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "n_users",
+            "n_events",
+            F.expr("(10000 * n_events) div tot").alias("event_share_bp"),
+        )
+    )
+
+
+@register(
+    "q_wire_size_stats",
+    oracle=CHANGELOG_CTE + '''
+    , wire AS (
+      SELECT op, CAST(octet_length(encode(
+        '{"schema":{"type":"struct","fields":[{"type":"int32","optional":true,"name":null,"version":null,"field":"user_id"},{"type":"string","optional":true,"name":null,"version":null,"field":"username"},{"type":"string","optional":true,"name":null,"version":null,"field":"account_type"},{"type":"int64","optional":true,"name":"io.debezium.time.MicroTimestamp","version":1,"field":"updated_at"}],"optional":false,"name":"postgres_cdc.iman.users.Value"},"payload":{"user_id":'
+        || user_id || ',"username":"' || username || '","account_type":"'
+        || account_type || '","updated_at":' || epoch_us(updated_at) || '}}'
+      )) AS BIGINT) AS n_bytes
+      FROM changelog
+    )
+    SELECT op, COUNT(*) AS n_msgs,
+           CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM wire GROUP BY op
+    ''',
+)
+def q_wire_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-payload size statistics per operation: byte sizes of the
+    actual Debezium-style envelopes the pipeline would put on the
+    topic — the Kafka capacity-planning number (the schema-per-message
+    envelope format, reference setup.sh:96-99, roughly doubles payload
+    bytes; this measures it exactly).
+
+    100 TB plan: serialization + octet_length are per-row; one 2-group
+    partial agg.  The oracle rebuilds the identical JSON bytes by
+    string concatenation, so the measurement itself is verified."""
+    log = _changelog(spark, sf_dir)
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    wire = log.select(
+        "op",
+        F.octet_length(
+            build_envelope_json(payload.schema, "postgres_cdc.iman.users.Value")
+        ).cast("long").alias("n_bytes"),
+    )
+    return wire.groupBy("op").agg(
+        F.count("*").alias("n_msgs"),
+        F.min("n_bytes").cast("long").alias("min_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )
