@@ -5716,3 +5716,75 @@ def q_wire_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_bytes").cast("long").alias("max_bytes"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
     )
+
+
+@register(
+    "q_cumulative_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT c_nationkey AS nationkey, date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY nationkey, month
+    )
+    SELECT nationkey, month,
+           CAST(cents AS DOUBLE) / 100 AS month_revenue,
+           CAST(SUM(cents) OVER (PARTITION BY nationkey ORDER BY month
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100
+             AS cumulative_revenue
+    FROM m
+    """,
+)
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (running-total) revenue per nation by month — the
+    year-to-date reporting shape: a running window stacked on a time
+    rollup.
+
+    100 TB plan: the facts collapse to (nation, month) rows in one
+    partial agg (customer broadcasts); the running sum partitions by
+    nation over ~tens of months — window work is rollup-sized, never
+    fact-sized; cents stay exact BIGINTs until the final render."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    w = W.partitionBy("nationkey").orderBy("month").rowsBetween(W.unboundedPreceding, 0)
+    return m.select(
+        "nationkey",
+        "month",
+        (F.col("cents").cast("double") / 100).alias("month_revenue"),
+        (F.sum("cents").over(w).cast("double") / 100).alias("cumulative_revenue"),
+    )
+
+
+@register(
+    "q_fanout_hist",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_lines AS BIGINT) AS n_lines, COUNT(*) AS n_orders
+    FROM per_order GROUP BY n_lines
+    """,
+)
+def q_fanout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout distribution: how many orders have k line items —
+    the cardinality histogram behind join cost estimates and the
+    companion to q_ref_integrity's max_fanout scalar (a fat tail here
+    is what makes an orderkey join skew-prone).
+
+    100 TB plan: two stacked partial aggs, the second over key-grain
+    rows — the cheapest possible two-level rollup."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return per_order.groupBy(F.col("n_lines").cast("long").alias("n_lines")).agg(
+        F.count("*").alias("n_orders")
+    )
