@@ -5788,3 +5788,143 @@ def q_fanout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_order.groupBy(F.col("n_lines").cast("long").alias("n_lines")).agg(
         F.count("*").alias("n_orders")
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             MAX(ts) AS last_purchase,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_c
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(last_purchase) AS now_ts FROM p),
+    rfm AS (
+      SELECT user_id,
+             CAST(date_diff('day', last_purchase, now_ts) AS BIGINT) AS recency_days,
+             frequency, monetary_c
+      FROM p, mx
+    ),
+    th AS (
+      SELECT quantile_cont(recency_days, 0.5) AS r_med,
+             quantile_cont(frequency, 0.5) AS f_med,
+             quantile_cont(monetary_c, 0.5) AS m_med
+      FROM rfm
+    )
+    SELECT (CASE WHEN recency_days <= r_med THEN 'R1' ELSE 'R0' END ||
+            CASE WHEN frequency > f_med THEN 'F1' ELSE 'F0' END ||
+            CASE WHEN monetary_c > m_med THEN 'M1' ELSE 'M0' END) AS segment,
+           COUNT(*) AS n_users,
+           CAST(SUM(monetary_c) AS DOUBLE) / 100 AS segment_value
+    FROM rfm, th
+    GROUP BY segment
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary median splits
+    into 8 binary segments with population and value per segment — the
+    canonical customer-base stratification (R1F1M1 = best customers,
+    R0F0M0 = churned low-value).
+
+    Exactness: the split thresholds are exact interpolated medians
+    over USER-grain rows, compared with <=/> consistently on both
+    sides; monetary stays integer cents until the final render.
+
+    100 TB plan: one filtered partial agg to user grain, a 1-row
+    median+anchor broadcast, one 8-group rollup — events never
+    shuffle by anything but user."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.max("ts").alias("last_purchase"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("monetary_c"),
+    )
+    mx = p.agg(F.max("last_purchase").alias("now_ts"))
+    rfm = p.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff(F.col("now_ts").cast("date"), F.col("last_purchase").cast("date"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_c",
+    )
+    th = rfm.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary_c, 0.5)").alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency_days") <= F.col("r_med"), "R1").otherwise("R0"),
+        F.when(F.col("frequency") > F.col("f_med"), "F1").otherwise("F0"),
+        F.when(F.col("monetary_c") > F.col("m_med"), "M1").otherwise("M0"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(th))
+        .select(seg.alias("segment"), "monetary_c")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_users"),
+            (F.sum("monetary_c").cast("double") / 100).alias("segment_value"),
+        )
+    )
+
+
+@register(
+    "q_embed_norm_outliers",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             (SELECT SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
+                                    * CAST(embedding[i] AS DOUBLE)
+                                    * 1000000000) AS BIGINT))
+              FROM unnest(generate_series(1, len(embedding))) AS t(i)) AS n2
+      FROM embeddings
+    ),
+    g AS (
+      SELECT COUNT(*) AS k, CAST(SUM(n2) AS BIGINT) AS s
+      FROM n
+    )
+    SELECT vec_id, n2 AS norm2_scaled
+    FROM n, g
+    WHERE (k * n2 - s) * (k * n2 - s) * 4
+          > 9 * k * ((SELECT CAST(SUM((n2 - s // k) * (n2 - s // k)) AS BIGINT)
+                      FROM n, g))
+    """,
+)
+def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA: vectors whose squared-norm deviates from the
+    corpus mean by more than 1.5 standard deviations — catching
+    mis-scaled, truncated, or zero-padded vectors before they poison
+    cosine rankings (norms should be tight for unit-normalized
+    embeddings; any outlier is a pipeline bug).
+
+    The test is the q_anomaly_days integer pattern on 1e9-scaled
+    norms: (k*n2 - s)^2 * 4 > 9 * k * ss_dev with ss_dev the exact
+    centered sum of squares (computed with integer s/k floor-mean on
+    both sides — identical arithmetic, no float variance).
+
+    100 TB plan: norms are per-row scaled-integer sums; the corpus
+    stats are a 1-row broadcast; the filter is a narrow scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from ..functions.vectors import norm2_scaled
+
+    n = e.select("vec_id", norm2_scaled(F.col("embedding")).alias("n2"))
+    g = n.agg(F.count("*").alias("k"), F.sum("n2").cast("long").alias("s"))
+    ssdev = (
+        n.crossJoin(F.broadcast(g))
+        .select(
+            (
+                (F.col("n2") - F.expr("s div k")) * (F.col("n2") - F.expr("s div k"))
+            ).alias("d2")
+        )
+        .agg(F.sum("d2").cast("long").alias("ss_dev"))
+    )
+    dev = F.col("k") * F.col("n2") - F.col("s")
+    return (
+        n.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(ssdev))
+        .filter(dev * dev * 4 > 9 * F.col("k") * F.col("ss_dev"))
+        .select("vec_id", F.col("n2").alias("norm2_scaled"))
+    )
