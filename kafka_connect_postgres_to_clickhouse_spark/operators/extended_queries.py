@@ -5928,3 +5928,102 @@ def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dev * dev * 4 > 9 * F.col("k") * F.col("ss_dev"))
         .select("vec_id", F.col("n2").alias("norm2_scaled"))
     )
+
+
+@register(
+    "q_dead_dims",
+    oracle="""
+    WITH x AS (
+      SELECT t.k AS dim,
+             CAST(round(CAST(embedding[t.k] AS DOUBLE) * 1000000) AS BIGINT) AS xs6
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(k)
+    ),
+    v AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(xs6) AS BIGINT) AS s,
+             CAST(SUM(xs6 * xs6) AS BIGINT) AS ss
+      FROM x GROUP BY dim
+    )
+    SELECT dim, (n * ss - s * s) AS var_proxy_scaled
+    FROM v
+    ORDER BY var_proxy_scaled, dim LIMIT 5
+    """,
+)
+def q_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-feature candidates: the 5 embedding dimensions with the
+    smallest variance proxy (n*Σx² − (Σx)², exact integers on the 1e6
+    grid) — near-constant coordinates carry no signal, waste index
+    bytes, and distort L2 whitening; this is the pruning shortlist.
+
+    100 TB plan: one posexplode partial agg (same layout as
+    q_dim_stats), the ranking runs over |dims| rows with a
+    TakeOrdered-5."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("k0", "v")).select(
+        (F.col("k0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000).cast("long").alias("xs6"),
+    )
+    v = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("xs6").cast("long").alias("s"),
+        F.sum(F.col("xs6") * F.col("xs6")).cast("long").alias("ss"),
+    )
+    return (
+        v.select(
+            "dim",
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias(
+                "var_proxy_scaled"
+            ),
+        )
+        .orderBy("var_proxy_scaled", "dim")
+        .limit(5)
+    )
+
+
+@register(
+    "q_ooo_audit",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r_time,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS r_arrival
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN r_time <> r_arrival THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_displaced,
+           CAST(MAX(abs(r_time - r_arrival)) AS BIGINT) AS max_displacement
+    FROM r GROUP BY user_id
+    """,
+)
+def q_ooo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: per key, how far arrival order
+    (event_id, playing the changelog/Kafka offset) diverges from
+    event-time order — the number that SIZES a watermark (max
+    displacement bounds how much reordering buffer a streaming job
+    needs; reference setup.sh:148 sidesteps it with tasks.max=1).
+
+    100 TB plan: both rank windows and the final agg share ONE
+    user_id partitioning; output is key-grain."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    r = e.select(
+        "user_id",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("r_time"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("event_id"))
+        .alias("r_arrival"),
+    )
+    return r.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("r_time") != F.col("r_arrival"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_displaced"),
+        F.max(F.abs(F.col("r_time") - F.col("r_arrival"))).cast("long").alias(
+            "max_displacement"
+        ),
+    )
