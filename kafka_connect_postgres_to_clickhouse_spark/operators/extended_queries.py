@@ -6027,3 +6027,97 @@ def q_ooo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_displacement"
         ),
     )
+
+
+@register(
+    "q_never_sold",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_never_sold,
+           (10000 * CAST(SUM(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+             // COUNT(*) AS never_sold_bp
+    FROM part p LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+      ON p.p_partkey = l.l_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_never_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-moving inventory: per brand, how many catalog parts have
+    NEVER appeared in a line item — the existence-check reporting
+    shape (left join against a distinct key projection, flag on the
+    null side) behind dead-stock, dead-code, and dead-key audits
+    alike.
+
+    100 TB plan: the sold-keys projection dedups BEFORE the join
+    (key-grain, not fact-grain); the join is hash-equi on partkey;
+    one partial agg by brand with integer rates."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sold = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    j = p.join(sold, p["p_partkey"] == sold["l_partkey"], "left")
+    never = F.when(F.col("l_partkey").isNull(), 1).otherwise(0)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(never).cast("long").alias("n_never_sold"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_never_sold",
+            F.expr("(10000 * n_never_sold) div n_parts").alias("never_sold_bp"),
+        )
+    )
+
+
+@register(
+    "q_stickiness",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    win AS (
+      SELECT user_id, day + to_days(CAST(o AS INTEGER)) AS obs_day
+      FROM ud, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS u(o)
+    ),
+    wau AS (
+      SELECT w.obs_day AS day, COUNT(DISTINCT w.user_id) AS wau
+      FROM win w JOIN (SELECT DISTINCT day FROM dau) d ON w.obs_day = d.day
+      GROUP BY w.obs_day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           (10000 * dau.dau) // wau.wau AS stickiness_bp
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness ratio per day — the engagement-quality KPI
+    (10000 bp = every weekly user shows up daily), stacking the exact
+    trailing-window WAU (q_active_users_7d's projection layout) under
+    a same-day DAU.
+
+    100 TB plan: both metrics derive from the deduped (user, day)
+    grain; the x7 projection and both distinct counts shuffle
+    key-grain rows only; the final join is day-grain."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    win = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), o -> date_add(CAST(day AS DATE), o))")
+        ).alias("obs_date"),
+    ).select("user_id", F.col("obs_date").cast("timestamp").alias("day"))
+    days = dau.select("day")
+    wau = (
+        win.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau", F.expr("(10000 * dau) div wau").alias("stickiness_bp")
+        )
+    )
