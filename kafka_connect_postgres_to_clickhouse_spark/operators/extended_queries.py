@@ -6121,3 +6121,107 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day", "dau", "wau", F.expr("(10000 * dau) div wau").alias("stickiness_bp")
         )
     )
+
+
+@register(
+    "q_crosstab_share",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT lang, source, n AS n_docs,
+           (10000 * n) // total AS corpus_share_bp,
+           (10000 * n) // SUM(n) OVER (PARTITION BY lang) AS within_lang_bp
+    FROM c, t
+    """,
+)
+def q_crosstab_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab share matrix: every (lang, source) cell's share of the
+    corpus AND of its language row — the two-margin contingency view
+    (the raw table q_mutual_info condenses into one number, kept
+    inspectable for mix debugging).
+
+    100 TB plan: one cell-grain partial agg; the corpus total is a
+    1-row broadcast and the row margin a window over ~100 cells —
+    nothing beyond the crosstab ever materializes."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").cast("long").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .withColumn("row_total", F.sum("n_docs").over(W.partitionBy("lang")))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.expr("(10000 * n_docs) div total").alias("corpus_share_bp"),
+            F.expr("(10000 * n_docs) div row_total").alias("within_lang_bp"),
+        )
+    )
+
+
+@register(
+    "q_error_streaks",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, is_err,
+             rn - row_number() OVER (PARTITION BY user_id, is_err
+                                     ORDER BY ts, event_id) AS grp
+      FROM m
+    ),
+    lens AS (
+      SELECT user_id, COUNT(*) AS run_len
+      FROM runs WHERE is_err = 1 GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(MAX(run_len) AS BIGINT) AS max_error_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_error_runs
+    FROM lens GROUP BY user_id
+    """,
+)
+def q_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-error run per user (plus run count) — the
+    classic runs/islands-by-subtraction shape (rn - rn_within_value),
+    the burst detector for reliability triage (one long streak is an
+    outage; many singletons are noise).
+
+    100 TB plan: both row_number windows and every aggregate share
+    the user_id hash partitioning; runs exist only as group keys,
+    never materialized sequences."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    m = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    runs = m.withColumn(
+        "grp",
+        F.col("rn")
+        - F.row_number().over(
+            W.partitionBy("user_id", "is_err").orderBy("ts", "event_id")
+        ),
+    )
+    lens = (
+        runs.filter(F.col("is_err") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return lens.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("max_error_streak"),
+        F.count("*").cast("long").alias("n_error_runs"),
+    )
