@@ -6225,3 +6225,160 @@ def q_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("max_error_streak"),
         F.count("*").cast("long").alias("n_error_runs"),
     )
+
+
+@register(
+    "q_ann_margin",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             (SELECT SUM(CAST(round((CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) * 1000000000) AS BIGINT))
+              FROM unnest(generate_series(1, len(embedding))) AS t(i)) AS n2
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             SUM(CAST(round((CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) * 1000000000) AS BIGINT)) AS dot,
+             any_value(q.n2) AS qn2, any_value(e.n2) AS en2
+      FROM norms e CROSS JOIN norms q
+      CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             CAST(round(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS cos_s,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE))) DESC,
+                        vec_id) AS rn
+      FROM dots
+    )
+    SELECT a.query_id, a.vec_id AS best_id, a.cos_s AS best_cos_scaled,
+           a.cos_s - b.cos_s AS margin_scaled
+    FROM scored a JOIN scored b
+      ON a.query_id = b.query_id AND a.rn = 1 AND b.rn = 2
+    """,
+)
+def q_ann_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN confidence margin: for each query vector, the gap between
+    its best and second-best cosine — the auto-thresholding signal
+    (a big margin means the top hit is a real neighbor; a tiny one
+    means the ranking is noise and k should grow, or the result be
+    dropped).
+
+    100 TB plan: identical scan shape to q_simsearch_topk (broadcast
+    queries, one corpus pass, per-query window over the score
+    stream); margins are differences of 1e-6-quantized cosines —
+    integer outputs."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import dot_scaled, norm2_scaled
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            dot_scaled(F.col("embedding"), F.col("qemb")).alias("dot"),
+            norm2_scaled(F.col("embedding")).alias("en2"),
+            norm2_scaled(F.col("qemb")).alias("qn2"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("en2").cast("double")))
+                * 1000000
+            ).cast("long").alias("cos_s"),
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("en2").cast("double")))
+            ).alias("cos_d"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cos_d"), F.asc("vec_id"))
+    )
+    ranked = scored.withColumn("rn", rn).filter(F.col("rn") <= 2)
+    a = ranked.filter(F.col("rn") == 1).select(
+        "query_id", F.col("vec_id").alias("best_id"), F.col("cos_s").alias("best_cos_scaled")
+    )
+    b = ranked.filter(F.col("rn") == 2).select(
+        F.col("query_id").alias("q2"), F.col("cos_s").alias("second_cos")
+    )
+    return a.join(b, a["query_id"] == b["q2"]).select(
+        "query_id",
+        "best_id",
+        "best_cos_scaled",
+        (F.col("best_cos_scaled") - F.col("second_cos")).alias("margin_scaled"),
+    )
+
+
+@register(
+    "q_pack_utilization",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens FROM documents
+    ),
+    o AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS start_off
+      FROM t WHERE n_tokens > 0
+    ),
+    tot AS (SELECT MAX(start_off + n_tokens) AS n_total FROM o),
+    seqs AS (
+      SELECT CAST(s AS BIGINT) AS seq_id,
+             CAST(LEAST(512, n_total - s * 512) AS BIGINT) AS n_used
+      FROM tot, UNNEST(range((n_total + 511) // 512)) AS u(s)
+    )
+    SELECT CAST((10000 * n_used) // 512 AS BIGINT) // 1000 AS util_decile,
+           COUNT(*) AS n_seqs,
+           CAST(SUM(n_used) AS BIGINT) AS tokens_used
+    FROM seqs GROUP BY util_decile
+    """,
+)
+def q_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-utilization histogram: how full each 512-token training
+    sequence is under concat-and-chunk packing (q_pack_sequences'
+    layout) — only the LAST sequence can be partial under pure
+    concatenation, and this query proves it (one bucket at full
+    utilization, at most one elsewhere); under doc-boundary-respecting
+    packing the same query measures real padding waste.
+
+    100 TB plan: the sequence grid derives from ONE scalar (total
+    token count); per-sequence fill is arithmetic, the histogram is a
+    10-group agg — no token-level data ever re-materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    tot = t.agg(F.sum("n_tokens").cast("long").alias("n_total"))
+    seqs = tot.select(
+        "n_total",
+        F.explode(F.expr("sequence(0L, (n_total + 511) div 512 - 1)")).alias("seq_id"),
+    ).select(
+        "seq_id",
+        F.least(F.lit(512).cast("long"), F.col("n_total") - F.col("seq_id") * 512).alias(
+            "n_used"
+        ),
+    )
+    return (
+        seqs.select(
+            F.expr("((10000 * n_used) div 512) div 1000").alias("util_decile"),
+            "n_used",
+        )
+        .groupBy("util_decile")
+        .agg(F.count("*").alias("n_seqs"), F.sum("n_used").cast("long").alias("tokens_used"))
+    )
