@@ -6382,3 +6382,66 @@ def q_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("util_decile")
         .agg(F.count("*").alias("n_seqs"), F.sum("n_used").cast("long").alias("tokens_used"))
     )
+
+
+@register(
+    "q_drift_detect",
+    oracle="""
+    WITH h AS (
+      SELECT lang, CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS half
+      FROM documents
+    ),
+    c AS (SELECT lang, half, COUNT(*) AS n FROM h GROUP BY lang, half),
+    p AS (
+      SELECT lang,
+             CAST(COALESCE(SUM(CASE WHEN half = 0 THEN n END), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(CASE WHEN half = 1 THEN n END), 0) AS BIGINT) AS n2
+      FROM c GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2 FROM p)
+    SELECT lang, n1, n2,
+           (10000 * n1) // t1 AS share1_bp,
+           (10000 * n2) // t2 AS share2_bp,
+           CASE WHEN abs(n1 * t2 - n2 * t1) * 10000 > 500 * t1 * t2
+                THEN 1 ELSE 0 END AS drifted
+    FROM p, t
+    """,
+)
+def q_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: compare each language's share
+    between the first and second half of the ingestion order and flag
+    shifts beyond 5 absolute percentage points — the feed-health
+    monitor that catches an upstream source silently changing its mix
+    (the batch twin of a streaming drift alarm).
+
+    The test |n1*t2 - n2*t1| * 10000 > 500 * t1*t2 is the share
+    difference |n1/t1 - n2/t2| > 0.05 multiplied through — pure
+    BIGINT, no float shares at the decision point.
+
+    100 TB plan: one (lang, half) partial agg, a 1-row total
+    broadcast, constant-size output."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "lang", F.when(F.col("doc_id") < 250, 0).otherwise(1).alias("half")
+    )
+    p = h.groupBy("lang").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    t = p.agg(
+        F.sum("n1").cast("long").alias("t1"), F.sum("n2").cast("long").alias("t2")
+    )
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n1",
+            "n2",
+            F.expr("(10000 * n1) div t1").alias("share1_bp"),
+            F.expr("(10000 * n2) div t2").alias("share2_bp"),
+            F.expr(
+                "CASE WHEN abs(n1 * t2 - n2 * t1) * 10000 > 500 * t1 * t2"
+                " THEN 1 ELSE 0 END"
+            ).alias("drifted"),
+        )
+    )
