@@ -6445,3 +6445,68 @@ def q_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drifted"),
         )
     )
+
+
+@register(
+    "q_user_features",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS purchase_cents,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_active_days,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS lifespan_s,
+           (10000 * CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT))
+             // COUNT(*) AS error_rate_bp
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: the per-user feature vector a
+    churn/propensity model trains on — event volume, purchases,
+    errors, spend, active days, lifespan, error rate — every feature
+    from ONE pass in ONE aggregate (the feature-engineering shape
+    where N separate feature queries would re-scan the facts N
+    times).
+
+    100 TB plan: a single partial agg keyed by user (the distinct
+    day-count expands inside the same aggregate); integer features
+    throughout — directly joinable to a training table."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("purchase_cents"),
+        F.countDistinct(F.date_trunc("day", F.col("ts"))).cast("long").alias(
+            "n_active_days"
+        ),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("lifespan_s"),
+    ).select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "n_errors",
+        "purchase_cents",
+        "n_active_days",
+        "lifespan_s",
+        F.expr("(10000 * n_errors) div n_events").alias("error_rate_bp"),
+    )
