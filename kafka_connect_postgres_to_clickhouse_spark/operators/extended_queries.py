@@ -6510,3 +6510,76 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lifespan_s",
         F.expr("(10000 * n_errors) div n_events").alias("error_rate_bp"),
     )
+
+
+@register(
+    "q_state_diff",
+    oracle=f"""
+    {CHANGELOG_CTE},
+    v AS (
+      SELECT *, lead(updated_at) OVER (
+        PARTITION BY user_id ORDER BY updated_at, _seq) AS valid_to
+      FROM changelog
+    ),
+    s1 AS (
+      SELECT user_id, username, account_type FROM v
+      WHERE op <> 'd' AND updated_at <= TIMESTAMP '2024-01-10'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10')
+    ),
+    s2 AS (
+      SELECT user_id, username, account_type FROM v
+      WHERE op <> 'd' AND updated_at <= TIMESTAMP '2024-01-20'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20')
+    ),
+    d AS (
+      SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+                  WHEN s2.user_id IS NULL THEN 'removed'
+                  WHEN s1.username <> s2.username
+                       OR s1.account_type <> s2.account_type THEN 'changed'
+                  ELSE 'unchanged' END AS change_class
+      FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    )
+    SELECT change_class, COUNT(*) AS n_keys FROM d GROUP BY change_class
+    """,
+)
+def q_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed /
+    unchanged between the state AS OF Jan 10 and AS OF Jan 20,
+    reconstructed from ONE SCD2 history pass — the audit that answers
+    "what did this week's sync actually do" without storing daily
+    snapshots (the reference sink can't answer it at all: its
+    ReplacingMergeTree keeps only the latest row, setup.sh:63).
+
+    100 TB plan: one per-key window builds intervals; both as-of
+    states are filters over it (no second changelog scan); the diff
+    is a self full-outer join on the key partitioning already in
+    place, then a 4-group count."""
+    from pyspark.sql import Window as W
+
+    log = _changelog(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("updated_at", "_seq")
+    v = log.withColumn("valid_to", F.lead("updated_at").over(w)).filter(
+        F.col("op") != "d"
+    )
+
+    def asof(ts: str) -> DataFrame:
+        t = F.lit(ts).cast("timestamp")
+        return v.filter(
+            (F.col("updated_at") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        ).select("user_id", "username", "account_type")
+
+    s1 = asof("2024-01-10").alias("s1")
+    s2 = asof("2024-01-20").alias("s2")
+    d = s1.join(s2, F.col("s1.user_id") == F.col("s2.user_id"), "full_outer").select(
+        F.when(F.col("s1.user_id").isNull(), "added")
+        .when(F.col("s2.user_id").isNull(), "removed")
+        .when(
+            (F.col("s1.username") != F.col("s2.username"))
+            | (F.col("s1.account_type") != F.col("s2.account_type")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_class")
+    )
+    return d.groupBy("change_class").agg(F.count("*").alias("n_keys"))
