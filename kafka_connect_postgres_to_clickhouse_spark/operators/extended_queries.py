@@ -6583,3 +6583,94 @@ def q_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_class")
     )
     return d.groupBy("change_class").agg(F.count("*").alias("n_keys"))
+
+
+@register(
+    "q_prefix_templates",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(lower(text), ' ')[1:10], ' ')) AS pref
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 10
+    ),
+    g AS (
+      SELECT pref, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM p GROUP BY pref
+    )
+    SELECT pref, n_docs, first_doc
+    FROM g WHERE n_docs >= 2
+    """,
+)
+def q_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-opening detection: documents sharing an IDENTICAL
+    first-10-token prefix — the position-anchored complement to
+    q_boilerplate's position-free n-gram filter (form letters, scraped
+    page shells, and generation templates all collide on openings
+    first).
+
+    100 TB plan: the prefix digest is a per-row expression (one md5 of
+    a fixed slice); one hash groupBy; only colliding groups emit."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("arr")).filter(
+        F.size("arr") >= 10
+    )
+    p = t.select(
+        "doc_id", F.md5(F.concat_ws(" ", F.slice("arr", 1, 10))).alias("pref")
+    )
+    return (
+        p.groupBy("pref")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").cast("long").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "q_purchase_gaps",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT user_id, CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
+      FROM p WHERE prev_ts IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) // COUNT(*) AS mean_gap_s
+    FROM g GROUP BY user_id
+    """,
+)
+def q_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval statistics per user: the repeat-rate
+    signal behind replenishment prediction and churn cutoffs (a user
+    whose current silence exceeds their own max gap has likely
+    churned — q_rfm_segments' recency made personal).
+
+    100 TB plan: the purchase filter prunes the scan, the lag window
+    and aggregate share one user partitioning; gaps are integer
+    seconds with a floor-div mean on both sides."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id")).alias(
+            "prev_ts"
+        ),
+    )
+    g = p.filter(F.col("prev_ts").isNotNull()).select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).cast("long").alias("gap_s"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.expr("CAST(sum(gap_s) AS BIGINT) div count(1)").alias("mean_gap_s"),
+    )
