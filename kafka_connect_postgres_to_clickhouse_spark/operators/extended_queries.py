@@ -6674,3 +6674,88 @@ def q_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").cast("long").alias("max_gap_s"),
         F.expr("CAST(sum(gap_s) AS BIGINT) div count(1)").alias("mean_gap_s"),
     )
+
+
+@register(
+    "q_catalog_summary",
+    oracle="""
+    SELECT 'region' AS table_name, COUNT(*) AS n_rows FROM region
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+)
+def q_catalog_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data inventory: row counts for every mirrored table in one
+    result — the catalog-level twin of q_scan_catalog (which lists
+    tables) and the first sanity check after any sync round (the
+    reference eyeballs this per-table with clickhouse-client,
+    setup.sh:177; here it is one query).
+
+    100 TB plan: ten metadata-cheap count aggregates (parquet
+    footer-driven where possible) unioned — no joins, no shuffles
+    beyond ten 1-row reduces."""
+    from ..sources.tables import TABLES
+
+    parts = []
+    for t in TABLES:
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"), F.count("*").alias("n_rows")
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+@register(
+    "q_lang_term_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    c AS (SELECT lang, w, COUNT(*) AS n FROM tok GROUP BY lang, w),
+    r AS (
+      SELECT lang, w, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rn
+      FROM c
+    )
+    SELECT lang, w AS term, n AS n_occurrences, CAST(rn AS INTEGER) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def q_lang_term_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 term profile — the group-level vocabulary
+    fingerprint (q_tfidf_rank profiles DOCUMENTS; this profiles the
+    LANGUAGE strata, the mix-debugging view of what each slice is
+    actually about, and the profile table q_lang_id's classifier is
+    built from).
+
+    100 TB plan: one (lang, term) partial agg, then a rank window
+    partitioned BY LANG over term-grain rows — top-k per group, never
+    a global sort."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    r = c.withColumn(
+        "rn", F.row_number().over(W.partitionBy("lang").orderBy(F.desc("n"), F.asc("w")))
+    )
+    return r.filter(F.col("rn") <= 5).select(
+        "lang",
+        F.col("w").alias("term"),
+        F.col("n").alias("n_occurrences"),
+        F.col("rn").cast("int").alias("rank"),
+    )
