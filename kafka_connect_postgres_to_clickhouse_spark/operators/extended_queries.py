@@ -6759,3 +6759,118 @@ def q_lang_term_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_occurrences"),
         F.col("rn").cast("int").alias("rank"),
     )
+
+
+@register(
+    "q_top_movers",
+    oracle="""
+    WITH m AS (
+      SELECT c_nationkey AS nationkey, date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY nationkey, month
+    ),
+    d AS (
+      SELECT nationkey, month, cents,
+             cents - lag(cents) OVER (PARTITION BY nationkey ORDER BY month)
+               AS delta_c
+      FROM m
+    )
+    SELECT nationkey, month,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(delta_c AS DOUBLE) / 100 AS delta
+    FROM d WHERE delta_c IS NOT NULL
+    ORDER BY abs(delta_c) DESC, nationkey, month
+    LIMIT 5
+    """,
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biggest month-over-month movers: the 5 largest absolute revenue
+    swings across all (nation, month) cells — the exception-report
+    shape (rank CHANGES, not levels) that stacks a per-group lag on a
+    rollup and takes a global top-k of the deltas.
+
+    100 TB plan: facts collapse to the (nation, month) rollup first;
+    the lag window partitions by nation over rollup-sized data; the
+    top-5 is TakeOrdered on |delta| with deterministic tiebreaks —
+    exact integer cents until the final render."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    d = m.withColumn(
+        "delta_c",
+        F.col("cents") - F.lag("cents").over(W.partitionBy("nationkey").orderBy("month")),
+    ).filter(F.col("delta_c").isNotNull())
+    return (
+        d.select(
+            "nationkey",
+            "month",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            (F.col("delta_c").cast("double") / 100).alias("delta"),
+            F.abs("delta_c").alias("_a"),
+        )
+        .orderBy(F.desc("_a"), "nationkey", "month")
+        .limit(5)
+        .drop("_a")
+    )
+
+
+@register(
+    "q_coverage_curve",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    uc AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM uc),
+    r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM uc)
+    SELECT k AS vocab_size,
+           CAST((SELECT SUM(n) FROM r WHERE rk <= k) AS BIGINT) AS tokens_covered,
+           (10000 * CAST((SELECT SUM(n) FROM r WHERE rk <= k) AS BIGINT)) // total
+             AS coverage_bp
+    FROM (SELECT unnest([10, 20, 30]) AS k), tot
+    """,
+)
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences the top-10/20/30 vocabulary entries cover — the
+    tokenizer-budget design curve (where it flattens is where a
+    bigger vocab stops paying; q_vocab_oov evaluates ONE chosen size,
+    this sweeps the knee).
+
+    100 TB plan: one vocab partial agg; the ranking runs over
+    vocab-grain rows (TakeOrdered-bounded in spirit — the fixture
+    vocab is tiny; a production sweep caps rank at max(k)); three
+    cumulative sums over the ranked head."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    uc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = uc.agg(F.sum("n").cast("long").alias("total"))
+    r = uc.withColumn("rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("w"))))
+    ks = spark.createDataFrame([(10,), (20,), (30,)], ["vocab_size"])
+    cov = (
+        ks.join(r, r["rk"] <= ks["vocab_size"])
+        .groupBy("vocab_size")
+        .agg(F.sum("n").cast("long").alias("tokens_covered"))
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "vocab_size",
+        "tokens_covered",
+        F.expr("(10000 * tokens_covered) div total").alias("coverage_bp"),
+    )
