@@ -6874,3 +6874,143 @@ def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_covered",
         F.expr("(10000 * tokens_covered) div total").alias("coverage_bp"),
     )
+
+
+@register(
+    "q_interleave_order",
+    oracle="""
+    WITH s AS (
+      SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx,
+             COUNT(*) OVER () AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    o AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT o.doc_id, o.source,
+           CAST(o.pos * s.n_sources + s.src_idx AS BIGINT) AS interleave_rank
+    FROM o JOIN s USING (source)
+    """,
+)
+def q_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order: position-
+    within-source stripes across sources (round-robin), so no source
+    ever streaks — the curriculum/ordering plan that fixes the
+    gradient-staleness problem of source-sorted corpora WITHOUT a
+    random shuffle (reproducible, resumable, engine-identical).
+
+    100 TB plan: per-source position windows partition by source;
+    the source index table is |sources| rows broadcast; the rank is
+    pure integer arithmetic — a later repartitionByRange(
+    interleave_rank) materializes the order."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    srcs = d.select("source").distinct()
+    s = srcs.select(
+        "source",
+        (F.row_number().over(W.orderBy("source")) - 1).alias("src_idx"),
+    ).crossJoin(F.broadcast(srcs.agg(F.count("*").alias("n_sources"))))
+    o = d.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(W.partitionBy("source").orderBy("doc_id")) - 1).alias(
+            "pos"
+        ),
+    )
+    return o.join(F.broadcast(s), "source").select(
+        "doc_id",
+        "source",
+        (F.col("pos") * F.col("n_sources") + F.col("src_idx"))
+        .cast("long")
+        .alias("interleave_rank"),
+    )
+
+
+@register(
+    "q_cluster_sizes",
+    oracle="""
+    WITH sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM (SELECT doc_id, cluster_id FROM (
+    
+
+WITH RECURSIVE 
+corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_slice(t, 1, len(t) - 1), ' ') AS text,
+         lang, source,
+         CAST(length(array_to_string(list_slice(t, 1, len(t) - 1), ' ')) AS BIGINT) AS n_chars
+  FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 10 = 0
+)
+,
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END) AS sh
+  FROM toks
+)
+,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+
+    SELECT s AS doc_id,
+           LEAST(s, MIN(d)) AS cluster_id,
+           LEAST(s, MIN(d)) = s AS keep
+    FROM reach GROUP BY s
+    ) c) t
+      GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size distribution: how many dup families
+    have 2, 3, ... members — the shape that decides dedup policy
+    (many small pairs -> keep-best per pair is fine; a few giant
+    families -> template removal, not dedup) and the direct read on
+    q_dedup_clusters' output.
+
+    100 TB plan: rides the memoized cluster assignment (no similarity
+    recompute), then two stacked partial aggs over cluster-grain
+    rows."""
+    from .analytics_queries import q_dedup_clusters
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy(F.col("cluster_size").cast("long").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters")
+    )
