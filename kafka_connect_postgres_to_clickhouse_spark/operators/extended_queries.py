@@ -7014,3 +7014,108 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(F.col("cluster_size").cast("long").alias("cluster_size")).agg(
         F.count("*").alias("n_clusters")
     )
+
+
+@register(
+    "q_source_league",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_uniq
+      FROM documents
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+             CAST(SUM(n_uniq) AS BIGINT) AS sum_uniq
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs,
+           sum_toks // n_docs AS mean_tokens,
+           (10000 * sum_uniq) // sum_toks AS ttr_bp,
+           CAST(row_number() OVER (ORDER BY (10000 * sum_uniq) // sum_toks DESC, source)
+                AS INTEGER) AS quality_rank
+    FROM s
+    """,
+)
+def q_source_league(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source quality league table: mean length and type-token ratio
+    (lexical diversity) per source, ranked — the per-feed score sheet
+    that decides which upstream sources get up- or down-weighted in
+    the next mix (q_mix_plan's input, at source rather than language
+    grain).
+
+    100 TB plan: per-row counts, one source partial agg, a rank
+    window over |sources| rows; all ratios integer basis points."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("n_uniq"),
+    )
+    s = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("sum_toks"),
+        F.sum("n_uniq").cast("long").alias("sum_uniq"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        F.expr("sum_toks div n_docs").alias("mean_tokens"),
+        F.expr("(10000 * sum_uniq) div sum_toks").alias("ttr_bp"),
+        F.row_number()
+        .over(W.orderBy(F.expr("(10000 * sum_uniq) div sum_toks").desc(), F.asc("source")))
+        .cast("int")
+        .alias("quality_rank"),
+    )
+
+
+@register(
+    "q_burstiness",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, day
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, s AS total_events,
+           ((n * ss - s * s) * 100) // (s * (n - 1)) AS fano_x100
+    FROM g WHERE n > 1
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor, variance-to-mean x100) of daily volume
+    per event type: 100 = Poisson-like steady traffic, far above =
+    bursty/overdispersed (batchy upstream, incident-driven), far
+    below = suspiciously uniform (synthetic or rate-limited) — one
+    number per stream that q_anomaly_days' per-day flags roll up to.
+
+    Exactness: sample variance / mean multiplies through to
+    (n*ss - s^2) * 100 / (s * (n-1)) — pure BIGINT floor division on
+    both sides.
+
+    100 TB plan: one daily rollup, one |types|-row stats agg."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    g = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ss"),
+    )
+    return g.filter(F.col("n") > 1).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").alias("total_events"),
+        F.expr("((n * ss - s * s) * 100) div (s * (n - 1))").alias("fano_x100"),
+    )
