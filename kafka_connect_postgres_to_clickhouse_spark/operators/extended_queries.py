@@ -7119,3 +7119,50 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("total_events"),
         F.expr("((n * ss - s * s) * 100) div (s * (n - 1))").alias("fano_x100"),
     )
+
+
+@register(
+    "q_hhi_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_sources
+          FROM c GROUP BY lang)
+    SELECT c.lang, t.n_sources, t.total AS n_docs,
+           (CAST(SUM(c.n * c.n) AS BIGINT) * 10000) // (t.total * t.total) AS hhi_bp
+    FROM c JOIN t USING (lang)
+    GROUP BY c.lang, t.n_sources, t.total
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source concentration per language (Herfindahl-Hirschman index,
+    basis points): 10000 = one source supplies everything, 10000/k =
+    perfectly even across k sources — the single-number diversity
+    check behind "is this language really multi-source or one crawl
+    in a trenchcoat" (the concentration twin of q_mutual_info's
+    dependence score).
+
+    Exactness: HHI = sum((n_i/total)^2) multiplies through to
+    sum(n_i^2) * 10000 / total^2 — one BIGINT floor division, no
+    per-share rounding accumulation.
+
+    100 TB plan: one (lang, source) partial agg; everything after is
+    ~100 cell rows."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n"))
+    t = c.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("total"), F.count("*").alias("n_sources")
+    )
+    return (
+        c.join(F.broadcast(t), "lang")
+        .groupBy("lang", "n_sources", F.col("total").alias("n_docs"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("_ss"))
+        .select(
+            "lang",
+            "n_sources",
+            "n_docs",
+            F.expr("(_ss * 10000) div (n_docs * n_docs)").alias("hhi_bp"),
+        )
+    )
