@@ -7166,3 +7166,104 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(_ss * 10000) div (n_docs * n_docs)").alias("hhi_bp"),
         )
     )
+
+
+@register(
+    "q_numeric_density",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+             CAST(COALESCE(list_max(list_transform(regexp_extract_all(text, '[0-9]+'),
+                                                   x -> length(x))), 0) AS BIGINT)
+               AS max_digits
+      FROM documents
+    )
+    SELECT doc_id, lang, n_toks, n_numbers, max_digits,
+           (10000 * n_numbers) // n_toks AS numeric_bp
+    FROM t
+    """,
+)
+def q_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-token density per document: how many number runs a doc
+    contains, the longest digit run, and the density in basis points —
+    the math/code-data curation signal (math-heavy corpora are
+    selected FOR high density; prose pipelines often filter the same
+    tail as serial-number spam).
+
+    100 TB plan: pure per-row regexp extraction and array reduction —
+    one codegen'd scan, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    nums = F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0)
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        F.size(nums).cast("long").alias("n_numbers"),
+        F.coalesce(
+            F.array_max(F.transform(nums, lambda x: F.length(x))), F.lit(0)
+        ).cast("long").alias("max_digits"),
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "n_numbers",
+        "max_digits",
+        F.expr("(10000 * n_numbers) div n_toks").alias("numeric_bp"),
+    )
+
+
+@register(
+    "q_media_budget",
+    oracle="""
+    WITH m AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    t AS (SELECT CAST(SUM(n_bytes) AS BIGINT) AS total FROM m)
+    SELECT media_type, COUNT(*) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+           (10000 * CAST(SUM(n_bytes) AS BIGINT)) // total AS byte_share_bp
+    FROM m, t GROUP BY media_type, total
+    """,
+)
+def q_media_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal storage budget: payload bytes by media type with
+    per-type share — the capacity-planning rollup over the opaque
+    binary column (q_multimodal_meta types the items; this prices
+    them; the decode stubs in streaming/multimodal.py spend against
+    exactly this budget).
+
+    100 TB plan: byte length is a per-row metadata expression (the
+    payload itself never moves); one 3-group partial agg + a 1-row
+    total broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+    )
+    t = m.agg(F.sum("n_bytes").cast("long").alias("total"))
+    return (
+        m.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "media_type",
+            "n_items",
+            "total_bytes",
+            "max_bytes",
+            F.expr("(10000 * total_bytes) div total").alias("byte_share_bp"),
+        )
+    )
