@@ -7267,3 +7267,122 @@ def q_media_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * total_bytes) div total").alias("byte_share_bp"),
         )
     )
+
+
+@register(
+    "q_token_position_bias",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS arr FROM documents
+    ),
+    hits AS (
+      SELECT lang, i, len(arr) AS n
+      FROM t, UNNEST(generate_series(1, len(arr))) AS u(i)
+      WHERE arr[i] = 'scan'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(SUM((10000 * i) // n) AS BIGINT) // COUNT(*) AS mean_rel_pos_bp
+    FROM hits GROUP BY lang
+    """,
+)
+def q_token_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional bias of a probe token: where in documents 'scan'
+    tends to appear (mean relative position, basis points: 0 = always
+    opens, 10000 = always closes) — the doc-structure signal behind
+    lead-paragraph extraction and position-weighted relevance
+    (boilerplate concentrates at edges; body content centers).
+
+    100 TB plan: the position explode filters to the probe token
+    BEFORE any shuffle (one row per occurrence, not per token);
+    one lang partial agg of integer basis points."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", tokens(F.col("text")).alias("arr"))
+    hits = t.select(
+        "lang",
+        F.size("arr").alias("n"),
+        F.posexplode("arr").alias("p0", "w"),
+    ).filter(F.col("w") == "scan").select(
+        "lang", F.expr("(10000 * (p0 + 1)) div n").alias("rel_bp")
+    )
+    return hits.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.expr("CAST(sum(rel_bp) AS BIGINT) div count(1)").alias("mean_rel_pos_bp"),
+    )
+
+
+@register(
+    "q_weekend_effect",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS is_weekend,
+             date_trunc('day', ts) AS day
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, is_weekend, COUNT(*) AS n,
+             COUNT(DISTINCT day) AS n_days
+      FROM d GROUP BY event_type, is_weekend
+    ),
+    p AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(CASE WHEN is_weekend = 1 THEN n END), 0) AS BIGINT) AS we_n,
+             CAST(COALESCE(SUM(CASE WHEN is_weekend = 1 THEN n_days END), 0) AS BIGINT) AS we_days,
+             CAST(COALESCE(SUM(CASE WHEN is_weekend = 0 THEN n END), 0) AS BIGINT) AS wd_n,
+             CAST(COALESCE(SUM(CASE WHEN is_weekend = 0 THEN n_days END), 0) AS BIGINT) AS wd_days
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, we_n, wd_n,
+           (10000 * we_n * wd_days) // (wd_n * we_days) AS weekend_rate_bp
+    FROM p WHERE we_days > 0 AND wd_days > 0 AND wd_n > 0
+    """,
+)
+def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend effect per event type: the weekend vs weekday PER-DAY
+    rate ratio (10000 bp = no effect) — normalizing by day counts so
+    the 2:5 calendar imbalance doesn't masquerade as a drop; the
+    binary contrast q_dow_seasonality resolves into its 7-day
+    profile.
+
+    Exactness: the rate ratio (we_n/we_days)/(wd_n/wd_days)
+    multiplies through to one BIGINT floor division.
+
+    100 TB plan: one (type, weekend-flag) partial agg with an
+    embedded distinct-day count; constant-size output."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        F.when(F.weekday(F.col("ts").cast("date")) >= 5, 1).otherwise(0).alias(
+            "is_weekend"
+        ),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    c = d.groupBy("event_type", "is_weekend").agg(
+        F.count("*").alias("n"), F.countDistinct("day").alias("n_days")
+    )
+    p = c.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("we_n"),
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("n_days")).otherwise(0))
+        .cast("long")
+        .alias("we_days"),
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("wd_n"),
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("n_days")).otherwise(0))
+        .cast("long")
+        .alias("wd_days"),
+    )
+    return (
+        p.filter((F.col("we_days") > 0) & (F.col("wd_days") > 0) & (F.col("wd_n") > 0))
+        .select(
+            "event_type",
+            "we_n",
+            "wd_n",
+            F.expr("(10000 * we_n * wd_days) div (wd_n * we_days)").alias(
+                "weekend_rate_bp"
+            ),
+        )
+    )
