@@ -7386,3 +7386,44 @@ def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    first_day AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY user_id)
+    SELECT ud.day,
+           COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN ud.day <> f.fday THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM ud JOIN first_day f USING (user_id)
+    GROUP BY ud.day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: each active day classified
+    against the user's first-ever day — the growth-accounting KPI
+    (acquisition vs retention) that q_retention's cohort triangle
+    summarizes per day.
+
+    100 TB plan: the (user, day) grain dedups first; first-seen is a
+    MIN partial agg sharing the user partitioning with its join back;
+    one day-grain rollup finishes."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("fday"))
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.when(F.col("day") == F.col("fday"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") != F.col("fday"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
