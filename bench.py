@@ -76,10 +76,14 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
-    # r1's single giant line was truncated by the driver's capture
-    # (BENCH_r01.json: parsed:null).  Emit a short parseable summary
-    # line FIRST, persist the full payload to a file, then print the
-    # full line for human eyes.
+    # The driver keeps only the TAIL (~2000 chars) of stdout, so the
+    # giant full payload goes to a file only and the short parseable
+    # summary line is printed LAST.  (r1 printed one giant line:
+    # truncated; r2 printed summary-then-giant: the tail capture again
+    # saw only the truncated giant line.  Small line last is the fix.)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
     print(
         json.dumps(
             {
@@ -88,14 +92,12 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
+                "queries": slowest,  # 20 slowest; full set in queries_file
                 "queries_file": "BENCH_FULL.json",
             }
         ),
         flush=True,
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
-        json.dump(payload, f, indent=1)
-    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

@@ -150,11 +150,12 @@ def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT) AS sx
       FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
     ),
-    g AS (SELECT label, i, SUM(sx) AS s, COUNT(*) AS c FROM ex GROUP BY label, i)
-    SELECT label,
-           list(CAST(s AS DOUBLE) / c / 1000000000.0 ORDER BY i) AS centroid,
-           MIN(c) AS n_vecs
-    FROM g GROUP BY label
+    g AS (SELECT label, i, CAST(SUM(sx) AS BIGINT) AS s, COUNT(*) AS c
+          FROM ex GROUP BY label, i)
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
+           CAST(s AS DOUBLE) / c / 1000000000.0 AS centroid_val,
+           c AS n_vecs
+    FROM g
     """,
 )
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,7 +166,9 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries |labels| x dim aggregate rows, never vectors.
     Exactness: per-element round(x*1e9) BIGINT sums (order-independent
     across both engines, functions/vectors.py discipline), one final
-    double division sequence per dimension."""
+    double division sequence per dimension.  Emitted as scalar
+    (label, dim_idx, centroid_val) rows: the driver's value hash
+    cannot canonicalize ARRAY cells."""
     e = _t(spark, sf_dir, "embeddings")
     x = e.select("label", F.posexplode("embedding").alias("i0", "x"))
     per = (
@@ -175,12 +178,13 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("c"),
         )
     )
-    return per.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "s", "c"))),
-            lambda t: t["s"].cast("double") / t["c"] / F.lit(1_000_000_000.0),
-        ).alias("centroid"),
-        F.min("c").alias("n_vecs"),
+    return per.select(
+        "label",
+        (F.col("i") - 1).cast("long").alias("dim_idx"),
+        (F.col("s").cast("double") / F.col("c") / F.lit(1_000_000_000.0)).alias(
+            "centroid_val"
+        ),
+        F.col("c").alias("n_vecs"),
     )
 
 
@@ -489,7 +493,8 @@ def q_rank_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d2
       ) WHERE rn = 1
     )
-    SELECT cid AS cluster_id, COUNT(*) AS n_vecs, SUM(d) AS inertia_scaled
+    SELECT cid AS cluster_id, COUNT(*) AS n_vecs,
+           CAST(SUM(d) AS BIGINT) AS inertia_scaled
     FROM a2 GROUP BY cid
     """,
 )
@@ -701,7 +706,8 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n_tot FROM toks),
     sc AS (SELECT w, CAST(round(ln(CAST(n_tot AS DOUBLE) / n_w) * 1000000) AS BIGINT) AS s
            FROM uc, tot)
-    SELECT doc_id, COUNT(*) AS n_tokens, SUM(s) // COUNT(*) AS nll_scaled
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(s) AS BIGINT) // COUNT(*) AS nll_scaled
     FROM toks JOIN sc USING (w)
     GROUP BY doc_id
     """,
@@ -755,7 +761,7 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
              (idf_s * 22 * tf * n_tot) // (10 * tf * n_tot + 3 * n_tot + 9 * dl.dl * n_docs) AS term_score
       FROM tf JOIN idf USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g
     )
-    SELECT doc_id, SUM(term_score) AS bm25_scaled
+    SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_scaled
     FROM scored GROUP BY doc_id
     ORDER BY bm25_scaled DESC, doc_id LIMIT 50
     """,
@@ -831,10 +837,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY s),
     p1 AS (SELECT e.d AS doc_id,
-                  150000 + (85 * SUM(1000000 // dg)) // 100 AS pr
+                  150000 + (85 * CAST(SUM(1000000 // dg) AS BIGINT)) // 100 AS pr
            FROM edges e JOIN deg ON deg.s = e.s GROUP BY e.d),
     p2 AS (SELECT e.d AS doc_id,
-                  150000 + (85 * SUM(p1.pr // dg)) // 100 AS pr
+                  150000 + (85 * CAST(SUM(p1.pr // dg) AS BIGINT)) // 100 AS pr
            FROM edges e JOIN deg ON deg.s = e.s JOIN p1 ON p1.doc_id = e.s
            GROUP BY e.d)
     SELECT doc_id, pr AS pagerank_scaled FROM p2
@@ -935,7 +941,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q18",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                          GROUP BY l_orderkey HAVING SUM(l_quantity) > 220)
@@ -993,7 +999,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum GROUP BY lang
     )
     SELECT d.lang, COUNT(*) AS n_docs, th.p05, th.p95,
-           (100 * SUM(least(greatest(d.n_chars, th.p05), th.p95))) // COUNT(*) AS avg_clip_x100
+           (100 * CAST(SUM(least(greatest(d.n_chars, th.p05), th.p95)) AS BIGINT))
+             // COUNT(*) AS avg_clip_x100
     FROM documents d JOIN th ON d.lang = th.lang
     GROUP BY d.lang, th.p05, th.p95
     """,
@@ -1819,10 +1826,10 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q12",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -5526,7 +5533,8 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s_nationkey, l_suppkey AS suppkey,
            CAST(rev4 AS DOUBLE) / 10000 AS revenue,
-           (10000 * rev4) // SUM(rev4) OVER (PARTITION BY s_nationkey) AS share_bp,
+           (10000 * rev4)
+             // CAST(SUM(rev4) OVER (PARTITION BY s_nationkey) AS BIGINT) AS share_bp,
            CAST(RANK() OVER (PARTITION BY s_nationkey ORDER BY rev4 DESC, l_suppkey)
                 AS INTEGER) AS rank_in_nation
     FROM r
@@ -5876,9 +5884,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (
       SELECT vec_id,
-             (SELECT SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
+             (SELECT CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
                                     * CAST(embedding[i] AS DOUBLE)
-                                    * 1000000000) AS BIGINT))
+                                    * 1000000000) AS BIGINT)) AS BIGINT)
               FROM unnest(generate_series(1, len(embedding))) AS t(i)) AS n2
       FROM embeddings
     ),
@@ -6132,7 +6140,8 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
     SELECT lang, source, n AS n_docs,
            (10000 * n) // total AS corpus_share_bp,
-           (10000 * n) // SUM(n) OVER (PARTITION BY lang) AS within_lang_bp
+           (10000 * n) // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+             AS within_lang_bp
     FROM c, t
     """,
 )

@@ -780,9 +780,9 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -925,8 +925,8 @@ def q_window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n_all,
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-             FILTER (WHERE l_tax > 0.04) AS taxed_cents
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             FILTER (WHERE l_tax > 0.04) AS BIGINT) AS taxed_cents
     FROM lineitem GROUP BY l_returnflag
     """,
 )

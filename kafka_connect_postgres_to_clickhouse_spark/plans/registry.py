@@ -73,11 +73,20 @@ def _driver_green_keys() -> set[str]:
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     green: set[str] = set()
     red: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def round_no(path: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    # numeric round order: later rounds override earlier verdicts (a
+    # lexicographic sort would put r100 before r11 and resurrect stale
+    # verdicts)
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=round_no):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -86,8 +95,14 @@ def _driver_green_keys() -> set[str]:
         for key, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or (
+            ran_weak = (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            # a rows-only run proves a key ONLY while the key still has
+            # no oracle: if the registry later grows an oracle for it,
+            # the key re-fronts for a real hash verdict
+            if row.get("hash_match") is True or (
+                ran_weak and (key not in REGISTRY or REGISTRY[key].oracle is None)
             ):
                 green.add(key)
                 red.discard(key)

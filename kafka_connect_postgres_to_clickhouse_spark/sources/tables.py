@@ -35,9 +35,18 @@ TABLES = [
 
 
 @lru_cache(maxsize=None)
-def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+def _ts_columns(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(nanos columns, tz-naive non-nanos timestamp columns) per file."""
     schema = pq.read_schema(path)
-    return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+    nanos, naive = [], []
+    for f in schema:
+        t = f.type
+        if str(t).startswith("timestamp"):
+            if str(t) == "timestamp[ns]":
+                nanos.append(f.name)
+            elif getattr(t, "tz", None) is None:
+                naive.append(f.name)
+    return tuple(nanos), tuple(naive)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,12 +69,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       instant DuckDB reports, independent of the caller session's
       defaults (the driver builds its own SparkSession; both confs are
       runtime-settable).
+
+    SESSION-WIDE SIDE EFFECT: when (and only when) the file contains a
+    nanos or tz-naive timestamp column, the two confs above are set on
+    the caller's session and stay set.  Both gate correctness here and
+    are already pinned by every repo entry point (``session.get_spark``
+    / ``session.tune``); callers who need a non-UTC session timezone
+    must convert at the edges rather than rely on session defaults.
     """
     path = f"{sf_dir}/{name}.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_cols, naive_cols = _ts_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos_cols or naive_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    for c in _nanos_ts_columns(path):
+    for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     for f in df.schema.fields:
         if isinstance(f.dataType, TimestampNTZType):

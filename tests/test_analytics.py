@@ -104,3 +104,20 @@ def test_dedup_clusters_consistent_with_pairs(spark, queries):
         if cid < 1_000_000:
             assert cid + 2_000_000 in cluster_of
             assert cluster_of[cid + 2_000_000] == cluster_of[cid]
+
+
+def test_materialized_intermediates_spill_to_parquet(spark, queries):
+    """Shared heavy intermediates (shingle postings, verified pair
+    table) must be parquet temp tables, not executor-memory-pinned
+    checkpoint blocks: a consumer's physical plan shows a parquet scan
+    of the spill directory, so at cluster scale the reuse is bounded
+    by disk, survives executor loss, and keeps column pruning."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
+        _materialize_root,
+    )
+
+    df = queries["q_neardup_jaccard"](spark, SF)
+    df.count()  # force the first consumer to build + spill
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_materialized" in plan and "parquet" in plan.lower(), plan[:2000]
+    assert _materialize_root() in plan or "_materialized" in plan

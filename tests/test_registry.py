@@ -14,6 +14,7 @@ from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (  # noqa:
 )
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_green_keys_reflect_recorded_rounds():
@@ -67,7 +68,89 @@ def test_every_registry_query_executes(spark):
     failures = []
     for name, spec in load_all_queries().items():
         try:
-            spec.fn(spark, "/root/testdata/sf0.001").count()
+            spec.fn(spark, SF_DIR).count()
         except Exception as exc:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {exc}")
-    assert not failures, "\n".join(failures[:5])
+    assert not failures, f"{len(failures)} failures: " + "\n".join(failures[:5])
+
+
+def test_oracle_result_types_hash_safe():
+    """The driver's value hash is dtype-sensitive: DuckDB HUGEINT
+    (int128 from SUM over BIGINT) lands as pandas ``object`` and
+    diverges from Spark's int64 even when values are equal, and
+    LIST/STRUCT/MAP cells are unhashable outright.  Round 2 lost six
+    driver keys to exactly this, masked locally because the replica
+    normalizes dtypes.  Plan-only (relation.types) — no execution."""
+    import duckdb
+
+    sys.path.insert(0, ROOT)
+    from tools.check_oracle import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    bad_prefix = ("HUGEINT", "UHUGEINT", "DECIMAL", "STRUCT", "MAP", "UNION")
+    offenders = []
+    for name, spec in load_all_queries().items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if any(t.startswith(b) for b in bad_prefix) or t.endswith("[]"):
+                offenders.append(f"{name}.{col}: {t}")
+    assert not offenders, (
+        f"{len(offenders)} hash-unsafe oracle columns (CAST sums to BIGINT / "
+        "reshape arrays to scalar rows): " + "; ".join(offenders)
+    )
+
+
+def test_spark_result_schemas_hash_safe(spark):
+    """Spark twin of the oracle-type lint: no ArrayType/MapType column
+    may reach the driver's canonicalizer (unhashable cells)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = []
+    for name, spec in load_all_queries().items():
+        if spec.oracle is None:
+            continue  # rows-only keys never reach the value hash
+        try:
+            schema = spec.fn(spark, SF_DIR).schema
+        except Exception as exc:  # noqa: BLE001 - surfaced by the execute test
+            offenders.append(f"{name}: schema build failed: {exc}")
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        f"{len(offenders)} hash-unsafe Spark result columns: "
+        + "; ".join(offenders[:10])
+    )
+
+
+def test_driver_red_keys_lead_the_front():
+    """Every key red in the LATEST recorded driver round must sit
+    inside the first 50 of load_all_queries() order, so the driver's
+    bounded per-round window re-checks it next round."""
+    import glob
+    import re
+
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not paths:
+        return
+    latest = json.load(open(paths[-1]))
+    red = {
+        k
+        for k, row in latest.items()
+        if isinstance(row, dict)
+        and row.get("hash_match") is not True
+        and row.get("err") != "no_oracle"
+    }
+    order = list(load_all_queries())
+    missing = [k for k in red if k in order and order.index(k) >= 50]
+    assert not missing, (
+        f"driver-red keys outside the 50-key driver window: {missing}"
+    )
