@@ -85,6 +85,22 @@ def _materialize(spark, sf_dir: str, name: str, build) -> DataFrame:
     return df
 
 
+def _maybe_broadcast(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Broadcast hint for duplicate-graph-sized tables, as a CONFIG FLIP.
+
+    The pair/label tables these operators join are sized by the
+    duplicate graph, not the corpus — normally broadcastable.  A
+    deployment whose duplicate graph outgrows executor memory sets
+    ``spark.kcptc.broadcastPairGraph=false`` and every such join falls
+    back to an ordinary shuffle hash join (same plan shape, still
+    proportional to the duplicate graph, never the corpus) — no
+    rewrite required.
+    """
+    if spark.conf.get("spark.kcptc.broadcastPairGraph", "true") == "true":
+        return F.broadcast(df)
+    return df
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     exact = docs.select(
@@ -1488,7 +1504,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     converged = False
     for _ in range(max_rounds):
         msgs = edges.join(
-            F.broadcast(labels.withColumnRenamed("node", "d")), "d"
+            _maybe_broadcast(spark, labels.withColumnRenamed("node", "d")), "d"
         ).select("s", "label")
         labels = (
             msgs.groupBy("s")

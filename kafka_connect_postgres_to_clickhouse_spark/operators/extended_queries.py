@@ -25,6 +25,7 @@ from .analytics_queries import (
     SHINGLES_SQL,
     _corpus,
     _corpus_shingles,
+    _maybe_broadcast,
     q_neardup_jaccard,
 )
 
@@ -336,7 +337,7 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = meta.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     mb = meta.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     return (
-        F.broadcast(pairs)
+        _maybe_broadcast(spark, pairs)
         .join(ma, "doc_a")
         .join(mb, "doc_b")
         .groupBy(
@@ -7435,4 +7436,441 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_returning"),
         )
+    )
+
+
+# --- wave 20 (round 3) ------------------------------------------------------
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH oc AS (SELECT CAST(o_custkey AS BIGINT) AS k, COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey),
+    ev AS (SELECT CAST(user_id AS BIGINT) AS k, COUNT(*) AS n_events
+           FROM events GROUP BY user_id)
+    SELECT COALESCE(oc.k, ev.k) AS k,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events
+    FROM oc FULL OUTER JOIN ev ON oc.k = ev.k
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation join: per-key order counts
+    vs per-key event counts, keeping keys present on either side with
+    zero-filled gaps (the shape of a two-system audit / CDC backfill
+    diff).
+
+    100 TB plan: both inputs pre-aggregate to key grain BEFORE the
+    join (partial aggs map-side), so the full-outer shuffle carries
+    one row per key per side — never raw fact rows."""
+    o = _t(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    oc = (
+        o.groupBy(F.col("o_custkey").cast("long").alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    ev = (
+        e.groupBy(F.col("user_id").cast("long").alias("k"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return oc.join(ev, "k", "full").select(
+        "k",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    WITH l AS (SELECT DISTINCT lang FROM documents),
+    s AS (SELECT DISTINCT source FROM documents),
+    c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source)
+    SELECT l.lang, s.source, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs
+    FROM l CROSS JOIN s
+    LEFT JOIN c ON c.lang = l.lang AND c.source = s.source
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-join grid densification: every (lang, source) cell of the
+    corpus contingency table INCLUDING empty cells — the dense-grid
+    companion to q_crosstab_share (which emits only observed cells);
+    reporting and drift monitors need the zeros.
+
+    100 TB plan: both dimension tables are DISTINCT projections
+    (dozens of rows) — the cross join is broadcast x broadcast, and
+    the only corpus-sized work is the counts aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = d.select("lang").distinct()
+    sources = d.select("source").distinct()
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    return (
+        langs.crossJoin(F.broadcast(sources))
+        .join(F.broadcast(counts), ["lang", "source"], "left")
+        .select(
+            "lang", "source", F.coalesce("n", F.lit(0)).cast("long").alias("n_docs")
+        )
+    )
+
+
+@register(
+    "q_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    m AS (
+      SELECT lang,
+             len(toks) AS n_toks,
+             list_sum(list_transform(toks, w -> length(w))) AS sum_chars,
+             len(list_filter(toks, w -> w IN ('the', 'a'))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t
+    ),
+    r AS (
+      SELECT lang,
+             (n_toks BETWEEN 10 AND 400) AS r_len,
+             (100 * sum_chars >= 350 * n_toks
+              AND 100 * sum_chars <= 450 * n_toks) AS r_meanlen,
+             (50 * n_stop >= n_toks) AS r_stop,
+             (10 * n_distinct >= 3 * n_toks) AS r_ttr
+      FROM m
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN r_len AND r_meanlen AND r_stop AND r_ttr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+           CAST(SUM(CASE WHEN NOT r_meanlen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_meanlen,
+           CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+           CAST(SUM(CASE WHEN NOT r_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ttr
+    FROM r GROUP BY lang
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021,
+    arXiv:2112.11446, public): per-doc token-count bounds, mean token
+    length band, stopword floor, and type-token-ratio floor, rolled up
+    to per-language pass/fail accounting — the standard first filter
+    of an LLM pretraining pipeline (thresholds adapted to the
+    fixture's vocabulary).
+
+    Exactness: every rule is an INTEGER inequality (fractions
+    multiplied through: 100*sum_chars vs 350*n_toks, 50*n_stop vs
+    n_toks, 10*n_distinct vs 3*n_toks) — no float at any decision
+    point, so both engines flag identical docs.  100 TB plan: rules
+    are pure per-row array expressions; the only shuffle is the
+    per-language partial agg."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    sum_chars = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(t, lambda w: w.isin("the", "a")))
+    n_distinct = F.size(F.array_distinct(t))
+    m = d.select(
+        "lang",
+        n.alias("n_toks"),
+        sum_chars.alias("sum_chars"),
+        n_stop.alias("n_stop"),
+        n_distinct.alias("n_distinct"),
+    )
+    r = m.select(
+        "lang",
+        F.col("n_toks").between(10, 400).alias("r_len"),
+        (
+            (100 * F.col("sum_chars") >= 350 * F.col("n_toks"))
+            & (100 * F.col("sum_chars") <= 450 * F.col("n_toks"))
+        ).alias("r_meanlen"),
+        (50 * F.col("n_stop") >= F.col("n_toks")).alias("r_stop"),
+        (10 * F.col("n_distinct") >= 3 * F.col("n_toks")).alias("r_ttr"),
+    )
+    def _fails(c):
+        return F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("long")
+
+    return r.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("r_len") & F.col("r_meanlen") & F.col("r_stop") & F.col("r_ttr"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass"),
+        _fails("r_len").alias("n_fail_len"),
+        _fails("r_meanlen").alias("n_fail_meanlen"),
+        _fails("r_stop").alias("n_fail_stop"),
+        _fails("r_ttr").alias("n_fail_ttr"),
+    )
+
+
+@register(
+    "q_char_classes",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(regexp_replace(text, '[^a-z]', '', 'g'))) AS BIGINT)
+             AS n_alpha,
+           CAST(SUM(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS BIGINT)
+             AS n_vowel,
+           CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT)
+             AS n_digit,
+           CAST(SUM(length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+             AS n_space
+    FROM documents GROUP BY lang
+    """,
+)
+def q_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census per language: alpha / vowel / digit /
+    whitespace counts — the encoding-sanity and symbol-ratio signals
+    (mojibake, code-vs-prose detection) of a curation pipeline.
+
+    Pure per-row regex length expressions (JVM regexp, no shuffle but
+    the final per-language partial agg); counts are exact integers so
+    the hash matches by construction."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def _cls(pattern, name):
+        return F.sum(
+            F.length(F.regexp_replace("text", pattern, ""))
+        ).cast("long").alias(name)
+
+    return d.groupBy("lang").agg(
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        _cls("[^a-z]", "n_alpha"),
+        _cls("[^aeiou]", "n_vowel"),
+        _cls("[^0-9]", "n_digit"),
+        F.sum(
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).cast("long").alias("n_space"),
+    )
+
+
+@register(
+    "q_bpe_pair_merge",
+    oracle="""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, cnt
+      FROM wc, unnest(generate_series(1, len(w) - 1)) t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge decision (Sennrich et al. 2016,
+    arXiv:1508.07909, public): adjacent character-pair frequencies
+    weighted by word frequency, top-20 merge candidates — the
+    tokenizer-training primitive.
+
+    100 TB plan: pair counting runs over the VOCABULARY (word ->
+    count), not the corpus — the corpus-sized work is one word-count
+    groupBy (shared shape with q_text_tokens), after which the char
+    expansion is vocabulary x word-length, thousands of rows.
+    Deterministic top-20 via (freq DESC, pair) total order."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.length("w") >= 2)
+    )
+    pair = F.explode(
+        F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+    ).alias("pair")
+    return (
+        wc.select(pair, "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_event_dedup_window",
+    oracle="""
+    SELECT event_id, user_id, event_type, bucket FROM (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) // 300000000 AS bucket,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_us(ts) // 300000000
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry burst dedup: keep the FIRST event per (user, type,
+    5-minute bucket) — the batch twin of the streaming
+    dropDuplicatesWithinWatermark operator (streaming/pipeline.py),
+    expressed as a rank-1 window filter.
+
+    100 TB plan: one shuffle on the dedup key; the window sorts only
+    within (user, type, bucket) groups — bounded by burst size, no
+    global order anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_micros(F.col("ts")) / F.lit(300000000)).cast("long")
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        e.select("event_id", "user_id", "event_type", bucket.alias("bucket"), "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "bucket")
+    )
+
+
+@register(
+    "q_centroid_distances",
+    oracle="""
+    WITH ex AS (
+      SELECT label, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT) AS sx
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    g AS (SELECT label, i, CAST(SUM(sx) AS BIGINT) AS s, COUNT(*) AS c
+          FROM ex GROUP BY label, i),
+    terms AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(round(
+               (CAST(a.s AS DOUBLE) / a.c / 1000000000.0
+                - CAST(b.s AS DOUBLE) / b.c / 1000000000.0)
+               * (CAST(a.s AS DOUBLE) / a.c / 1000000000.0
+                  - CAST(b.s AS DOUBLE) / b.c / 1000000000.0)
+               * 1000000) AS BIGINT) AS term
+      FROM g a JOIN g b ON a.i = b.i AND a.label < b.label
+    )
+    SELECT label_a, label_b, CAST(SUM(term) AS BIGINT) AS sqdist_scaled
+    FROM terms GROUP BY label_a, label_b
+    """,
+)
+def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid distance matrix: squared L2 between every
+    pair of per-label embedding centroids — the class-separability /
+    cluster-quality diagnostic consumed after q_embed_centroid.
+
+    Exactness: per-dimension distance terms are rounded to integers
+    (x1e6) BEFORE summation, so the final SUM is order-independent on
+    both engines; the centroid division sequence is the identical
+    IEEE expression both sides (functions/vectors.py discipline).
+
+    100 TB plan: corpus-sized work is the same (label, dim) partial
+    agg as q_embed_centroid; the pair join runs over |labels| x dim
+    aggregate rows — thousands, never vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("i0", "x"))
+    g = (
+        x.groupBy("label", (F.col("i0") + 1).alias("i"))
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * SCALE).cast("long")).alias("s"),
+            F.count("*").alias("c"),
+        )
+    )
+    a = g.select(
+        F.col("label").alias("label_a"),
+        F.col("i"),
+        (F.col("s").cast("double") / F.col("c") / F.lit(1_000_000_000.0)).alias("va"),
+    )
+    b = g.select(
+        F.col("label").alias("label_b"),
+        F.col("i").alias("i_b"),
+        (F.col("s").cast("double") / F.col("c") / F.lit(1_000_000_000.0)).alias("vb"),
+    )
+    diff = F.col("va") - F.col("vb")
+    term = F.round(diff * diff * F.lit(1_000_000.0)).cast("long")
+    return (
+        a.join(b, (F.col("i") == F.col("i_b")) & (F.col("label_a") < F.col("label_b")))
+        .select("label_a", "label_b", term.alias("term"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum("term").cast("long").alias("sqdist_scaled"))
+    )
+
+
+@register(
+    "q_drawdown",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           cents,
+           peak_cents,
+           peak_cents - cents AS drawdown_cents
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             MAX(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+      FROM orders
+    )
+    """,
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per customer over order history: each
+    order's gap to the customer's best-so-far order value — the
+    running-extremum window idiom (monitoring: regression from peak).
+
+    MAX over a running frame stays BIGINT (no sum widening), so the
+    arithmetic is exact end-to-end.  One shuffle on the window key;
+    per-customer sort only."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        cents.alias("cents"),
+        F.max(cents).over(w).alias("peak_cents"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        "peak_cents",
+        (F.col("peak_cents") - F.col("cents")).alias("drawdown_cents"),
+    )
+
+
+@register(
+    "q_qualify_latest",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM (
+      SELECT l_orderkey, l_linenumber, l_shipdate,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_qualify_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY idiom: the latest-shipped line per order via a rank-1
+    window filter — the relational-table flavor of the LWW upsert
+    (q_dedup_lww applies the same shape to the changelog).
+
+    One shuffle on the partition key; ties broken deterministically by
+    line number so both engines pick the identical row."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_shipdate"), F.desc("l_linenumber")
+    )
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
     )

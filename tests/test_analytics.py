@@ -121,3 +121,26 @@ def test_materialized_intermediates_spill_to_parquet(spark, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "_materialized" in plan and "parquet" in plan.lower(), plan[:2000]
     assert _materialize_root() in plan or "_materialized" in plan
+
+
+def test_pair_graph_broadcast_config_flip(spark, queries):
+    """spark.kcptc.broadcastPairGraph=false must flip the pair-graph
+    joins to shuffle joins without changing results — the documented
+    escape hatch for duplicate graphs too big to broadcast."""
+    key = "spark.kcptc.broadcastPairGraph"
+    base = {
+        tuple(r) for r in queries["q_cross_source_dups"](spark, SF).collect()
+    }
+    spark.conf.set(key, "false")
+    try:
+        flipped = {
+            tuple(r) for r in queries["q_cross_source_dups"](spark, SF).collect()
+        }
+        clusters = {
+            (r.doc_id, r.cluster_id)
+            for r in queries["q_dedup_clusters"](spark, SF).collect()
+        }
+    finally:
+        spark.conf.set(key, "true")
+    assert flipped == base
+    assert clusters  # propagation converged without broadcasts
