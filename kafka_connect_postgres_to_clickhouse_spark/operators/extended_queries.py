@@ -7874,3 +7874,517 @@ def q_qualify_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_orderkey", "l_linenumber", "l_shipdate")
     )
+
+
+# --- wave 21 (round 3) ------------------------------------------------------
+
+
+@register(
+    "q_running_distinct",
+    oracle="""
+    WITH fd AS (SELECT user_id, MIN(date_trunc('day', ts)) AS fday
+                FROM events GROUP BY user_id),
+    c AS (SELECT fday AS day, COUNT(*) AS n FROM fd GROUP BY fday),
+    days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+    SELECT days.day,
+           CAST(SUM(COALESCE(c.n, 0))
+                OVER (ORDER BY days.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM days LEFT JOIN c USING (day)
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the classic running
+    COUNT(DISTINCT) that naive engines compute with a day x user
+    range join.  Rewritten as first-seen-day counts + a prefix sum:
+    each user contributes exactly once, on their first day.
+
+    100 TB plan: first-seen is one MIN partial agg per user; the
+    prefix sum runs over the DAY grain (bounded — thousands of rows
+    regardless of corpus size), so the single-partition window is
+    safe at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    fd = e.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("day"))
+    c = fd.groupBy("day").agg(F.count("*").alias("n"))
+    days = e.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(F.broadcast(c), "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n"))
+        .select("day", F.sum("n").over(w).cast("long").alias("cum_users"))
+    )
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY user_id, event_type),
+    r AS (SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS rn
+          FROM c)
+    SELECT event_type AS mode_type, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM r WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (statistical MODE with a
+    deterministic lexicographic tie-break), rolled up to how many
+    users favor each type — the idiom behind "dominant behavior"
+    segmentation.
+
+    100 TB plan: count at (user, type) grain with map-side partial
+    aggs, then a user-partitioned row_number window on the already
+    small per-user type histogram; final rollup is a bounded-key
+    agg.  No distinct-aggregation over raw events anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("mode_type"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "q_hist2d",
+    oracle="""
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS price_bucket,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY price_bucket, o_orderpriority
+    """,
+)
+def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional histogram: order value binned into fixed
+    $25,000 buckets crossed with order priority — the binned heatmap
+    aggregation every profiling UI issues.
+
+    Exactness: the bucket id is integer cents floor-divided by the
+    bucket width in cents, so boundary values land identically in
+    both engines (a double division would not).  Plan: one partial
+    agg over a bounded (bucket x priority) key space — the shuffle
+    carries only the tiny grid."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(cents.alias("cents"), "o_orderpriority")
+        .select(F.expr("cents div 2500000").alias("price_bucket"), "o_orderpriority")
+        .groupBy("price_bucket", "o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+@register(
+    "q_hapax_share",
+    oracle="""
+    WITH w AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+               FROM documents),
+    wc AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY source, word)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((10000 * CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT))
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS hapax_bp
+    FROM wc GROUP BY source
+    """,
+)
+def q_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomenon share per source: the fraction of each
+    source's vocabulary that occurs exactly once — a standard corpus
+    diversity / OCR-noise indicator (high hapax share flags noisy or
+    template-free text).
+
+    Exactness: share reported in integer basis points via floor
+    division.  100 TB plan: explode to (source, word), count with
+    map-side combine, then a bounded per-source rollup — the wide
+    shuffle is the word-grain count, the same cost class as
+    q_zipf_slope's vocabulary scan."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+    wc = w.groupBy("source", "word").agg(F.count("*").alias("n"))
+    return wc.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.expr(
+            "(10000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)) div count(*)"
+        ).cast("long").alias("hapax_bp"),
+    )
+
+
+@register(
+    "q_burst_detect",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts, 4) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS t4
+      FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_bursts
+    FROM o
+    WHERE t4 IS NOT NULL AND date_diff('second', t4, ts) <= 60
+    GROUP BY user_id
+    """,
+)
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike detector: events that are the 5th (or later) hit
+    from the same user within a rolling 60-second span — the batch
+    twin of a streaming rate limiter / bot heuristic, implemented as
+    lag(4) instead of a self range-join.
+
+    100 TB plan: one user-partitioned ordered window (the lag), one
+    filter, one partial agg.  The window sort shares the shuffle
+    with the final groupBy key — no O(events^2) self-join, which is
+    what the naive "pairs within 60 s" formulation costs."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("t4", F.lag("ts", 4).over(w))
+        .filter(
+            F.col("t4").isNotNull()
+            & (
+                F.unix_timestamp("ts") - F.unix_timestamp("t4") <= 60
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_bursts"))
+    )
+
+
+@register(
+    "q_dwell_time",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    g AS (SELECT event_type, date_diff('second', prev_ts, ts) AS gap
+          FROM o WHERE prev_ts IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap, 0.5) AS p50_gap_s,
+           quantile_cont(gap, 0.9) AS p90_gap_s
+    FROM g GROUP BY event_type
+    """,
+)
+def q_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time profile: the distribution (exact p50/p90) of
+    seconds elapsed since the same user's previous event, grouped by
+    the type of the arriving event — the engagement-pacing metric
+    behind session-timeout calibration.
+
+    Exactness: gaps are integer seconds; Spark percentile() and
+    DuckDB quantile_cont share the interpolation rule
+    (q_percentiles precedent).  100 TB plan: user-ordered lag
+    window, then a bounded per-type agg; swap percentile for
+    percentile_approx at cluster scale — noted, not silent."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap"),
+        )
+    )
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.percentile("gap", F.lit(0.5)).alias("p50_gap_s"),
+        F.percentile("gap", F.lit(0.9)).alias("p90_gap_s"),
+    )
+
+
+@register(
+    "q_big_spender",
+    oracle="""
+    WITH c AS (SELECT o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    s AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(cents) AS BIGINT) AS tot
+          FROM c GROUP BY o_custkey)
+    SELECT s.o_custkey, s.n_orders,
+           CAST(SUM(CASE WHEN c.cents * s.n_orders > 2 * s.tot
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_orders
+    FROM c JOIN s USING (o_custkey)
+    GROUP BY s.o_custkey, s.n_orders
+    """,
+)
+def q_big_spender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend-outlier count: orders worth more than twice
+    the customer's own average order value — the per-entity
+    "unusual transaction" rule.
+
+    Exactness: price > 2*avg is multiplied through to integer cents
+    (cents*n > 2*total) — zero division, zero floats.  100 TB plan:
+    the per-customer stats are a partial agg sharing the o_custkey
+    shuffle with the join back and the final count, so Catalyst
+    reuses one exchange across all three."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    s = c.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    return (
+        c.join(s, "o_custkey")
+        .groupBy("o_custkey", "n_orders")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") * F.col("n_orders") > 2 * F.col("tot"), 1).otherwise(0)
+            ).cast("long").alias("n_outlier_orders")
+        )
+    )
+
+
+@register(
+    "q_vocab_jaccard_langs",
+    oracle="""
+    WITH w AS (SELECT DISTINCT lang,
+                      unnest(string_split(lower(text), ' ')) AS word
+               FROM documents),
+    v AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nv FROM w GROUP BY lang),
+    i AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM w a JOIN w b USING (word)
+          WHERE a.lang < b.lang
+          GROUP BY a.lang, b.lang)
+    SELECT lang_a, lang_b, n_inter,
+           CAST(va.nv + vb.nv - n_inter AS BIGINT) AS n_union,
+           CAST((10000 * n_inter) // (va.nv + vb.nv - n_inter) AS BIGINT)
+             AS jaccard_bp
+    FROM i
+    JOIN v va ON va.lang = i.lang_a
+    JOIN v vb ON vb.lang = i.lang_b
+    """,
+)
+def q_vocab_jaccard_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-pair vocabulary overlap: exact Jaccard (integer basis
+    points) between the distinct word sets of every language pair —
+    the cross-lingual contamination signal (shared vocabulary between
+    supposedly distinct language buckets means mislabeled docs).
+
+    100 TB plan: the self-join runs at WORD grain after a distinct,
+    and each word's fanout is bounded by the number of languages
+    (single digits), so the pair expansion is linear in vocabulary —
+    never corpus x corpus.  Per-language sizes broadcast onto the
+    tiny pair table."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("lang", F.explode(tokens(F.col("text"))).alias("word")).distinct()
+    v = w.groupBy("lang").agg(F.count("*").cast("long").alias("nv"))
+    a = w.alias("a")
+    b = w.alias("b")
+    i = (
+        a.join(b, "word")
+        .filter(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    va = v.select(F.col("lang").alias("lang_a"), F.col("nv").alias("nva"))
+    vb = v.select(F.col("lang").alias("lang_b"), F.col("nv").alias("nvb"))
+    return (
+        i.join(F.broadcast(va), "lang_a")
+        .join(F.broadcast(vb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_inter",
+            (F.col("nva") + F.col("nvb") - F.col("n_inter")).cast("long").alias("n_union"),
+            F.expr("(10000 * n_inter) div (nva + nvb - n_inter)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
+@register(
+    "q_lorenz_gini",
+    oracle="""
+    WITH s AS (SELECT o_custkey,
+                      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                        AS cents
+               FROM orders GROUP BY o_custkey),
+    d AS (SELECT o_custkey, cents,
+                 ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+          FROM s),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM s)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST((10000 * CAST(SUM(cents) AS BIGINT)) // t.tot AS BIGINT)
+             AS share_bp
+    FROM d, t GROUP BY decile, t.tot
+    """,
+)
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Lorenz deciles): customers ranked into
+    spend deciles with each decile's share of total revenue in basis
+    points — the inequality curve behind whale-account analysis.
+
+    Exactness: deterministic ntile ordering (cents, custkey) and
+    floor-divided integer shares.  100 TB plan: the global ntile
+    window runs over the CUSTOMER grain (post-aggregation, orders of
+    magnitude smaller than facts); at extreme customer counts swap
+    ntile for approx-quantile boundaries — noted in SURVEY.  The
+    scalar total joins back as a broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    d = s.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("cents", "o_custkey")).cast("long")
+    )
+    t = s.agg(F.sum("cents").cast("long").alias("tot"))
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_customers",
+            "cents",
+            F.expr("(10000 * cents) div tot").cast("long").alias("share_bp"),
+        )
+    )
+
+
+@register(
+    "q_topk_string_agg",
+    oracle="""
+    WITH c AS (SELECT lang, source, COUNT(*) AS n
+               FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, source, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, source) AS rn
+          FROM c)
+    SELECT lang,
+           string_agg(source, ',' ORDER BY rn) AS top_sources,
+           CAST(SUM(n) AS BIGINT) AS n_docs_top
+    FROM r WHERE rn <= 3 GROUP BY lang
+    """,
+)
+def q_topk_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered top-k string aggregation: each language's top-3
+    sources by document count, rendered as a comma-joined ranked
+    string — the "summary label" idiom (ordered LISTAGG) that trips
+    engines whose collect order is nondeterministic.
+
+    Determinism: Spark's collect_list order is undefined, so the
+    ranked rows are collected as (rn, source) structs and
+    sort_array-ed before joining — bit-stable regardless of
+    partitioning.  Plan: bounded (lang, source) agg, tiny window,
+    tiny rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "source")
+    r = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return r.groupBy("lang").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "source"))),
+                lambda s: s["source"],
+            ),
+            ",",
+        ).alias("top_sources"),
+        F.sum("n").cast("long").alias("n_docs_top"),
+    )
+
+
+@register(
+    "q_dedup_savings",
+    oracle=f"""
+    WITH {CORPUS_SQL},
+    h AS (SELECT source, n_chars, md5(text) AS h,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+          FROM corpus)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_saved
+    FROM h GROUP BY source
+    """,
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup accounting: per source, how many documents exact-dedup
+    would remove (keep-first-by-doc_id) and how many characters of
+    storage that saves — the cost-justification report every dedup
+    pipeline publishes before the destructive pass.
+
+    100 TB plan: one hash-partitioned window over md5(text) (the
+    same single corpus shuffle as q_dedup_exact — the digest is the
+    partition key, so each group is tiny), then a bounded per-source
+    rollup."""
+    c = _corpus(spark, sf_dir)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    h = c.select("source", "n_chars", F.md5("text").alias("h"), "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return h.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_saved"),
+    )
+
+
+@register(
+    "q_source_ngram_leak",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    g AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(generate_series(1, len(t) - 7),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                         t[i+6] || ' ' || t[i+7])) AS gram
+      FROM toks WHERE len(t) >= 8
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
+    FROM g a JOIN g b USING (gram)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 8-gram leakage matrix: for every source pair, the
+    number of distinct 8-token spans both emit — the
+    contamination-audit companion to q_decontaminate (which gates a
+    designated eval set; this audits every pair symmetrically).
+
+    100 TB plan: grams dedup to (source, gram) grain first; the
+    self-join runs at GRAM grain and each gram's fanout is bounded
+    by the number of sources (single digits), so pair expansion is
+    linear in distinct grams.  At cluster scale the gram strings
+    shuffle as md5 digests instead (q_dup_ranges pattern) — same
+    join, 32-byte keys."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "source", F.explode(shingles(F.col("text"), k=8)).alias("gram")
+    ).distinct()
+    a = g.alias("a")
+    b = g.alias("b")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_8grams"))
+    )
