@@ -8388,3 +8388,358 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_shared_8grams"))
     )
+
+
+# --- wave 22 (round 3): partsupp-dependent TPC-H --------------------------
+#
+# The driver fixtures ship no partsupp table, which locked out TPC-H
+# Q2/9/11/16/20 (SURVEY section 2.8 note).  Like the dedup corpus
+# augmentation (_corpus in analytics_queries.py), partsupp is DERIVED
+# DETERMINISTICALLY from the shipped part + supplier tables — 4 synthetic
+# suppliers per part with integer availqty / supplycost-cents — and the
+# DuckDB oracle builds the identical relation, so all five queries get
+# exact value-level oracles.  Lineitem's (l_partkey, l_suppkey) pairs
+# pre-date the synthetic relation, so Q9/Q20 match a deterministic
+# subset of lines — the JOIN SHAPE (the thing being tested) is the real
+# TPC-H shape.
+
+PARTSUPP_SQL = """
+ps0 AS (
+  SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+         CAST((p_partkey + g.s * 13) % (SELECT COUNT(*) FROM supplier)
+              AS BIGINT) AS ps_suppkey
+  FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) g
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS BIGINT)
+           AS ps_availqty,
+         CAST((ps_partkey * 31 + ps_suppkey * 17) % 99900 + 100 AS BIGINT)
+           AS ps_supplycost_cents
+  FROM ps0
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: 4 deterministic suppliers per part (key
+    spaces are 0-based contiguous in the fixtures, verified).  All
+    attributes are integer arithmetic on the keys — bit-identical in
+    both engines, no randomness, no floats."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("s_cnt"))
+    seq = spark.range(4).select(F.col("id").alias("s"))
+    ps0 = (
+        p.crossJoin(F.broadcast(seq))
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            F.col("p_partkey").cast("long").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("s") * 13) % F.col("s_cnt"))
+            .cast("long")
+            .alias("ps_suppkey"),
+        )
+    )
+    return ps0.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 3) % 9999 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 99900 + 100)
+        .cast("long")
+        .alias("ps_supplycost_cents"),
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    esup AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    eps AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost_cents,
+             s_name, s_acctbal, n_name
+      FROM partsupp JOIN esup ON s_suppkey = ps_suppkey
+    ),
+    minc AS (
+      SELECT ps_partkey, MIN(ps_supplycost_cents) AS min_cents
+      FROM eps GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, eps.ps_partkey AS p_partkey
+    FROM eps
+    JOIN minc ON minc.ps_partkey = eps.ps_partkey
+             AND eps.ps_supplycost_cents = minc.min_cents
+    JOIN part ON p_partkey = eps.ps_partkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) over the derived partsupp:
+    for each STANDARD size-15 part, the European supplier(s) quoting
+    the regional minimum cost — the classic correlated-MIN subquery,
+    decorrelated into a per-part MIN join.
+
+    Adaptations: p_type = 'STANDARD' (fixture types are single
+    words), region 'EUROPE' as shipped.  100 TB plan: the
+    region-qualified supplier dim broadcasts onto partsupp; the MIN
+    is a partial agg sharing partsupp's ps_partkey partitioning with
+    the join back (one exchange); the filtered part dim broadcasts.
+    Deterministic order/limit: full tiebreak chain."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    esup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eps = _partsupp(spark, sf_dir).join(
+        F.broadcast(esup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    minc = eps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cents")
+    )
+    pf = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        eps.join(minc, ["ps_partkey"])
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cents"))
+        .join(F.broadcast(pf), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("ps_partkey").alias("p_partkey"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+    WITH {PARTSUPP_SQL}
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)
+                    - ps_supplycost_cents * CAST(l_quantity AS BIGINT))
+                AS BIGINT) AS profit_cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) over the derived partsupp:
+    revenue minus supply cost per supplier nation per order year,
+    parts filtered by name — the five-way star join with two fact
+    tables.
+
+    Exactness: profit in integer cents end-to-end (revenue cents
+    minus cost-cents x integer quantity).  100 TB plan: lineitem
+    never shuffles for the dims — part (name-filtered), supplier,
+    nation broadcast; the partsupp join keys on (partkey, suppkey)
+    against the fact's own columns (matching a deterministic subset
+    of lines — join shape is the TPC-H shape); orders joins on the
+    l_orderkey partitioning; final agg is 25 nations x 7 years."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ps = _partsupp(spark, sf_dir)
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(ps),
+              (F.col("ps_partkey") == F.col("l_partkey"))
+              & (F.col("ps_suppkey") == F.col("l_suppkey")))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                rev - F.col("ps_supplycost_cents") * F.col("l_quantity").cast("long")
+            ).cast("long").alias("profit_cents")
+        )
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    v AS (
+      SELECT ps_partkey,
+             CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY ps_partkey
+    ),
+    t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS tot FROM v)
+    SELECT ps_partkey, value_cents
+    FROM v, t
+    WHERE value_cents * 10000 > tot
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per-part inventory
+    value held by one nation's suppliers, keeping parts above 1/10000
+    of the national total — the fraction-of-global-aggregate HAVING.
+
+    Exactness: value in integer cents; the threshold comparison is
+    multiplied through (value*10000 > total) — no division.  At
+    extreme scale value*10000 approaches BIGINT range — swap to
+    DECIMAL(38,0) there (noted, not silent).  100 TB plan: nation-
+    filtered supplier dim broadcasts; per-part partial agg; the
+    grand total is a 1-row broadcast crossJoin."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sup = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    v = (
+        ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    t = v.agg(F.sum("value_cents").cast("long").alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("value_cents") * 10000 > F.col("tot"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle=f"""
+    WITH {PARTSUPP_SQL}
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) cell, excluding one brand, one
+    type, and a supplier denylist — NOT IN as a left-anti join.
+
+    Adaptation: the complaints-comment denylist becomes s_acctbal < 0
+    (the fixture supplier has no comment column).  100 TB plan: part
+    predicates push to the part scan, which broadcasts onto partsupp;
+    the denylist is a broadcast anti join; COUNT(DISTINCT) shuffles
+    the already-filtered (brand,type,size,supplier) grain once."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    deny = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(deny), F.col("ps_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    sq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1999-01-01'
+      GROUP BY l_partkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN part ON p_partkey = ps_partkey AND p_name LIKE '%bolt%'
+      JOIN sq ON sq.l_partkey = ps_partkey
+      WHERE 2 * ps_availqty > qty
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+    JOIN excess ON ps_suppkey = s_suppkey
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one nation
+    holding excess stock (availqty > half the year's shipped
+    quantity) of name-matched parts — the nested IN chain,
+    decorrelated into semi-join steps.
+
+    Adaptation: the shipped-quantity correlate aggregates at PART
+    grain (the synthetic partsupp's (partkey, suppkey) pairs match
+    too few raw lineitem pairs to be meaningful — part-grain keeps
+    the decorrelated-correlate shape non-degenerate at every sf).
+    Exactness: the half threshold is multiplied through
+    (2*availqty > qty, both integers).  100 TB plan: the date-
+    bounded shipped-quantity agg partitions on l_partkey and
+    partsupp joins on the same key; the part-name filter
+    broadcasts; the final supplier join is dim-sized."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    sq = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(sq, F.col("l_partkey") == F.col("ps_partkey"))
+        .filter(2 * F.col("ps_availqty") > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
