@@ -519,7 +519,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
     SELECT doc_id,
-           len(toks) AS n_tokens,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
            CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
              / len(toks) AS stop_ratio,
@@ -614,9 +614,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     oracle=r"""
     SELECT doc_id,
-           len(string_split(text, ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
-           length(text) AS n_chars_seen
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_seen
     FROM documents
     """,
 )
@@ -1016,7 +1016,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_lateral_explode",
     oracle="""
-    SELECT doc_id, s.i - 1 AS pos, t[s.i] AS w
+    SELECT doc_id, CAST(s.i - 1 AS INTEGER) AS pos, t[s.i] AS w
     FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
          unnest(generate_series(1, len(t))) AS s(i)
     """,

@@ -418,7 +418,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rank_percent",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
-           dense_rank()   OVER w AS dr,
+           CAST(dense_rank() OVER w AS INTEGER) AS dr,
            percent_rank() OVER w AS pr,
            cume_dist()    OVER w AS cd
     FROM customer
@@ -2491,7 +2491,7 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(CAST(embedding[t.k] AS DOUBLE) * 1000000) AS BIGINT) AS xs6
       FROM embeddings, unnest(generate_series(1, len(embedding))) t(k)
     )
-    SELECT dim, COUNT(*) AS n,
+    SELECT CAST(dim AS INTEGER) AS dim, COUNT(*) AS n,
            CAST(SUM(xs) AS BIGINT) AS sum_scaled,
            CAST(SUM(xs6 * xs6) AS BIGINT) AS sumsq_scaled2,
            CAST(MIN(xs) AS BIGINT) AS min_scaled,
@@ -5398,7 +5398,7 @@ def q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
     )
     SELECT e.doc_a, e.doc_b, e.exact_bp,
-           (10000 * ({" + ".join(f"CASE WHEN x.minh{s} = y.minh{s} THEN 1 ELSE 0 END" for s in range(8))})) // 8 AS est_bp
+           CAST((10000 * ({" + ".join(f"CASE WHEN x.minh{s} = y.minh{s} THEN 1 ELSE 0 END" for s in range(8))})) // 8 AS BIGINT) AS est_bp
     FROM exact e
     JOIN sigs x ON x.doc_id = e.doc_a
     JOIN sigs y ON y.doc_id = e.doc_b
@@ -5953,7 +5953,7 @@ def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(xs6 * xs6) AS BIGINT) AS ss
       FROM x GROUP BY dim
     )
-    SELECT dim, (n * ss - s * s) AS var_proxy_scaled
+    SELECT CAST(dim AS INTEGER) AS dim, (n * ss - s * s) AS var_proxy_scaled
     FROM v
     ORDER BY var_proxy_scaled, dim LIMIT 5
     """,
@@ -6845,7 +6845,7 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     uc AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM uc),
     r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM uc)
-    SELECT k AS vocab_size,
+    SELECT CAST(k AS BIGINT) AS vocab_size,
            CAST((SELECT SUM(n) FROM r WHERE rk <= k) AS BIGINT) AS tokens_covered,
            (10000 * CAST((SELECT SUM(n) FROM r WHERE rk <= k) AS BIGINT)) // total
              AS coverage_bp

@@ -439,9 +439,9 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT o_orderkey, o_orderstatus, o_totalprice,
-             row_number()  OVER w AS rn,
-             rank()        OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rnk,
-             dense_rank()  OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drnk
+             CAST(row_number()  OVER w AS INTEGER) AS rn,
+             CAST(rank()        OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+             CAST(dense_rank()  OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
       FROM orders
       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
     ) WHERE rn <= 5
@@ -617,7 +617,7 @@ def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(p_brand) AS brand_upper,
            substring(p_name, 1, 8) AS name_prefix,
            p_brand || '/' || p_type AS brand_type,
-           length(p_name) AS name_len,
+           CAST(length(p_name) AS INTEGER) AS name_len,
            (p_type LIKE '%BRASS%') AS is_brass,
            regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word
     FROM part
@@ -640,10 +640,10 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_date",
     oracle="""
     SELECT o_orderkey,
-           year(o_orderdate) AS order_year,
-           month(o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
            date_trunc('month', o_orderdate) AS month_bucket,
-           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch95
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch95
     FROM orders
     """,
 )
@@ -693,7 +693,7 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(embedding) AS x
       FROM embeddings
     )
-    SELECT vec_id, any_value(dim) AS dim, any_value(first_val) AS first_val,
+    SELECT vec_id, CAST(any_value(dim) AS INTEGER) AS dim, any_value(first_val) AS first_val,
            CAST(SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS norm2
     FROM e GROUP BY vec_id
     """,
@@ -866,8 +866,8 @@ def q_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ntile",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
-           ntile(4) OVER (PARTITION BY c_nationkey
-                          ORDER BY c_acctbal, c_custkey) AS balance_quartile
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS INTEGER) AS balance_quartile
     FROM customer
     """,
 )

@@ -154,3 +154,58 @@ def test_driver_red_keys_lead_the_front():
     assert not missing, (
         f"driver-red keys outside the 50-key driver window: {missing}"
     )
+
+
+def test_cross_engine_result_dtypes_aligned(spark):
+    """Plan-only cross-engine dtype parity: each oracle column's DuckDB
+    type must map to the Spark result field's type.  int32-vs-int64
+    splits are empirically hash-safe (many r1/r2-green keys had them)
+    but they are noise that hides REAL divergence, so the registry
+    keeps exact parity: CAST the oracle (or the Spark column) until the
+    pair agrees.  Timestamp ns-vs-us unit differences are allowed —
+    proven safe by every green timestamp key since round 1."""
+    import duckdb
+
+    sys.path.insert(0, ROOT)
+    from tools.check_oracle import TABLES
+
+    compatible = {
+        "BOOLEAN": {"boolean"},
+        "TINYINT": {"tinyint"},
+        "SMALLINT": {"smallint"},
+        "INTEGER": {"int"},
+        "BIGINT": {"bigint"},
+        "FLOAT": {"float"},
+        "DOUBLE": {"double"},
+        "VARCHAR": {"string"},
+        "DATE": {"date", "timestamp"},
+        "TIMESTAMP": {"timestamp", "timestamp_ntz", "date"},
+        "TIMESTAMP_NS": {"timestamp", "timestamp_ntz"},
+        "BLOB": {"binary"},
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offenders = []
+    for name, spec in load_all_queries().items():
+        if spec.oracle is None:
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            sp_fields = {
+                f.name: f.dataType.simpleString()
+                for f in spec.fn(spark, SF_DIR).schema.fields
+            }
+        except Exception as exc:  # noqa: BLE001 - surfaced by the execute test
+            offenders.append(f"{name}: plan failed: {exc}")
+            continue
+        for col, typ in zip(rel.columns, rel.types):
+            du_t = str(typ).upper()
+            sp_t = sp_fields.get(col)
+            if sp_t is None:
+                offenders.append(f"{name}.{col}: missing on Spark side")
+            elif du_t in compatible and sp_t not in compatible[du_t]:
+                offenders.append(f"{name}.{col}: duckdb {du_t} vs spark {sp_t}")
+    assert not offenders, (
+        f"{len(offenders)} cross-engine dtype splits: " + "; ".join(offenders[:10])
+    )
