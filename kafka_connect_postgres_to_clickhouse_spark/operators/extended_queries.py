@@ -8743,3 +8743,332 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"))
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 22: WAL-slot / publication lifecycle twins (reference setup.sh:90-93:
+# slot.name=debezium_slot, publication.autocreate.mode=filtered,
+# snapshot.mode=initial, slot.drop.on.stop=true) + event/value profiling
+
+
+@register(
+    "q_slot_lag",
+    oracle="""
+    WITH t AS (SELECT (4 * MAX(event_id)) // 5 AS cut FROM events),
+    slot AS (
+      SELECT event_type, CAST(MAX(event_id) AS BIGINT) AS confirmed_lsn
+      FROM events, t WHERE event_id <= cut GROUP BY event_type
+    ),
+    un AS (
+      SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS lag_events,
+             CAST(COALESCE(SUM(length(e.props)), 0) AS BIGINT) AS retained_bytes
+      FROM events e JOIN slot s
+        ON e.event_type = s.event_type AND e.event_id > s.confirmed_lsn
+      GROUP BY e.event_type
+    )
+    SELECT s.event_type, s.confirmed_lsn,
+           CAST(COALESCE(u.lag_events, 0) AS BIGINT) AS lag_events,
+           CAST(COALESCE(u.retained_bytes, 0) AS BIGINT) AS retained_bytes
+    FROM slot s LEFT JOIN un u ON u.event_type = s.event_type
+    """,
+)
+def q_slot_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-slot lag monitor twin (reference setup.sh:90
+    ``slot.name=debezium_slot``): each per-topic consumer slot's
+    confirmed-flush LSN is the highest offset it acknowledged before
+    the checkpoint cut (80% of the head LSN here), and slot lag is the
+    unconsumed event count plus retained wire bytes past that LSN —
+    the pg_replication_slots / confirmed_flush_lsn health query every
+    CDC operator runs, re-expressed over the changelog itself.
+
+    100 TB plan: the cut is a 1-row broadcast; the slot table is
+    topic-cardinality (broadcast); the unconsumed scan pushes
+    ``event_id > confirmed_lsn`` into the parquet scan per topic —
+    tail-sized work, never a full-history read."""
+    e = _t(spark, sf_dir, "events")
+    cut = e.agg(F.expr("(4 * max(event_id)) div 5").alias("cut"))
+    slot = (
+        e.crossJoin(F.broadcast(cut))
+        .filter(F.col("event_id") <= F.col("cut"))
+        .groupBy("event_type")
+        .agg(F.max("event_id").cast("long").alias("confirmed_lsn"))
+    )
+    un = (
+        e.join(
+            F.broadcast(slot.withColumnRenamed("event_type", "st")),
+            (F.col("event_type") == F.col("st"))
+            & (F.col("event_id") > F.col("confirmed_lsn")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("lag_events"),
+            F.coalesce(F.sum(F.length("props").cast("long")), F.lit(0)).cast("long").alias(
+                "retained_bytes"
+            ),
+        )
+        .withColumnRenamed("event_type", "ut")
+    )
+    return (
+        slot.join(F.broadcast(un), F.col("event_type") == F.col("ut"), "left")
+        .select(
+            "event_type",
+            "confirmed_lsn",
+            F.coalesce(F.col("lag_events"), F.lit(0)).cast("long").alias("lag_events"),
+            F.coalesce(F.col("retained_bytes"), F.lit(0)).cast("long").alias(
+                "retained_bytes"
+            ),
+        )
+    )
+
+
+@register(
+    "q_publication_filter",
+    oracle="""
+    SELECT 'cdc_' || event_type AS sink_table,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS first_lsn,
+           CAST(MAX(event_id) AS BIGINT) AS last_lsn,
+           CAST(SUM(length(props)) AS BIGINT) AS wire_bytes
+    FROM events
+    WHERE event_type IN ('click', 'purchase', 'signup')
+    GROUP BY event_type
+    """,
+)
+def q_publication_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-publication twin (reference setup.sh:91
+    ``publication.autocreate.mode=filtered``): only the include-listed
+    topics are published to the sink, each auto-creating a ``cdc_*``
+    sink table (the auto-create naming the reference's connector
+    performs); per published table the row count, LSN bounds, and wire
+    bytes the publication will carry.
+
+    100 TB plan: the include-list is a literal isin pushed into the
+    scan (partition pruning when the changelog is topic-partitioned);
+    one topic-keyed partial agg."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("click", "purchase", "signup"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("first_lsn"),
+            F.max("event_id").cast("long").alias("last_lsn"),
+            F.sum(F.length("props").cast("long")).cast("long").alias("wire_bytes"),
+        )
+        .select(
+            F.concat(F.lit("cdc_"), F.col("event_type")).alias("sink_table"),
+            "n_rows",
+            "first_lsn",
+            "last_lsn",
+            "wire_bytes",
+        )
+    )
+
+
+@register(
+    "q_offset_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             event_id - lag(event_id) OVER (PARTITION BY event_type
+                                            ORDER BY event_id) AS gap
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_gap,
+           CAST(MAX(gap) AS BIGINT) AS max_gap,
+           (100 * CAST(SUM(gap) AS BIGINT)) // COUNT(gap) AS avg_gap_x100
+    FROM g GROUP BY event_type
+    """,
+)
+def q_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic LSN continuity audit: the delta between consecutive
+    offsets within each topic's stream — the at-least-once delivery
+    check that distinguishes normal interleaving (steady small gaps)
+    from a dropped range (one huge gap) after a connector restart
+    (reference setup.sh:93 ``slot.drop.on.stop=true`` makes exactly
+    this failure possible: dropping the slot on stop can skip WAL).
+
+    100 TB plan: the lag() window partitions by topic — each topic's
+    offsets sort within its partition group, no global order; the agg
+    is a partial per topic."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    g = e.select(
+        "event_type",
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap"),
+        F.max("gap").cast("long").alias("max_gap"),
+        F.expr("(100 * sum(gap)) div count(gap)").cast("long").alias("avg_gap_x100"),
+    )
+
+
+@register(
+    "q_props_schema_drift",
+    oracle=r"""
+    WITH p AS (
+      SELECT event_type, event_id,
+             CASE WHEN event_id % 7 = 0
+                  THEN replace(props, '}', ',"v2":1}')
+                  ELSE props END AS props2
+      FROM events
+    )
+    SELECT event_type,
+           array_to_string(list_sort(regexp_extract_all(props2, '"([a-z0-9_]+)"\s*:', 1)), ',')
+             AS key_signature,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_lsn,
+           CAST(MAX(event_id) AS BIGINT) AS last_lsn
+    FROM p GROUP BY event_type, key_signature
+    """,
+)
+def q_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload schema-drift profiler: group the changelog by the SET of
+    JSON keys each payload carries (its schema signature) per topic —
+    the monitor that catches an upstream ALTER TABLE (reference relies
+    on Debezium schema topics for this; here the signature is computed
+    from the wire payload itself).  The fixture changelog is augmented
+    deterministically: every 7th LSN gains a ``v2`` field, simulating
+    a mid-stream column add, so each topic shows exactly the
+    before/after signatures with their LSN ranges.
+
+    100 TB plan: signature extraction is a per-row regexp (no JSON
+    parse needed for key sets); one (topic, signature)-keyed partial
+    agg — signature cardinality is tiny."""
+    e = _t(spark, sf_dir, "events")
+    props2 = F.when(
+        F.col("event_id") % 7 == 0,
+        F.regexp_replace(F.col("props"), r"\}", ',"v2":1}'),
+    ).otherwise(F.col("props"))
+    sig = F.array_join(
+        F.array_sort(
+            F.regexp_extract_all(props2, F.lit(r'"([a-z0-9_]+)"\s*:'), 1)
+        ),
+        ",",
+    )
+    return (
+        e.select("event_type", "event_id", sig.alias("key_signature"))
+        .groupBy("event_type", "key_signature")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("event_id").cast("long").alias("first_lsn"),
+            F.max("event_id").cast("long").alias("last_lsn"),
+        )
+    )
+
+
+@register(
+    "q_heartbeat_staleness",
+    oracle="""
+    WITH m AS (SELECT MAX(ts) AS now_ts FROM events),
+    l AS (
+      SELECT event_type, MAX(ts) AS last_ts,
+             CAST(MAX(event_id) AS BIGINT) AS last_lsn
+      FROM events GROUP BY event_type
+    )
+    SELECT l.event_type, l.last_ts, l.last_lsn,
+           CAST(date_diff('second', l.last_ts, m.now_ts) AS BIGINT) AS staleness_sec,
+           CAST(CASE WHEN date_diff('second', l.last_ts, m.now_ts) > 3600
+                     THEN 1 ELSE 0 END AS INTEGER) AS stale_flag
+    FROM l, m
+    """,
+)
+def q_heartbeat_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector heartbeat / source-staleness monitor: seconds since
+    each topic last produced, measured against the stream head — the
+    liveness check behind Debezium's heartbeat.interval.ms (a topic
+    silent for longer than the threshold flags a stuck source or a
+    dropped subscription rather than a quiet table).
+
+    100 TB plan: two topic-grain partial aggs and a 1-row broadcast of
+    the stream head; no full sort anywhere."""
+    e = _t(spark, sf_dir, "events")
+    head = e.agg(F.max("ts").alias("now_ts"))
+    last = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.max("event_id").cast("long").alias("last_lsn"),
+    )
+    stale = (
+        F.unix_timestamp("now_ts") - F.unix_timestamp("last_ts")
+    ).cast("long")
+    return last.crossJoin(F.broadcast(head)).select(
+        "event_type",
+        "last_ts",
+        "last_lsn",
+        stale.alias("staleness_sec"),
+        F.when(stale > 3600, F.lit(1)).otherwise(F.lit(0)).cast("int").alias(
+            "stale_flag"
+        ),
+    )
+
+
+@register(
+    "q_doc_hapax",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           (10000 * CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT))
+             // CAST(SUM(n) AS BIGINT) AS hapax_token_bp
+    FROM wc GROUP BY doc_id
+    """,
+)
+def q_doc_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hapax profile: how many of a doc's word types
+    occur exactly once, and the share of its tokens those singletons
+    carry — the vocabulary-richness signal quality filters pair with
+    TTR (q_text_quality) to separate natural text from template spam
+    (templates have near-zero hapax share; q_repetition measures the
+    inverse, heavy repeats).
+
+    100 TB plan: per-doc word counting is a map-side explode +
+    (doc, word) partial agg that collapses straight back to doc grain
+    — the shuffle carries (doc, word, count) rows, bounded by corpus
+    token count, and partial aggregation combines map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long")
+    return wc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.expr(
+            "(10000 * sum(case when n = 1 then 1 else 0 end)) div sum(n)"
+        ).cast("long").alias("hapax_token_bp"),
+    )
+
+
+@register(
+    "q_event_value_hist",
+    oracle="""
+    SELECT event_type, CAST(floor(value / 10) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, bucket
+    """,
+)
+def q_event_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event value per topic (bucket =
+    floor(value/10)) — the numeric-payload distribution profile that
+    feeds range checks and sink partitioning decisions.  Bucket edges
+    are exact: value/10 is one IEEE double division in both engines.
+
+    100 TB plan: single (topic, bucket) partial agg, map-side
+    combined; bucket cardinality is bounded by the value range."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10).cast("int").alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
