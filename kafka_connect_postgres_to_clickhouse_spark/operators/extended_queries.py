@@ -4385,9 +4385,12 @@ def q_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     surgical dedup would cut, rather than dropping whole documents.
 
     Pipeline: per-row window hashing (text leaves the row only as
-    digests) -> one hash groupBy for cross-doc frequency -> equi-join
-    back -> per-doc gaps-and-islands (running MAX(end) over position
-    order) to merge overlaps.
+    digests) -> ONE digest-keyed shuffle where a frame-less window
+    tests cross-doc sharing (min(doc) != max(doc) over the digest
+    partition ⟺ ≥2 distinct docs — no COUNT DISTINCT, no join-back,
+    and the expensive shingle+md5 pipeline runs exactly once) ->
+    per-doc gaps-and-islands (running MAX(end) over position order)
+    to merge overlaps.
 
     100 TB plan: the stride-1 explode is 1 row/token (the same cost
     class as the shingle pipelines, shuffled as 32-byte digests);
@@ -4408,8 +4411,14 @@ def q_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p0") + 8).alias("endpos"),
         F.md5("sh").alias("h"),
     )
-    ph = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
-    hits = wins.join(ph, "h").filter(F.col("nd") > 1).select("doc_id", "i", "endpos")
+    wh = W.partitionBy("h")
+    hits = (
+        wins.withColumn(
+            "crossdoc", F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
+        )
+        .filter(F.col("crossdoc"))
+        .select("doc_id", "i", "endpos")
+    )
     wprev = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)
     marked = hits.withColumn(
         "is_new",
