@@ -3990,9 +3990,12 @@ def q_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("_seq") % 89 == 0, F.lit("<<binary garbage>>"))
         .otherwise(F.col("value")),
     )
-    parsed = parse_envelope(corrupted, payload.schema).select("_seq", "_corrupt")
-    raw = corrupted.select("_seq", F.col("value").alias("raw"))
-    classified = parsed.join(raw, "_seq").select(
+    # parse_envelope keeps every non-value input column, so carrying the
+    # wire bytes through as `raw` makes classification a pure per-row
+    # select — no self-join, envelope construction runs once
+    classified = parse_envelope(
+        corrupted.withColumn("raw", F.col("value")), payload.schema
+    ).select(
         "_seq",
         F.when(~F.col("_corrupt"), "clean")
         .when(F.col("raw").startswith("{"), "truncated_json")
@@ -9080,4 +9083,170 @@ def q_event_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") / 10).cast("int").alias("bucket"),
         )
         .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 23: snapshot handoff, sink latency SLO, label balance
+
+
+@register(
+    "q_snapshot_handoff",
+    oracle=f"""
+    {CHANGELOG_CTE},
+    t AS (SELECT (4 * MAX(_seq)) // 5 AS cut FROM changelog),
+    ranked AS (
+      SELECT c.*, row_number() OVER (
+        PARTITION BY user_id ORDER BY updated_at DESC, _seq DESC) AS rn
+      FROM changelog c
+    ),
+    su AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_stream_updates
+      FROM changelog, t WHERE _seq > cut GROUP BY user_id
+    )
+    SELECT r.user_id, r.username, r.account_type, r.updated_at,
+           CAST(COALESCE(su.n_stream_updates, 0) AS BIGINT) AS n_stream_updates
+    FROM ranked r LEFT JOIN su USING (user_id)
+    WHERE r.rn = 1 AND r.op <> 'd'
+    """,
+)
+def q_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot→stream handoff consistency (reference setup.sh:92
+    ``snapshot.mode=initial``): the connector first materializes an
+    initial snapshot of table state, then switches to streaming from
+    the WAL position the snapshot was taken at.  The Spark side runs
+    that exact two-phase path — LWW-compact everything at or below the
+    cutover LSN into a snapshot image, then fold the post-cut stream
+    on top with a second LWW pass — while the oracle replays the whole
+    changelog directly.  Hash equality IS the handoff proof: LWW by
+    (updated_at, _seq) is associative, so snapshot-then-stream must
+    land on byte-identical state with zero lost or doubled updates.
+
+    100 TB plan: both phases are key-partitioned partial aggregates
+    (max_by), the cut is a 1-row broadcast, and the per-key stream
+    counter shares the stream phase's shuffle key."""
+    from .upsert import lww_dedup  # noqa: PLC0415
+
+    log = _changelog(spark, sf_dir).select(
+        "_seq", "op", "user_id", "username", "account_type", "updated_at"
+    )
+    cut = log.agg(F.expr("(4 * max(_seq)) div 5").alias("cut"))
+    with_cut = log.crossJoin(F.broadcast(cut))
+    snapshot = lww_dedup(
+        with_cut.filter(F.col("_seq") <= F.col("cut")).drop("cut"),
+        keys=["user_id"],
+        version_cols=["updated_at", "_seq"],
+    )
+    stream = with_cut.filter(F.col("_seq") > F.col("cut")).drop("cut")
+    composed = lww_dedup(
+        snapshot.unionByName(stream),
+        keys=["user_id"],
+        version_cols=["updated_at", "_seq"],
+    )
+    su = stream.groupBy(F.col("user_id").alias("su_uid")).agg(
+        F.count("*").cast("long").alias("n_stream_updates")
+    )
+    return (
+        composed.filter(F.col("op") != "d")
+        .join(F.broadcast(su), F.col("user_id") == F.col("su_uid"), "left")
+        .select(
+            "user_id",
+            "username",
+            "account_type",
+            "updated_at",
+            F.coalesce(F.col("n_stream_updates"), F.lit(0)).cast("long").alias(
+                "n_stream_updates"
+            ),
+        )
+    )
+
+
+@register(
+    "q_sink_commit_latency",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, (event_id * 37) % 500 AS lat FROM events
+    ),
+    r AS (
+      SELECT event_type, lat,
+             row_number() OVER (PARTITION BY event_type ORDER BY lat) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_commits,
+           CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN lat END) AS BIGINT)
+             AS p50_ms,
+           CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN lat END) AS BIGINT)
+             AS p95_ms,
+           CAST(MAX(lat) AS BIGINT) AS max_ms
+    FROM r GROUP BY event_type
+    """,
+)
+def q_sink_commit_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic sink commit-latency SLO profile (p50 / p95 / max) —
+    the end-to-end freshness metric behind the reference's <10 s sync
+    bound (setup.sh:164 waits 10 s then asserts counts match).  The
+    commit latency is simulated deterministically from the LSN
+    ((event_id*37) % 500 ms) since the sandbox has no live sink; the
+    percentile machinery is the real artifact: rank-based DISCRETE
+    percentiles (value at row ceil(q*n) of the sorted group), which
+    are exact integers cross-engine — interpolated percentiles other
+    than the median are NOT IEEE-reproducible between engines
+    (q_median's docstring, relational_queries.py).
+
+    100 TB plan: one topic-partitioned sort window (row_number +
+    frame-less count) and a topic-grain agg — no global order; at
+    higher topic cardinality each window partition is independent."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "event_type", ((F.col("event_id") * 37) % 500).alias("lat")
+    )
+    w = Window.partitionBy("event_type").orderBy("lat")
+    wn = Window.partitionBy("event_type")
+    r = d.select(
+        "event_type",
+        "lat",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"({q} * n + 99) div 100"), F.col("lat"))
+    ).cast("long")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_commits"),
+        pick(50).alias("p50_ms"),
+        pick(95).alias("p95_ms"),
+        F.max("lat").cast("long").alias("max_ms"),
+    )
+
+
+@register(
+    "q_label_balance",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    m AS (SELECT MIN(n) AS cap FROM c)
+    SELECT label, CAST(n AS BIGINT) AS n_vecs,
+           CAST(cap AS BIGINT) AS target_cap,
+           (10000 * CAST(cap AS BIGINT)) // n AS keep_bp
+    FROM c, m
+    """,
+)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit + balanced-downsample plan over the labeled
+    embedding set: per label, its vector count, the balanced target
+    (the minority-class count), and the keep rate in basis points a
+    stratified downsampler would apply — the standard pre-training /
+    fine-tuning class-rebalancing preflight (executed downstream by
+    the q_stratified_sample machinery).
+
+    100 TB plan: one label-grain partial agg (map-side combined) and
+    a 1-row broadcast of the minority count."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count("*").alias("n"))
+    m = c.agg(F.min("n").alias("cap"))
+    return c.crossJoin(F.broadcast(m)).select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.col("cap").cast("long").alias("target_cap"),
+        F.expr("(10000 * cap) div n").cast("long").alias("keep_bp"),
     )
