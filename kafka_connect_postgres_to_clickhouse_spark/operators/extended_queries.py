@@ -9250,3 +9250,188 @@ def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cap").cast("long").alias("target_cap"),
         F.expr("(10000 * cap) div n").cast("long").alias("keep_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 24: wire serde breadth, sink planning, corpus inflation
+
+
+@register(
+    "q_csv_wire",
+    oracle=f"""
+    {CHANGELOG_CTE}
+    SELECT _seq, user_id, username, account_type, updated_at FROM changelog
+    """,
+)
+def q_csv_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV wire-format roundtrip: serialize each changelog payload to a
+    CSV line (``to_csv``) and parse it back to typed columns
+    (``from_csv``) — the Kafka Connect converter family beyond the
+    JsonConverter the reference configures (setup.sh:97-99 hardcodes
+    JSON; a CsvConverter sink is the other common wire).  Timestamps
+    ride as epoch micros inside the line (CSV has no timestamp type),
+    restored with ``timestamp_micros`` — the same MicroTimestamp
+    convention as the JSON envelope path.  The oracle is the identity
+    over the changelog: hash equality proves the serde loses nothing.
+
+    100 TB plan: serialize + parse are per-row JVM expressions inside
+    one codegen stage — no shuffle, no Python."""
+    log = _changelog(spark, sf_dir).select(
+        "_seq", "user_id", "username", "account_type", "updated_at"
+    )
+    line = F.to_csv(
+        F.struct(
+            F.col("user_id"),
+            F.col("username"),
+            F.col("account_type"),
+            F.unix_micros("updated_at").alias("upd_us"),
+        )
+    )
+    parsed = F.from_csv(
+        line, "user_id INT, username STRING, account_type STRING, upd_us BIGINT"
+    )
+    return log.select("_seq", parsed.alias("p")).select(
+        "_seq",
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.username").alias("username"),
+        F.col("p.account_type").alias("account_type"),
+        F.timestamp_micros(F.col("p.upd_us")).alias("updated_at"),
+    )
+
+
+@register(
+    "q_topic_partition_assign",
+    oracle="""
+    WITH a AS (
+      SELECT event_type,
+             CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6)
+                       AS BIGINT) % 12 AS INTEGER) AS partition_id,
+             length(props) AS b
+      FROM events
+    )
+    SELECT event_type, partition_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(b) AS BIGINT) AS wire_bytes
+    FROM a GROUP BY event_type, partition_id
+    """,
+)
+def q_topic_partition_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed topic-partition assignment audit: each record lands on
+    partition ``keyhash % 12`` (engine-neutral md5 prefix standing in
+    for Kafka's murmur2 default partitioner), and the per-(topic,
+    partition) record/byte load shows the skew a hot key would cause
+    — the planning query behind choosing partition counts and keys
+    for the reference's topics (docker-compose.yml Kafka defaults).
+
+    100 TB plan: the assignment is a stateless per-row hash; one
+    (topic, partition) partial agg, map-side combined — partition
+    cardinality is topics × 12."""
+    e = _t(spark, sf_dir, "events")
+    pid = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 12
+    ).cast("int")
+    return (
+        e.select("event_type", pid.alias("partition_id"), F.length("props").alias("b"))
+        .groupBy("event_type", "partition_id")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.sum("b").cast("long").alias("wire_bytes"),
+        )
+    )
+
+
+@register(
+    "q_sink_partition_plan",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(props) + 48) AS BIGINT) AS est_bytes,
+           (CAST(SUM(length(props) + 48) AS BIGINT) + 65535) // 65536
+             AS n_files_64k
+    FROM events GROUP BY day
+    """,
+)
+def q_sink_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink layout plan: rows, estimated serialized bytes
+    (payload + fixed row overhead), and target file count per
+    day-partition at a 64 KiB file-size target — the small-files
+    preflight every partitioned parquet/ClickHouse sink needs (the
+    reference's MergeTree sink has the identical concern: too many
+    parts per partition stall merges).
+
+    100 TB plan: one day-grain partial agg; the derived file counts
+    feed a repartitionByRange(day, n_files) write — the plan is the
+    query, the write just follows it."""
+    e = _t(spark, sf_dir, "events")
+    est = F.sum(F.length("props").cast("long") + 48).cast("long")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            est.alias("est_bytes"),
+            ((est + 65535) / 65536).cast("long").alias("n_files_64k"),
+        )
+    )
+
+
+@register(
+    "q_dup_inflation",
+    oracle=f"""
+    WITH {CORPUS_SQL},
+    h AS (SELECT source, md5(text) AS h, n_chars FROM corpus),
+    per AS (
+      SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      FROM h GROUP BY source
+    ),
+    uniq AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_unique
+      FROM (SELECT source, h, MIN(n_chars) AS n_chars FROM h GROUP BY source, h)
+      GROUP BY source
+    )
+    SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.n_unique AS BIGINT) AS n_unique,
+           (10000 * (p.n_docs - p.n_unique)) // p.n_docs AS dup_bp,
+           p.chars_total, u.chars_unique,
+           (10000 * u.chars_unique) // p.chars_total AS unique_char_bp
+    FROM per p JOIN uniq u USING (source)
+    """,
+)
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication inflation: how many raw documents and
+    characters each source contributes vs how many survive exact
+    dedup — the dataset-card number ("X% of source S is verbatim
+    repetition") that decides which sources get the expensive
+    near-dup pass (q_dataset_card reports corpus-level facts; this is
+    the per-source dedup-pressure breakdown).
+
+    100 TB plan: text leaves the row only as md5; one
+    (source, digest) partial agg collapses to source grain — the
+    same single-shuffle shape as q_dedup_exact."""
+    c = _corpus(spark, sf_dir)
+    h = c.select("source", F.md5("text").alias("h"), "n_chars")
+    per = h.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    uniq = (
+        h.groupBy("source", "h")
+        .agg(F.min("n_chars").alias("nc"))
+        .groupBy("source")
+        .agg(F.sum("nc").cast("long").alias("chars_unique"))
+        .withColumnRenamed("source", "us")
+    )
+    return per.join(F.broadcast(uniq), F.col("source") == F.col("us")).select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.expr("(10000 * (n_docs - n_unique)) div n_docs").cast("long").alias("dup_bp"),
+        "chars_total",
+        "chars_unique",
+        F.expr("(10000 * chars_unique) div chars_total").cast("long").alias(
+            "unique_char_bp"
+        ),
+    )
