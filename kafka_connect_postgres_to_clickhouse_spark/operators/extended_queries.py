@@ -2559,14 +2559,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle (uniform md5-able key, no skew); one groupBy(doc_id)
     finishes.  Integer basis points, no floats."""
     g = _corpus_shingles(spark, sf_dir)
-    first = g.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    # first-seen via a frame-less window over the shingle partition:
+    # the same shingle-keyed shuffle the MIN agg needed anyway, with
+    # no join back (q_dup_ranges pattern)
+    wsh = Window.partitionBy("sh")
+    novel = F.when(F.min("doc_id").over(wsh) == F.col("doc_id"), 1).otherwise(0)
     return (
-        g.join(first, "sh")
+        g.select("doc_id", novel.alias("novel"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum(novel).cast("long").alias("n_novel"),
+            F.sum("novel").cast("long").alias("n_novel"),
         )
         .select(
             "doc_id",
