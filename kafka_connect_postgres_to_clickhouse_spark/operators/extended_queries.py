@@ -9438,3 +9438,143 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unique_char_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 25: watermark accounting, OHLC resample, BPE merge scan
+
+
+@register(
+    "q_watermark_drops",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen_max
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts < seen_max - INTERVAL 10 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(MAX(CASE WHEN ts < seen_max - INTERVAL 10 MINUTE
+                    THEN date_diff('second', ts, seen_max) END), 0) AS BIGINT)
+             AS max_lateness_sec
+    FROM r GROUP BY event_type
+    """,
+)
+def q_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-drop accounting: replay each topic's stream in
+    arrival order (event_id = offset) and count the records a 10-min
+    event-time watermark would discard — arrival later than the
+    running event-time high-water mark minus the delay.  This is the
+    batch twin of Structured Streaming's ``withWatermark`` drop
+    counter, and the preflight that picks the delay: q_ooo_audit sizes
+    displacement per KEY; this prices a CONCRETE watermark per topic.
+
+    100 TB plan: one running-max window per topic partition (arrival
+    order within topic — the same order Kafka gives a partition
+    consumer) feeding a topic-grain agg; no global order."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = e.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("seen_max"),
+    )
+    late = F.col("ts") < F.col("seen_max") - F.expr("INTERVAL 10 MINUTE")
+    lateness = F.unix_timestamp("seen_max") - F.unix_timestamp("ts")
+    return r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.coalesce(F.max(F.when(late, lateness)), F.lit(0)).cast("long").alias(
+            "max_lateness_sec"
+        ),
+    )
+
+
+@register(
+    "q_resample_ohlc",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, day
+    """,
+)
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each topic's value stream to day bars:
+    open/high/low/close by offset order within the bar — the
+    time-series resampling primitive (continuous-aggregate rollup
+    shape).  No float arithmetic — every output is one of the input
+    doubles selected by min/max/min_by/max_by, so cross-engine
+    equality is exact.
+
+    100 TB plan: one (topic, day) partial agg; min_by/max_by combine
+    map-side exactly like min/max — no window, no sort."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_bpe_merge_step",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    pairs AS (
+      SELECT substring(word, u.i, 2) AS pair
+      FROM w, UNNEST(generate_series(1, length(word) - 1)) u(i)
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM pairs GROUP BY pair
+    ORDER BY n_occ DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-step scan: the 20 most frequent adjacent
+    character pairs across all token occurrences — the statistic a
+    byte-pair-encoding trainer computes every merge iteration
+    (Sennrich et al. 2016, arXiv:1508.07909).  An iterative trainer
+    repeats this scan after each merge; the per-step shape is what
+    must scale.
+
+    100 TB plan: per-row pair explosion (map-side, no text leaves the
+    row except 2-char pairs) -> one pair-keyed partial agg ->
+    TakeOrdered top-20; pair cardinality is bounded by the alphabet
+    squared."""
+    d = load_table(spark, sf_dir, "documents")
+    word = F.explode(tokens(F.col("text"))).alias("word")
+    pairs = (
+        d.select(word)
+        .filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), "pair")
+        .limit(20)
+    )
