@@ -9578,3 +9578,171 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 26: SimHash near-dup JOIN (banded hamming) + bitwise surface
+
+
+@register(
+    "q_simhash_neardup",
+    oracle=f"""
+    WITH {CORPUS_SQL},
+    tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM corpus
+    ),
+    bits AS (
+      SELECT doc_id, lang, b.bit,
+             SUM(CASE WHEN substring(md5(w), b.bit + 1, 1)
+                           IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+      GROUP BY doc_id, lang, b.bit
+    ),
+    sh AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS h
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, lang, h, b.band, (h >> (8 * b.band)) & 255 AS bkey
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang
+           AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hd
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+    ),
+    sym AS (
+      SELECT doc_a AS doc_id, hd FROM ver
+      UNION ALL SELECT doc_b AS doc_id, hd FROM ver
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(MIN(hd) AS BIGINT) AS min_hamming
+    FROM sym GROUP BY doc_id
+    """,
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate JOIN: banded Hamming-ball lookup over the
+    16-bit fingerprints q_simhash computes (Manku et al. 2007,
+    "Detecting Near-Duplicates for Web Crawling") — q_simhash emits
+    the signatures; this is the operator that actually PAIRS them.
+    Two 8-bit bands make candidate recall complete for Hamming
+    distance <= 1 by pigeonhole; candidates equi-join on (band, band
+    key, lang) and only verified pairs survive the popcount-of-XOR
+    test.  Output is per-doc neighbor degree + closest distance —
+    bounded by corpus size, never pair-quadratic.
+
+    The fixture hash is 16-bit so the oracle can mirror it exactly; a
+    production 64-bit simhash runs the SAME plan with 4x16-bit bands
+    (65536-value band keys — sparser buckets, better precision).
+    Blocking additionally keys on lang — the standard metadata block
+    that keeps buckets small and never crosses languages.
+
+    100 TB plan: signatures are per-row aggregates (zero shuffle);
+    the band explode is 2 rows/doc; ONE equi-join on (band, bkey,
+    lang) whose bucket sizes the 256-value key bounds; verification
+    is a per-row popcount.  No all-pairs anywhere."""
+    c = _corpus(spark, sf_dir)
+    odd = "('1','3','5','7','9','b','d','f')"
+    bitsums = F.expr(
+        f"""
+        aggregate(
+          transform(__toks, w -> substring(md5(w), 1, 16)),
+          array_repeat(0, 16),
+          (acc, h) -> zip_with(acc, sequence(1, 16),
+            (a, p) -> a + IF(substring(h, p, 1) IN {odd}, 1, -1))
+        )"""
+    )
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(__sums, sequence(0, 15),
+            (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b),
+                         CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    )
+    sh = (
+        c.select("doc_id", "lang", tokens(F.col("text")).alias("__toks"))
+        .select("doc_id", "lang", bitsums.alias("__sums"))
+        .select("doc_id", "lang", simhash.alias("h"))
+    )
+    bands = sh.select(
+        "doc_id",
+        "lang",
+        "h",
+        F.explode(
+            F.expr("transform(sequence(0, 1), b -> struct(b AS band, shiftright(h, 8 * b) & 255 AS bkey))")
+        ).alias("bb"),
+    ).select("doc_id", "lang", "h", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("h").alias("ha"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("h").alias("hb"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ver = cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hd"),
+    ).filter(F.col("hd") <= 1)
+    sym = ver.select(F.col("doc_a").alias("doc_id"), "hd").unionByName(
+        ver.select(F.col("doc_b").alias("doc_id"), "hd")
+    )
+    return sym.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_neighbors"),
+        F.min("hd").cast("long").alias("min_hamming"),
+    )
+
+
+@register(
+    "q_bit_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount,
+           (event_id & 255) AS low_byte,
+           (event_id >> 8) AS high_bits,
+           CAST(xor(event_id, 21845) AS BIGINT) AS xor_mask,
+           (event_id | 4096) AS or_mask
+    FROM events WHERE event_id % 17 = 0
+    """,
+)
+def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface: popcount, AND-mask, shifts, XOR,
+    OR — the primitives behind simhash Hamming verification, bitmap
+    membership and key partitioning, exercised as first-class scalar
+    functions (q_simhash_neardup uses them inside a join; this pins
+    their standalone cross-engine semantics).
+
+    100 TB plan: pure per-row codegen expressions behind a pushed
+    modulo filter."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 17 == 0).select(
+        "event_id",
+        F.bit_count("event_id").cast("int").alias("popcount"),
+        (F.col("event_id").bitwiseAND(255)).alias("low_byte"),
+        F.shiftright("event_id", 8).cast("long").alias("high_bits"),
+        (F.col("event_id").bitwiseXOR(21845)).cast("long").alias("xor_mask"),
+        (F.col("event_id").bitwiseOR(4096)).alias("or_mask"),
+    )
