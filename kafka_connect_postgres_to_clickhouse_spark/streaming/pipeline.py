@@ -575,3 +575,61 @@ def lww_compacted_stream_tws(changes: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+def run_slot_lag_monitor(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming consumer-health monitor: the continuous twin of the
+    batch q_slot_lag / q_heartbeat_staleness queries (reference
+    setup.sh:90 ``slot.name`` — a live connector watches its slot's
+    confirmed LSN advance, not a snapshot of it).
+
+    Per micro-batch, each topic's partial (max offset acked, record
+    count, latest event time) merges into the persisted per-topic
+    state: confirmed_lsn and last_ts advance by MAX, n_records
+    accumulates by SUM — all three merge functions are associative
+    and commutative, so the monitor state is identical for ANY
+    micro-batch partitioning of the stream (the property the parity
+    test asserts).  State publishes through the same
+    write-new-version-then-swap-_CURRENT scheme as the CDC state
+    (run_cdc_pipeline) — crash-safe, never overwrites its input.
+
+    100 TB plan: per-batch work is one topic-grain partial agg of the
+    batch plus a merge against topic-cardinality state — independent
+    of history size."""
+    spark = stream.sparkSession
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        agg = batch.groupBy("event_type").agg(
+            F.max("event_id").cast("long").alias("confirmed_lsn"),
+            F.count("*").cast("long").alias("n_records"),
+            F.max("ts").alias("last_ts"),
+        )
+        existing = read_state(spark, state_dir)
+        if existing is not None:
+            agg = (
+                existing.unionByName(agg)
+                .groupBy("event_type")
+                .agg(
+                    F.max("confirmed_lsn").cast("long").alias("confirmed_lsn"),
+                    F.sum("n_records").cast("long").alias("n_records"),
+                    F.max("last_ts").alias("last_ts"),
+                )
+            )
+        prev = _current_version(state_dir)
+        nxt = 0 if prev is None else prev + 1
+        agg.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = _current_marker(state_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, _current_marker(state_dir))
+
+    (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

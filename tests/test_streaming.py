@@ -821,3 +821,51 @@ def test_streaming_incremental_rollup_equals_batch(spark, tmp_path):
         .collect()
     }
     assert merged == direct
+
+
+def test_slot_lag_monitor_matches_batch(spark, tmp_path):
+    """Streaming per-topic monitor state after N micro-batches equals
+    the batch aggregate over the whole stream (merge associativity)."""
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        read_state,
+        run_slot_lag_monitor,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type"
+    )
+    src = tmp_path / "events_json"
+    # three files -> three micro-batches with maxFilesPerTrigger=1;
+    # timestamps ride as epoch micros (JSON text truncates to millis)
+    wire = events.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    for lo, hi in [(0, 300), (300, 700), (700, 10**9)]:
+        wire.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).coalesce(1).write.mode("append").json(str(src))
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    state = tmp_path / "monitor_state"
+    run_slot_lag_monitor(stream, str(state), str(tmp_path / "ckpt"))
+    got = {
+        r.event_type: (r.confirmed_lsn, r.n_records, r.last_ts)
+        for r in read_state(spark, str(state)).collect()
+    }
+    expect = {
+        r.event_type: (r.confirmed_lsn, r.n_records, r.last_ts)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.max("event_id").cast("long").alias("confirmed_lsn"),
+            F.count("*").cast("long").alias("n_records"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == expect
