@@ -209,3 +209,21 @@ def test_cross_engine_result_dtypes_aligned(spark):
     assert not offenders, (
         f"{len(offenders)} cross-engine dtype splits: " + "; ".join(offenders[:10])
     )
+
+
+def test_no_cartesian_products_in_any_plan(spark):
+    """No registry query may plan a CartesianProduct: the only legal
+    cross joins are 1-row/bounded broadcast sides (BroadcastNestedLoop)
+    — a Cartesian between two distributed relations is the one join
+    shape that cannot survive a 100x scale-up.  Currently zero
+    queries trip this; the test keeps it that way."""
+    offenders = []
+    for name, spec in load_all_queries().items():
+        try:
+            plan = spec.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 - surfaced by the execute test
+            offenders.append(f"{name}: plan failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in plans: {offenders}"
