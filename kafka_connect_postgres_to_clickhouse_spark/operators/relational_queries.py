@@ -1065,3 +1065,112 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(bucket).alias("n_buckets"),
         F.countDistinct("o_custkey").alias("n_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 27 (r3): remaining ANSI surface — nth/offset windows, string
+# breadth, error-safe arithmetic
+
+
+@register(
+    "q_window_nth",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           nth_value(o_totalprice, 3) OVER w AS third_price,
+           lead(o_totalprice, 2) OVER w AS price_2ahead,
+           lag(o_totalprice, 3) OVER w AS price_3back
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value and multi-offset lead/lag — the remaining ANSI window
+    navigation functions (q_window_analytic covers lead/lag offset 1,
+    q_first_last covers first/last).  Deterministic: the window order
+    is tie-broken by the unique key, and nth_value runs over the
+    running frame so each row sees a well-defined prefix.
+
+    100 TB plan: one status-partitioned sort window; no global
+    order."""
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+        F.lead("o_totalprice", 2).over(wo).alias("price_2ahead"),
+        F.lag("o_totalprice", 3).over(wo).alias("price_3back"),
+    )
+
+
+@register(
+    "q_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 2) AS type_mid,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           repeat(left(p_name, 1), 3) AS name_trip,
+           reverse(p_brand) AS brand_rev,
+           CAST(strpos(p_name, 'o') AS INTEGER) AS first_o,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+    FROM part
+    """,
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function breadth key: split_part, translate,
+    repeat, reverse, strpos/instr, lpad — the manipulation surface
+    q_scalar_string (upper/substring/concat/length/like/regexp) does
+    not touch.  All per-row codegen expressions."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.substring("p_name", 1, 1), 3).alias("name_trip"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "o").cast("int").alias("first_o"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+    )
+
+
+@register(
+    "q_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           try_cast(l_returnflag AS INTEGER) AS flag_as_int,
+           CAST(l_quantity AS BIGINT) // NULLIF(l_linenumber - 1, 0) AS qty_per_prev,
+           try_cast(CASE WHEN l_quantity > 30 THEN 'big' END AS INTEGER) AS null_path
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression semantics: try_cast of non-numeric text,
+    division whose denominator can be zero (NULL, never an exception
+    — Spark ``try_divide`` == SQL ``// NULLIF``), and try_cast of a
+    NULL branch — the ingestion-hardening surface q_null_semantics
+    (comparisons) does not cover.  A malformed cell must become NULL
+    identically in both engines, not kill the job.
+
+    100 TB plan: per-row codegen behind a pushed modulo filter."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_orderkey") % 13 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.try_divide(
+            F.col("l_quantity").cast("long"), F.col("l_linenumber") - 1
+        ).cast("long").alias("qty_per_prev"),
+        F.expr(
+            "try_cast(CASE WHEN l_quantity > 30 THEN 'big' END AS INT)"
+        ).alias("null_path"),
+    )
