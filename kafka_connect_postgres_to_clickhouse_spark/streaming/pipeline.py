@@ -86,6 +86,7 @@ def run_cdc_pipeline(
     keys: Sequence[str],
     version_cols: Sequence[str],
     apply_deletes: bool = False,
+    dlq_dir: str | None = None,
 ) -> None:
     """Run the full pipeline until no more input (Trigger.AvailableNow).
 
@@ -94,6 +95,14 @@ def run_cdc_pipeline(
     setup.sh:94,107), drop deletes (default, SURVEY.md section 0),
     then merge batch with existing state under LWW and publish a new
     state snapshot.
+
+    ``dlq_dir`` routes corrupt wire records (parse failures) to an
+    append-only dead-letter parquet — raw bytes preserved untouched
+    with their offset and micro-batch id, so the DLQ is REPLAYABLE
+    after a parser fix (the errors.deadletterqueue.* half of the
+    reference's errors.tolerance=all story, setup.sh:145-147; without
+    it tolerated rows vanish silently).  The q_dlq_stats classifier
+    runs over exactly this output.
 
     State is a versioned directory (v0, v1, ...) with a ``_CURRENT``
     pointer flipped after the new snapshot is fully written — the same
@@ -107,6 +116,17 @@ def run_cdc_pipeline(
     spark = stream.sparkSession
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        if dlq_dir is not None:
+            wire = batch.filter(F.col("value").isNotNull())
+            corrupt = (
+                parse_envelope(
+                    wire.withColumn("_raw", F.col("value")), payload_schema
+                )
+                .filter(F.col("_corrupt"))
+                .select("_seq", F.col("_raw").alias("value"))
+                .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+            )
+            corrupt.write.mode("append").parquet(dlq_dir)
         _merge_batch(
             spark, batch, payload_schema, state_dir, keys, version_cols, apply_deletes
         )
