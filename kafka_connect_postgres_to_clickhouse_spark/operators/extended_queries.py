@@ -9746,3 +9746,92 @@ def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id").bitwiseXOR(21845)).cast("long").alias("xor_mask"),
         (F.col("event_id").bitwiseOR(4096)).alias("or_mask"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 28: product quantization (the IVF-PQ ANN building block)
+
+
+@register(
+    "q_pq_codes",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    init AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < 4),
+    d AS (
+      SELECT e.vec_id, (t.k - 1) // 16 AS m, i.cid,
+             SUM(CAST(round((CAST(e.embedding[t.k] AS DOUBLE) - CAST(i.c[t.k] AS DOUBLE))
+                          * (CAST(e.embedding[t.k] AS DOUBLE) - CAST(i.c[t.k] AS DOUBLE))
+                          * 1000000000) AS BIGINT)) AS dist
+      FROM e, init i, unnest(generate_series(1, 64)) t(k)
+      GROUP BY e.vec_id, m, i.cid
+    ),
+    a AS (
+      SELECT vec_id, m, cid, dist,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN cid END) AS INTEGER) AS code0,
+           CAST(MAX(CASE WHEN m = 1 THEN cid END) AS INTEGER) AS code1,
+           CAST(MAX(CASE WHEN m = 2 THEN cid END) AS INTEGER) AS code2,
+           CAST(MAX(CASE WHEN m = 3 THEN cid END) AS INTEGER) AS code3,
+           CAST(SUM(dist) AS BIGINT) AS qerr_scaled
+    FROM a WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): the 64-dim
+    embedding splits into 4 subspaces of 16 dims, each quantized
+    independently to its nearest codebook entry (deterministic
+    codebook: the first 4 vectors, as q_kmeans seeds) — a vector
+    compresses to 4 small codes + a quantization error, the memory
+    layout every IVF-PQ ANN index at scale stores instead of raw
+    floats (q_quantize is scalar per-dim quantization; this is the
+    vector-codebook form).
+
+    Exactness: per-dim squared deltas round to integers at 1e9 scale
+    before summing (the q_kmeans discipline) so argmin and error are
+    identical cross-engine; argmin ties break by codebook id.
+
+    100 TB plan: the codebook is a 4-row broadcast; distances are
+    per-row array aggregates (no explode — the corpus never leaves
+    row form); one vec-grain agg picks the winners.  Codebook
+    training would ride the q_kmeans machinery per subspace."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (
+        e.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+
+    def dist(m: int):
+        lo = 16 * m + 1
+        return F.expr(
+            f"""
+            aggregate(sequence({lo}, {lo + 15}), CAST(0 AS BIGINT),
+              (acc, k) -> acc + CAST(round(
+                  (CAST(element_at(embedding, k) AS DOUBLE)
+                     - CAST(element_at(cvec, k) AS DOUBLE))
+                * (CAST(element_at(embedding, k) AS DOUBLE)
+                     - CAST(element_at(cvec, k) AS DOUBLE))
+                * 1000000000) AS BIGINT))"""
+        ).alias(f"d{m}")
+
+    scored = e.crossJoin(F.broadcast(init)).select(
+        "vec_id", "cid", dist(0), dist(1), dist(2), dist(3)
+    )
+    aggs = []
+    for m in range(4):
+        pick = F.expr(f"min_by(cid, struct(d{m}, cid))").cast("int").alias(f"code{m}")
+        aggs += [pick, F.min(f"d{m}").alias(f"_e{m}")]
+    out = scored.groupBy("vec_id").agg(*aggs)
+    return out.select(
+        "vec_id",
+        "code0",
+        "code1",
+        "code2",
+        "code3",
+        (F.col("_e0") + F.col("_e1") + F.col("_e2") + F.col("_e3"))
+        .cast("long")
+        .alias("qerr_scaled"),
+    )
