@@ -9668,10 +9668,19 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          CAST(0 AS BIGINT))),
           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
     )
-    sh = (
-        c.select("doc_id", "lang", tokens(F.col("text")).alias("__toks"))
-        .select("doc_id", "lang", bitsums.alias("__sums"))
-        .select("doc_id", "lang", simhash.alias("h"))
+    from .analytics_queries import _materialize  # noqa: PLC0415
+
+    # both sides of the band self-join read the signature table; spill
+    # it once (1 row/doc) so the per-token md5 pipeline never runs twice
+    sh = _materialize(
+        spark,
+        sf_dir,
+        "simhash_sigs",
+        lambda: (
+            c.select("doc_id", "lang", tokens(F.col("text")).alias("__toks"))
+            .select("doc_id", "lang", bitsums.alias("__sums"))
+            .select("doc_id", "lang", simhash.alias("h"))
+        ),
     )
     bands = sh.select(
         "doc_id",
@@ -9691,7 +9700,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("band_b"),
         F.col("bkey").alias("bkey_b"),
     )
-    cand = (
+    # verify (cheap per-row popcount) BEFORE the distinct: the distinct
+    # then dedups only the verified pairs (tiny), not the full candidate
+    # stream — at sf0.1 this is the difference between deduping ~1M
+    # band collisions and ~30k survivors
+    ver = (
         a.join(
             b,
             (F.col("band") == F.col("band_b"))
@@ -9699,14 +9712,14 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lang") == F.col("lang_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", "ha", "hb")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hd"),
+        )
+        .filter(F.col("hd") <= 1)
         .distinct()
     )
-    ver = cand.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hd"),
-    ).filter(F.col("hd") <= 1)
     sym = ver.select(F.col("doc_a").alias("doc_id"), "hd").unionByName(
         ver.select(F.col("doc_b").alias("doc_id"), "hd")
     )
