@@ -77,8 +77,23 @@ def _materialize(spark, sf_dir: str, name: str, build) -> DataFrame:
     df = _MATERIALIZED.get(key)
     if df is None:
         app = spark.sparkContext.applicationId
+        root = _materialize_root()
+        # spills are keyed by application id; other sessions' dirs are
+        # unreachable from this one, but a CONCURRENT session may still
+        # be reading its own — only reap dirs idle long enough that the
+        # owning session is certainly gone
+        try:
+            import shutil
+            import time
+
+            for stale in os.listdir(root):
+                p = os.path.join(root, stale)
+                if stale != app and time.time() - os.path.getmtime(p) > 6 * 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
         sf_tag = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-        path = os.path.join(_materialize_root(), app, f"{sf_tag}__{name}")
+        path = os.path.join(root, app, f"{sf_tag}__{name}")
         build().write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
         _MATERIALIZED[key] = df
