@@ -779,7 +779,71 @@ def _lsh_bucket(emb_col, planes: list[list[int]]):
     return F.concat(*bits)
 
 
-@register("q_simsearch_lsh", oracle=None)  # recall asserted in pytest
+def _lsh_bucket_sql(planes: list[list[int]]) -> str:
+    """DuckDB twin of _lsh_bucket: same sign bits from the same
+    left-to-right fold.  The weights are +/-1, so every product is
+    EXACT in IEEE doubles; list_reduce over a 0.0-prepended list
+    replays Spark's F.aggregate accumulation order addition-for-
+    addition, making the projection (and therefore the bucket) bit-
+    identical cross-engine — which is what lets an APPROXIMATE index
+    carry an exact value-level oracle."""
+    bits = []
+    for row in planes:
+        w = "[" + ", ".join(str(v) for v in row) + "]"
+        proj = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(generate_series(1, 64), k -> "
+            f"CAST(embedding[k] AS DOUBLE) * ({w})[k])), (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+_LSH_PLANES = _hyperplanes(n_bits=24)
+_LSH_BUCKETS_SQL = "\n".join(
+    f"WHEN {t} THEN {_lsh_bucket_sql(_LSH_PLANES[t * 4:(t + 1) * 4])}"
+    for t in range(6)
+)
+
+
+@register(
+    "q_simsearch_lsh",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL},
+    buckets AS (
+      SELECT vec_id, embedding, n2, t.tbl,
+             CASE t.tbl
+             {_LSH_BUCKETS_SQL}
+             END AS bucket
+      FROM norms, (SELECT unnest(generate_series(0, 5)) AS tbl) t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS vec_id
+      FROM buckets e JOIN buckets q
+        ON e.tbl = q.tbl AND e.bucket = q.bucket
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.vec_id,
+             SUM(CAST(round((CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) * 1000000000) AS BIGINT)) AS dot,
+             any_value(q.n2) AS qn2, any_value(e.n2) AS en2
+      FROM cand c
+      JOIN norms e ON e.vec_id = c.vec_id
+      JOIN norms q ON q.vec_id = c.query_id
+      CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY c.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT query_id, vec_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE))) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE))) DESC,
+                        vec_id) AS rn
+      FROM dots
+    ) WHERE rn <= 10
+    """,
+)
 def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH approximate top-k: 6 independent hash tables of
     4 random-hyperplane sign bits each; a vector is a candidate if it
@@ -790,8 +854,12 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB path: (table_id, bucket) is an equi-join key, so
     candidate generation is a shuffle join instead of a KxN cross
-    product; rows-only check by design (approximate) — pytest asserts
-    recall against q_simsearch_topk and the candidate-fraction bound.
+    product.  APPROXIMATE yet exactly-oracled: the hyperplanes are
+    deterministic (+/-1 md5 parity) and the bucket fold replays
+    addition-for-addition in DuckDB (_lsh_bucket_sql), so the full
+    candidate set — and therefore the top-k — hash-matches; pytest
+    additionally asserts recall vs q_simsearch_topk and the
+    candidate-fraction bound.
     """
     n_tables, bits = 6, 4
     planes = _hyperplanes(n_bits=n_tables * bits)
