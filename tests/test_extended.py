@@ -304,3 +304,24 @@ def test_blocklist_rates_bounded(spark, queries):
     for r in queries["q_blocklist"](spark, SF).collect():
         assert 0 <= r.n_flagged <= r.n_docs
         assert 0 <= r.flagged_bp <= 10000
+
+
+def test_simhash_neardup_finds_every_exact_dup(spark, queries):
+    """Recall floor: every exact-duplicate doc (the +2,000,000 corpus
+    re-ingest) has an identical 16-bit simhash as its original, so
+    BOTH must appear in the neighbor output with min_hamming == 0 —
+    banding cannot lose a Hamming-0 pair (pigeonhole)."""
+    out = {
+        r.doc_id: r.min_hamming
+        for r in queries["q_simhash_neardup"](spark, SF).collect()
+    }
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    missing = [
+        d for d in range(n_docs)
+        if out.get(d) != 0 or out.get(d + 2_000_000) != 0
+    ]
+    assert not missing, f"{len(missing)} exact-dup pairs missed: {missing[:5]}"
