@@ -325,3 +325,26 @@ def test_simhash_neardup_finds_every_exact_dup(spark, queries):
         if out.get(d) != 0 or out.get(d + 2_000_000) != 0
     ]
     assert not missing, f"{len(missing)} exact-dup pairs missed: {missing[:5]}"
+
+
+def test_approx_distinct_within_declared_error(spark, queries):
+    """The one registry key without an oracle (HLL++ is engine-specific
+    by definition) still gets an accuracy gate: each group's estimate
+    must sit within 3x the declared 2% relative standard deviation of
+    the exact distinct count."""
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in queries["q_agg_approx_distinct"](spark, SF).collect()
+    }
+    import duckdb
+
+    exact = dict(
+        duckdb.sql(
+            f"SELECT l_returnflag, COUNT(DISTINCT l_partkey) "
+            f"FROM '{SF}/lineitem.parquet' GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for flag, est in approx.items():
+        rel_err = abs(est - exact[flag]) / exact[flag]
+        assert rel_err <= 0.06, f"{flag}: est {est} vs exact {exact[flag]}"
