@@ -108,7 +108,7 @@ def test_oracle_result_types_hash_safe():
 def test_spark_result_schemas_hash_safe(spark):
     """Spark twin of the oracle-type lint: no ArrayType/MapType column
     may reach the driver's canonicalizer (unhashable cells)."""
-    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
     for name, spec in load_all_queries().items():
@@ -120,7 +120,7 @@ def test_spark_result_schemas_hash_safe(spark):
             offenders.append(f"{name}: schema build failed: {exc}")
             continue
         for f in schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType)):
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, (
         f"{len(offenders)} hash-unsafe Spark result columns: "
