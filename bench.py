@@ -29,24 +29,37 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     registry = load_all_queries()
-    names = list(HEADLINE) if HEADLINE else list(registry)
     spark = get_spark("kcptc-bench")
     times: dict[str, float] = {}
     # warm the JVM + parquet footer caches once with the flagship
     registry["q_changelog_replay"].fn(spark, sf_dir).count()
 
-    def run_once(name: str) -> float:
-        t0 = time.time()
-        registry[name].fn(spark, sf_dir).count()
-        return time.time() - t0
-
     import gc
 
     from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
         _MATERIALIZED,
+        MATERIALIZATION_TRIGGERS,
     )
 
-    for name in names:
+    # Shared materialized intermediates get their OWN labeled lines,
+    # force-built BEFORE any consumer runs: otherwise the build cost
+    # lands on whichever consumer happens to run first and per-query
+    # numbers teleport between consumers round-over-round (r2 billed
+    # the jaccard pair table to q_dup_graph_degree, r3 to
+    # q_graph_triangles).  Consumers below are therefore timed warm.
+    jobs: dict = {
+        f"_materialize:{mname}": (lambda s, d, t=trig: t(s, d))
+        for mname, trig in MATERIALIZATION_TRIGGERS.items()
+    }
+    for name in list(HEADLINE) if HEADLINE else list(registry):
+        jobs[name] = registry[name].fn
+
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        jobs[name](spark, sf_dir).count()
+        return time.time() - t0
+
+    for name in jobs:
         # Session-materialized intermediates (analytics_queries
         # ._materialize) carry across queries — that cross-query reuse
         # is the realistic session behavior and is measured as-is.  But

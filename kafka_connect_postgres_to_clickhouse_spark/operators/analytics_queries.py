@@ -38,6 +38,16 @@ from ..sources.tables import load_table
 
 _MATERIALIZED: dict = {}
 
+# name -> (spark, sf_dir) -> DataFrame: forces the named _materialize
+# spill to exist and returns it.  bench.py runs these first, under
+# labeled `_materialize:<name>` lines, so the build cost of a shared
+# intermediate is billed once and explicitly instead of landing on
+# whichever consumer query happens to run first (round-2/3 benches had
+# the jaccard pair-table bill teleport between q_dup_graph_degree and
+# q_graph_triangles).  Populated at import time by each operator module
+# that owns a spill.
+MATERIALIZATION_TRIGGERS: dict = {}
+
 
 def _materialize_root() -> str:
     """Spill directory for materialized intermediates: the repo's
@@ -72,23 +82,38 @@ def _materialize(spark, sf_dir: str, name: str, build) -> DataFrame:
     """
     import os
     import re
+    import time
 
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    root = _materialize_root()
+    # Liveness heartbeat on EVERY call, cache hits included: a dir's
+    # own mtime only advances when a NEW spill lands, so a long-lived
+    # session that materialized early and then only re-reads cached
+    # handles would look idle and get reaped mid-session by a younger
+    # concurrent session.  The heartbeat file is what the reaper keys
+    # its idle check on.
+    try:
+        os.makedirs(os.path.join(root, app), exist_ok=True)
+        hb = os.path.join(root, app, "_HEARTBEAT")
+        with open(hb, "w") as f:
+            f.write(str(int(time.time())))
+    except OSError:
+        pass
+    key = (app, sf_dir, name)
     df = _MATERIALIZED.get(key)
     if df is None:
-        app = spark.sparkContext.applicationId
-        root = _materialize_root()
         # spills are keyed by application id; other sessions' dirs are
         # unreachable from this one, but a CONCURRENT session may still
-        # be reading its own — only reap dirs idle long enough that the
-        # owning session is certainly gone
+        # be reading its own — only reap dirs whose heartbeat has been
+        # silent long enough that the owning session is certainly gone
         try:
             import shutil
-            import time
 
             for stale in os.listdir(root):
                 p = os.path.join(root, stale)
-                if stale != app and time.time() - os.path.getmtime(p) > 6 * 3600:
+                beat = os.path.join(p, "_HEARTBEAT")
+                last = os.path.getmtime(beat if os.path.exists(beat) else p)
+                if stale != app and time.time() - last > 6 * 3600:
                     shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
@@ -688,6 +713,37 @@ norms AS (
 """
 
 
+def _emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (vec_id, label, embedding, n2) norms table for the whole
+    ANN family (q_simsearch_topk/lsh/ivf, q_ann_margin, ...): the
+    squared-norm fold is 64 multiply-round-sums per row, and five
+    different indexes consuming it means five recomputes unless it is
+    spilled once.  Parquet `_materialize` (not localCheckpoint) so on a
+    cluster the table lives on shared storage, survives executor loss,
+    and downstream scans column-prune — a consumer that only needs
+    (vec_id, n2) never reads the 64-float vectors."""
+    return _materialize(
+        spark,
+        sf_dir,
+        "emb_norms",
+        lambda: load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            "embedding",
+            norm2_scaled(F.col("embedding")).alias("n2"),
+        ),
+    )
+
+
+MATERIALIZATION_TRIGGERS["emb_norms"] = _emb_norms
+MATERIALIZATION_TRIGGERS["postings"] = lambda s, d: _materialize(
+    s, d, "postings", lambda: _corpus_shingles(s, d)
+)
+MATERIALIZATION_TRIGGERS["jaccard_pairs"] = lambda s, d: _materialize(
+    s, d, "jaccard_pairs", lambda: _jaccard_pairs_build(s, d)
+)
+
+
 @register(
     "q_simsearch_topk",
     oracle=f"""
@@ -722,8 +778,7 @@ def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small) K x N score set; dot products are JVM ``zip_with`` +
     integer ``aggregate`` — no Python, no shuffle of the corpus.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    norms = e.select("vec_id", "embedding", norm2_scaled(F.col("embedding")).alias("n2"))
+    norms = _emb_norms(spark, sf_dir).select("vec_id", "embedding", "n2")
     q = norms.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -799,6 +854,43 @@ def _lsh_bucket_sql(planes: list[list[int]]) -> str:
     return " || ".join(bits)
 
 
+def _lsh_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed LSH signature table (vec_id, embedding, n2, tbl, bucket)
+    — 6 tables x 4 sign bits, one row per (vector, table).
+
+    Both join sides of q_simsearch_lsh (probe + broadcast query set)
+    consume it; spilled as a parquet ``_materialize`` — not a
+    localCheckpoint — so the 24-hyperplane bucket expressions evaluate
+    (and their codegen compiles) exactly once, and on a cluster the
+    index table lives on shared storage bounded by disk rather than
+    pinned in executor block-manager memory.  Rides the shared
+    emb_norms spill so the n2 fold also runs only once across the ANN
+    family."""
+    n_tables, bits = 6, 4
+    planes = _hyperplanes(n_bits=n_tables * bits)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _lsh_bucket(
+                    F.col("embedding"), planes[t * bits : (t + 1) * bits]
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return _materialize(
+        spark,
+        sf_dir,
+        "lsh_sig",
+        lambda: _emb_norms(spark, sf_dir)
+        .select("vec_id", "embedding", "n2", F.explode(tables).alias("tb"))
+        .select("vec_id", "embedding", "n2", "tb.tbl", "tb.bucket"),
+    )
+
+
+MATERIALIZATION_TRIGGERS["lsh_sig"] = _lsh_sig_table
+
 _LSH_PLANES = _hyperplanes(n_bits=24)
 _LSH_BUCKETS_SQL = "\n".join(
     f"WHEN {t} THEN {_lsh_bucket_sql(_LSH_PLANES[t * 4:(t + 1) * 4])}"
@@ -861,33 +953,7 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally asserts recall vs q_simsearch_topk and the
     candidate-fraction bound.
     """
-    n_tables, bits = 6, 4
-    planes = _hyperplanes(n_bits=n_tables * bits)
-    e = load_table(spark, sf_dir, "embeddings")
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _lsh_bucket(
-                    F.col("embedding"), planes[t * bits : (t + 1) * bits]
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    norms = (
-        e.select(
-            "vec_id",
-            "embedding",
-            norm2_scaled(F.col("embedding")).alias("n2"),
-            F.explode(tables).alias("tb"),
-        )
-        .select("vec_id", "embedding", "n2", "tb.tbl", "tb.bucket")
-        # both join sides (probe + broadcast query set) consume this;
-        # materialize so the 24-dot bucket expressions evaluate (and
-        # their codegen compiles) exactly once
-        .localCheckpoint(eager=True)
-    )
+    norms = _lsh_sig_table(spark, sf_dir)
     q = norms.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -977,14 +1043,20 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     sub = e.select("vec_id", "embedding").unionByName(scaled)
-    norms = sub.select(
-        "vec_id",
-        "embedding",
-        norm2_scaled(F.col("embedding")).alias("n2"),
-        _lsh_bucket(F.col("embedding"), planes).alias("bucket"),
-        # four join branches (bucket a/b, planted a/b) consume this —
-        # materialize so the 8-plane projection runs once per row
-    ).localCheckpoint(eager=True)
+    # four join branches (bucket a/b, planted a/b) consume this —
+    # spill once (parquet _materialize, same rationale as _lsh_sig_table)
+    # so the 8-plane projection and the n2 fold run once per row
+    norms = _materialize(
+        spark,
+        sf_dir,
+        "embdedup_sigs",
+        lambda: sub.select(
+            "vec_id",
+            "embedding",
+            norm2_scaled(F.col("embedding")).alias("n2"),
+            _lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        ),
+    )
     a, b = norms.alias("a"), norms.alias("b")
     pair_cols = [
         F.col("a.vec_id").alias("vec_a"),
@@ -1247,6 +1319,60 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cents(norms: DataFrame) -> DataFrame:
+    """Deterministic coarse centroids: every 50th vector."""
+    return norms.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+
+
+def _ivf_cell_scores(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Cosine of every vector against every (broadcast) centroid."""
+    return vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cosine(
+            dot_scaled(F.col("embedding"), F.col("c_emb")), F.col("n2"), F.col("c_n2")
+        ).alias("cs"),
+    )
+
+
+def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored IVF index: (vec_id, cent_id) nearest-centroid cell
+    assignment, materialized as a parquet spill.
+
+    The assignment pass is the expensive half of IVF — N x centroids
+    scaled-integer dot products — and it is an INDEX BUILD, not query
+    work: a production ANN index is built once (or incrementally) and
+    probed by every query afterwards.  Spilling it makes the engine's
+    cost model match that reality: bench bills the build under
+    `_materialize:ivf_assign`, and q_simsearch_ivf (the query path)
+    pays only probe selection + nprobe-pruned exact re-ranking.
+
+    Nearest-centroid assignment is an argmax, not a ranking: max_by
+    over struct(cs, -cent_id) (desc score, asc id tie-break) folds the
+    scoring pass into ONE partial aggregate — map-side combine, no
+    window sort."""
+    def build() -> DataFrame:
+        norms = _emb_norms(spark, sf_dir).select("vec_id", "embedding", "n2")
+        return (
+            _ivf_cell_scores(norms, _ivf_cents(norms))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cent_id", F.struct(F.col("cs"), -F.col("cent_id"))
+                ).alias("cent_id")
+            )
+        )
+
+    return _materialize(spark, sf_dir, "ivf_assign", build)
+
+
+MATERIALIZATION_TRIGGERS["ivf_assign"] = _ivf_assign_table
+
+
 _IVF_SCORE_SQL = """
 cents AS (SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
           FROM norms WHERE vec_id % 50 = 0),
@@ -1316,42 +1442,25 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector), each vector assigned to its nearest centroid cell, queries
     probe their 4 nearest cells and re-rank candidates exactly.
 
-    The 100 TB similarity-search plan: assignment is ONE linear scan
-    with the (tiny) centroid table broadcast; the probe restricts
-    scoring to nprobe cells — a partition-pruned fraction of the corpus
-    — instead of the full cross product of q_simsearch_topk.  The
-    oracle replicates the identical algorithm, so this approximate
-    index is still value-exact across engines (same scaled-integer dot
-    products, same tie-breaks).
+    The 100 TB similarity-search plan: the assignment (index build) is
+    ONE linear scan with the (tiny) centroid table broadcast,
+    materialized once as a stored table (_ivf_assign_table) that every
+    query probes; the probe restricts scoring to nprobe cells — a
+    partition-pruned fraction of the corpus — instead of the full
+    cross product of q_simsearch_topk.  The oracle replicates the
+    identical algorithm, so this approximate index is still
+    value-exact across engines (same scaled-integer dot products, same
+    tie-breaks).
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    norms = e.select("vec_id", "embedding", norm2_scaled(F.col("embedding")).alias("n2"))
-    cents = norms.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("n2").alias("c_n2"),
-    )
-    def cell_scores(vecs: DataFrame) -> DataFrame:
-        return vecs.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "cent_id",
-            cosine(
-                dot_scaled(F.col("embedding"), F.col("c_emb")), F.col("n2"), F.col("c_n2")
-            ).alias("cs"),
-        )
-
-    # Nearest-centroid assignment is an argmax, not a ranking: max_by
-    # over struct(cs, -cent_id) (desc score, asc id tie-break) folds the
-    # N x centroids scoring pass into ONE partial aggregate — map-side
-    # combine, no window sort, no materialization barrier.  The probe
-    # side re-scores only the 5 query vectors (5 x centroids rows), so
-    # its top-4 window is over a trivially small set.
-    assign = cell_scores(norms).groupBy("vec_id").agg(
-        F.max_by("cent_id", F.struct(F.col("cs"), -F.col("cent_id"))).alias("cent_id")
-    )
+    norms = _emb_norms(spark, sf_dir).select("vec_id", "embedding", "n2")
+    # the nearest-cell assignment is a STORED INDEX, not query work —
+    # see _ivf_assign_table; the query path below only scores the 5
+    # probe vectors against the centroids (5 x centroids rows) and
+    # re-ranks the nprobe-pruned candidate set exactly
+    assign = _ivf_assign_table(spark, sf_dir)
     w_near = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
     probes = (
-        cell_scores(norms.filter(F.col("vec_id") < 5))
+        _ivf_cell_scores(norms.filter(F.col("vec_id") < 5), _ivf_cents(norms))
         .withColumn("rn", F.row_number().over(w_near))
         .filter(F.col("rn") <= 4)
         .select(F.col("vec_id").alias("query_id"), "cent_id")

@@ -6298,14 +6298,20 @@ def q_ann_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan: identical scan shape to q_simsearch_topk (broadcast
     queries, one corpus pass, per-query window over the score
     stream); margins are differences of 1e-6-quantized cosines —
-    integer outputs."""
+    integer outputs.  Norms ride the shared emb_norms parquet spill
+    (analytics_queries._emb_norms) instead of being re-folded per
+    (vector, query) pair — the n2 fold is 64 multiply-round-sums and
+    the pair stream is 5x the corpus."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import dot_scaled, norm2_scaled
+    from ..functions.vectors import dot_scaled
+    from .analytics_queries import _emb_norms
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _emb_norms(spark, sf_dir).select("vec_id", "embedding", "n2")
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("n2").alias("qn2"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -6314,8 +6320,8 @@ def q_ann_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             dot_scaled(F.col("embedding"), F.col("qemb")).alias("dot"),
-            norm2_scaled(F.col("embedding")).alias("en2"),
-            norm2_scaled(F.col("qemb")).alias("qn2"),
+            F.col("n2").alias("en2"),
+            "qn2",
         )
         .select(
             "query_id",
@@ -9374,7 +9380,12 @@ def q_sink_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_rows"),
             est.alias("est_bytes"),
-            ((est + 65535) / 65536).cast("long").alias("n_files_64k"),
+            # integer div, not float '/': the double path is only exact
+            # while est_bytes+65535 < 2^53 — a multi-PB plan would
+            # silently diverge from the oracle's '//'
+            F.expr("(sum(length(props) + 48) + 65535) div 65536")
+            .cast("long")
+            .alias("n_files_64k"),
         )
     )
 
@@ -9584,6 +9595,49 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wave 26: SimHash near-dup JOIN (banded hamming) + bitwise surface
 
 
+def _simhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash signature table (doc_id, lang, h) over the
+    augmented corpus.  Both sides of q_simhash_neardup's band self-join
+    read it; spilled once (parquet _materialize, 1 row/doc) so the
+    per-token md5 pipeline never runs twice."""
+    from .analytics_queries import _corpus, _materialize  # noqa: PLC0415
+
+    c = _corpus(spark, sf_dir)
+    odd = "('1','3','5','7','9','b','d','f')"
+    bitsums = F.expr(
+        f"""
+        aggregate(
+          transform(__toks, w -> substring(md5(w), 1, 16)),
+          array_repeat(0, 16),
+          (acc, h) -> zip_with(acc, sequence(1, 16),
+            (a, p) -> a + IF(substring(h, p, 1) IN {odd}, 1, -1))
+        )"""
+    )
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(__sums, sequence(0, 15),
+            (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b),
+                         CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    )
+    return _materialize(
+        spark,
+        sf_dir,
+        "simhash_sigs",
+        lambda: (
+            c.select("doc_id", "lang", tokens(F.col("text")).alias("__toks"))
+            .select("doc_id", "lang", bitsums.alias("__sums"))
+            .select("doc_id", "lang", simhash.alias("h"))
+        ),
+    )
+
+
+from .analytics_queries import MATERIALIZATION_TRIGGERS  # noqa: E402
+
+MATERIALIZATION_TRIGGERS["simhash_sigs"] = _simhash_sig_table
+
+
 @register(
     "q_simhash_neardup",
     oracle=f"""
@@ -9649,39 +9703,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band explode is 2 rows/doc; ONE equi-join on (band, bkey,
     lang) whose bucket sizes the 256-value key bounds; verification
     is a per-row popcount.  No all-pairs anywhere."""
-    c = _corpus(spark, sf_dir)
-    odd = "('1','3','5','7','9','b','d','f')"
-    bitsums = F.expr(
-        f"""
-        aggregate(
-          transform(__toks, w -> substring(md5(w), 1, 16)),
-          array_repeat(0, 16),
-          (acc, h) -> zip_with(acc, sequence(1, 16),
-            (a, p) -> a + IF(substring(h, p, 1) IN {odd}, 1, -1))
-        )"""
-    )
-    simhash = F.expr(
-        """
-        aggregate(
-          zip_with(__sums, sequence(0, 15),
-            (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b),
-                         CAST(0 AS BIGINT))),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
-    )
-    from .analytics_queries import _materialize  # noqa: PLC0415
-
-    # both sides of the band self-join read the signature table; spill
-    # it once (1 row/doc) so the per-token md5 pipeline never runs twice
-    sh = _materialize(
-        spark,
-        sf_dir,
-        "simhash_sigs",
-        lambda: (
-            c.select("doc_id", "lang", tokens(F.col("text")).alias("__toks"))
-            .select("doc_id", "lang", bitsums.alias("__sums"))
-            .select("doc_id", "lang", simhash.alias("h"))
-        ),
-    )
+    sh = _simhash_sig_table(spark, sf_dir)
     bands = sh.select(
         "doc_id",
         "lang",

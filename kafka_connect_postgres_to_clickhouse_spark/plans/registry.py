@@ -60,8 +60,34 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# Proof tiers a driver CORRECTNESS entry can award a key, strongest
+# first.  Only these two tiers count as "proven" for rotation purposes:
+#   PROOF_HASH      — row count + schema + order-insensitive value hash
+#                     all matched the DuckDB oracle (the full contract).
+#   PROOF_ROWS_ONLY — the key has no oracle BY DESIGN (approx sketches
+#                     like q_agg_approx_distinct); the driver recorded a
+#                     successful rows-only execution.  Valid only while
+#                     the key still has no oracle: if a later round
+#                     grows one, the key re-fronts for a hash verdict.
+PROOF_HASH = "hash"
+PROOF_ROWS_ONLY = "rows_only"
+
+
+def _proof_tier(key: str, row: dict) -> str | None:
+    """Tier a single driver CORRECTNESS row awards ``key`` (None = red)."""
+    if row.get("hash_match") is True:
+        return PROOF_HASH
+    if (
+        row.get("err") == "no_oracle"
+        and row.get("spark_rows") is not None
+        and (key not in REGISTRY or REGISTRY[key].oracle is None)
+    ):
+        return PROOF_ROWS_ONLY
+    return None
+
+
 def _driver_green_keys() -> set[str]:
-    """Keys already hash-proven by a PAST driver round.
+    """Keys already proven (any tier) by a PAST driver round.
 
     The driver writes CORRECTNESS_r{N}.json into the repo root each
     round but covers only a bounded registry prefix per round, so the
@@ -95,15 +121,7 @@ def _driver_green_keys() -> set[str]:
         for key, row in data.items():
             if not isinstance(row, dict):
                 continue
-            ran_weak = (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
-            # a rows-only run proves a key ONLY while the key still has
-            # no oracle: if the registry later grows an oracle for it,
-            # the key re-fronts for a real hash verdict
-            if row.get("hash_match") is True or (
-                ran_weak and (key not in REGISTRY or REGISTRY[key].oracle is None)
-            ):
+            if _proof_tier(key, row) is not None:
                 green.add(key)
                 red.discard(key)
             else:

@@ -124,9 +124,20 @@ def run_cdc_pipeline(
                 )
                 .filter(F.col("_corrupt"))
                 .select("_seq", F.col("_raw").alias("value"))
-                .withColumn("_batch_id", F.lit(batch_id).cast("long"))
             )
-            corrupt.write.mode("append").parquet(dlq_dir)
+            # deterministic per-batch Hive-style subpath + overwrite,
+            # NOT a flat append: foreachBatch is at-least-once, so a
+            # micro-batch replayed after a crash (e.g. _merge_batch
+            # throws after the DLQ write, or the crash lands before
+            # the checkpoint commit) re-runs this write — overwriting
+            # the same batch_id=N directory replaces its own previous
+            # output instead of appending duplicates, which keeps the
+            # DLQ directly replayable without consumer-side dedup.
+            # Readers of dlq_dir recover the micro-batch id as the
+            # `batch_id` partition column.
+            corrupt.write.mode("overwrite").parquet(
+                os.path.join(dlq_dir, f"batch_id={batch_id}")
+            )
         _merge_batch(
             spark, batch, payload_schema, state_dir, keys, version_cols, apply_deletes
         )
@@ -613,7 +624,11 @@ def run_slot_lag_monitor(
     micro-batch partitioning of the stream (the property the parity
     test asserts).  State publishes through the same
     write-new-version-then-swap-_CURRENT scheme as the CDC state
-    (run_cdc_pipeline) — crash-safe, never overwrites its input.
+    (run_cdc_pipeline) — atomic visibility, never overwrites its
+    input — and each version records the batch_id it merged so an
+    at-least-once REPLAY of the trailing micro-batch (crash between
+    swap and checkpoint commit) is detected and skipped instead of
+    SUM-merging n_records twice.
 
     100 TB plan: per-batch work is one topic-grain partial agg of the
     batch plus a merge against topic-cardinality state — independent
@@ -621,6 +636,26 @@ def run_slot_lag_monitor(
     spark = stream.sparkSession
 
     def update(batch: DataFrame, batch_id: int) -> None:
+        prev = _current_version(state_dir)
+        # Replay guard: foreachBatch is at-least-once — a crash between
+        # the _CURRENT swap below and Spark's checkpoint commit makes
+        # the engine re-deliver the SAME batch_id on restart.  The MAX
+        # merges (confirmed_lsn, last_ts) are idempotent but the SUM of
+        # n_records is not, so re-merging would double-count.  Each
+        # published version records the batch_id it merged (an
+        # underscore-prefixed sidecar, invisible to parquet readers);
+        # the swap makes state + marker visible atomically, and a
+        # replayed batch whose id already sits in the current version
+        # is a no-op.  Only the latest id is needed: the engine replays
+        # at most the one uncommitted trailing batch.
+        if prev is not None:
+            marker = os.path.join(state_dir, f"v{prev}", "_BATCH_ID")
+            try:
+                with open(marker) as f:
+                    if int(f.read().strip()) == batch_id:
+                        return
+            except (OSError, ValueError):
+                pass
         agg = batch.groupBy("event_type").agg(
             F.max("event_id").cast("long").alias("confirmed_lsn"),
             F.count("*").cast("long").alias("n_records"),
@@ -637,9 +672,11 @@ def run_slot_lag_monitor(
                     F.max("last_ts").alias("last_ts"),
                 )
             )
-        prev = _current_version(state_dir)
         nxt = 0 if prev is None else prev + 1
-        agg.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
+        vdir = os.path.join(state_dir, f"v{nxt}")
+        agg.write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_BATCH_ID"), "w") as f:
+            f.write(str(batch_id))
         os.makedirs(state_dir, exist_ok=True)
         tmp = _current_marker(state_dir) + ".tmp"
         with open(tmp, "w") as f:

@@ -14,7 +14,9 @@ from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (  # noqa:
 )
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("KCPTC_TEST_SF_DIR", "/root/testdata/sf0.001")
+# KCPTC_SLOW=1 -> full 280-query execution sweep; default samples
+SLOW = os.environ.get("KCPTC_SLOW") == "1"
 
 
 def test_green_keys_reflect_recorded_rounds():
@@ -59,19 +61,32 @@ def test_registry_complete_and_aliased():
 
 
 def test_every_registry_query_executes(spark):
-    """Whole-registry smoke in ONE shared session at sf0.001: every
-    key must plan and execute (count) without error, in registry
-    order — catching cross-query session interactions (memoized
-    intermediates, temp views, conf mutations) that the per-query
-    oracle gate, which also shares a session but may run subsets,
-    could order differently."""
+    """Registry execution smoke in ONE shared session at sf0.001, in
+    registry order — catching cross-query session interactions
+    (memoized intermediates, temp views, conf mutations) that the
+    per-query oracle gate, which also shares a session but may run
+    subsets, could order differently.
+
+    The full 280-query sweep pushed the suite to ~860 s and duplicates
+    coverage the driver's own t2 pass and tools/check_oracle.py already
+    provide, so by default this executes (a) the driver-window FRONT —
+    the unproven keys whose next rotation round must not break — plus
+    (b) a deterministic every-7th sample of the proven tail.  Set
+    KCPTC_SLOW=1 for the whole registry."""
+    q = load_all_queries()
+    names = list(q)
+    if not SLOW:
+        green = _driver_green_keys()
+        front = [k for k in names if k not in green][:60]
+        tail = [k for k in names if k in green][::7]
+        names = front + tail
     failures = []
-    for name, spec in load_all_queries().items():
+    for name in names:
         try:
-            spec.fn(spark, SF_DIR).count()
+            q[name].fn(spark, SF_DIR).count()
         except Exception as exc:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {exc}")
-    assert not failures, f"{len(failures)} failures: " + "\n".join(failures[:5])
+    assert not failures, f"{len(failures)} failures:\n" + "\n".join(failures)
 
 
 def test_oracle_result_types_hash_safe():

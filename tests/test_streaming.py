@@ -124,6 +124,61 @@ def test_streaming_checkpoint_resume_idempotent(spark, tmp_path, users_schema):
     assert len(final) == 4
 
 
+def test_streaming_schema_evolution_restart(spark, tmp_path, users_schema):
+    """The ``auto.evolve.tables=true`` twin for the STREAMING path
+    (reference setup.sh:134-135; q_schema_evolution covers batch only):
+    the changelog payload schema widens mid-stream with a new nullable
+    column, the query restarts from its checkpoint with the widened
+    schema, and the evolved sink state equals the batch union — rows
+    ingested pre-evolution NULL-fill the new column, post-evolution
+    rows carry it, and LWW winners are unchanged."""
+    src = _write_wire_files(spark, tmp_path, [(1, 4)])
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    run_cdc_pipeline(
+        changelog_file_stream(spark, src), users_schema, state_dir, ckpt, KEYS, VERSION
+    )
+    assert "email" not in read_state(spark, state_dir).columns
+
+    # mid-stream widening: seq 5-6 arrive on the wire with a NEW
+    # nullable email column in the payload
+    log = reference_scenario_changelog(spark).withColumn(
+        "email", F.concat(F.col("username"), F.lit("@example.com"))
+    )
+    payload = log.select("user_id", "username", "account_type", "email", "updated_at")
+    wire = log.select(
+        "_seq", "topic", "op",
+        build_envelope_json(payload.schema, "x").alias("value"),
+    ).collect()
+    lines = [
+        json.dumps({"_seq": r._seq, "topic": r.topic, "op": r.op, "value": r.value})
+        for r in wire
+        if r._seq >= 5
+    ]
+    (tmp_path / "wire" / "batch_widened.json").write_text("\n".join(lines))
+
+    # restart from the SAME checkpoint with the widened schema: only
+    # the new file is processed; the merge widens persisted state via
+    # unionByName(allowMissingColumns=True)
+    run_cdc_pipeline(
+        changelog_file_stream(spark, src), payload.schema, state_dir, ckpt, KEYS, VERSION
+    )
+    state = read_state(spark, state_dir)
+    assert "email" in state.columns
+    rows = {
+        r.user_id: (r.username, r.account_type, r.email) for r in state.collect()
+    }
+    # post-evolution LWW winner carries the new column
+    assert rows[999] == ("updated_user", "Test", "updated_user@example.com")
+    # pre-evolution rows NULL-fill it; values otherwise untouched
+    assert {k: v[:2] for k, v in rows.items()} == {
+        1: ("user1", "Bronze"),
+        2: ("user2", "Silver"),
+        3: ("user3", "Gold"),
+        999: ("updated_user", "Test"),
+    }
+    assert all(rows[uid][2] is None for uid in (1, 2, 3))
+
+
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     """Watermarked tumbling window over a stream == batch groupBy."""
     from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
@@ -869,6 +924,115 @@ def test_slot_lag_monitor_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_slot_lag_monitor_replay_idempotent(spark, tmp_path):
+    """At-least-once replay must not double-count: if a crash lands
+    between the monitor's state publish and Spark's checkpoint commit,
+    restart re-delivers the SAME batch_id — the batch-id marker in the
+    published version makes the re-merge a no-op (MAX fields were
+    already idempotent; n_records' SUM was not)."""
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        read_state,
+        run_slot_lag_monitor,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type"
+    )
+    src = tmp_path / "events_json"
+    wire = events.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    for lo, hi in [(0, 300), (300, 10**9)]:
+        wire.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).coalesce(1).write.mode("append").json(str(src))
+
+    def make_stream():
+        return (
+            spark.readStream.schema("event_id long, ts_us long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_us")
+        )
+
+    state, ckpt = tmp_path / "monitor_state", tmp_path / "ckpt"
+    run_slot_lag_monitor(make_stream(), str(state), str(ckpt))
+    before = {
+        r.event_type: (r.confirmed_lsn, r.n_records, r.last_ts)
+        for r in read_state(spark, str(state)).collect()
+    }
+    # simulate the crash window: the state for the last micro-batch is
+    # published but its checkpoint commit never landed — drop the
+    # newest commit marker and restart; the engine re-delivers that
+    # batch with the same batch_id
+    commits = sorted(
+        (p for p in (ckpt / "commits").iterdir() if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    last = commits[-1]
+    last.unlink()
+    crc = last.parent / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run_slot_lag_monitor(make_stream(), str(state), str(ckpt))
+    after = {
+        r.event_type: (r.confirmed_lsn, r.n_records, r.last_ts)
+        for r in read_state(spark, str(state)).collect()
+    }
+    assert after == before
+
+
+def test_dlq_replay_overwrites_not_appends(spark, tmp_path, users_schema):
+    """The DLQ write is per-batch-subpath + overwrite, so a replayed
+    micro-batch replaces its own corrupt rows instead of appending
+    duplicates — the DLQ stays directly replayable."""
+    import pathlib
+
+    src = _write_wire_files(spark, tmp_path, [(1, 6)])
+    f = next(pathlib.Path(src).glob("*.json"))
+    lines = [json.loads(x) for x in f.read_text().splitlines()]
+    for rec in lines:
+        if rec["_seq"] == 2:
+            rec["value"] = rec["value"][:20]
+    f.write_text("\n".join(json.dumps(r) for r in lines))
+
+    dlq, ckpt = tmp_path / "dlq", tmp_path / "ckpt"
+    run_cdc_pipeline(
+        changelog_file_stream(spark, src),
+        users_schema,
+        str(tmp_path / "state"),
+        str(ckpt),
+        KEYS,
+        VERSION,
+        dlq_dir=str(dlq),
+    )
+    first = spark.read.parquet(str(dlq)).count()
+    # drop the newest checkpoint commit -> restart re-delivers the
+    # trailing micro-batch (same batch_id); its DLQ rows must replace,
+    # not duplicate
+    commits = sorted(
+        (p for p in (ckpt / "commits").iterdir() if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    last = commits[-1]
+    last.unlink()
+    crc = last.parent / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run_cdc_pipeline(
+        changelog_file_stream(spark, src),
+        users_schema,
+        str(tmp_path / "state"),
+        str(ckpt),
+        KEYS,
+        VERSION,
+        dlq_dir=str(dlq),
+    )
+    assert spark.read.parquet(str(dlq)).count() == first
 
 
 def test_dlq_routes_corrupt_wire_and_state_unaffected(spark, tmp_path, users_schema):
