@@ -26,6 +26,7 @@ from .analytics_queries import (
     _corpus,
     _corpus_shingles,
     _maybe_broadcast,
+    _shingle_array_table,
     q_neardup_jaccard,
 )
 
@@ -5316,25 +5317,67 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the threshold compares 10000*c against 8000*min(n)
     in pure integers — no float ratio at the decision point.
 
-    100 TB plan: rides the same memoized shingle postings and
-    inverted-index join as the Jaccard family (one hash shuffle);
-    candidate generation is identical, only the verify arithmetic
-    differs."""
-    g = _corpus_shingles(spark, sf_dir)
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = g.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = g.select(F.col("doc_id").alias("doc_b"), "sh")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
+    100 TB plan: a PREFIX-FILTERED overlap join over the shared
+    re-keyed shingle-array spill (analytics_queries.
+    _shingle_array_table) — NOT a full inverted-index self-join, whose
+    hot-shingle buckets go quadratic at scale.  Containment admits a
+    one-sided prefix filter: for a passing pair, c >= ceil(0.8 *
+    min(na, nb)) = ceil(0.8 * nb) where B is the smaller doc by
+    (n, doc_id), so by pigeonhole at least one common shingle lies in
+    B's rare-first prefix of nb - ceil(0.8*nb) + 1 shingles (if all c
+    commons avoided it they would fit in the remaining ceil(0.8*nb)-1
+    slots < c).  Candidate generation is therefore full-postings(A) x
+    ~20%-prefix(B) — and because prefixes are RAREST-first, hot
+    shingles almost never appear in any prefix, collapsing the skew.
+    Verification is exact array_intersect on the full id arrays; the
+    required-overlap arithmetic is integer ((4n+4) div 5 = the least c
+    with 5c >= 4n), so no float rounding can shorten a prefix."""
+    arrays = _shingle_array_table(spark, sf_dir)
+    full = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.explode("ids").alias("sh_id"),
     )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    pref_len = F.expr("n - ((4 * n + 4) div 5) + 1").cast("int")
+    pref = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.explode(F.slice("ids", 1, pref_len)).alias("sh_id"),
+    )
+    cands = (
+        full.join(
+            pref.withColumnRenamed("sh_id", "sh_id_b"),
+            (F.col("sh_id") == F.col("sh_id_b"))
+            # strict (n, doc_id) orientation: B is the smaller doc, so
+            # min(na, nb) = nb and every unordered pair is generated
+            # exactly once
+            & (
+                (F.col("nb") < F.col("na"))
+                | ((F.col("nb") == F.col("na")) & (F.col("doc_b") < F.col("doc_a")))
+            ),
+        )
+        .select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .distinct()
+    )
+    arr_a = arrays.select(
+        F.col("doc_id").alias("lo"), F.col("ids").alias("arr_a"), F.col("n").alias("na")
+    )
+    arr_b = arrays.select(
+        F.col("doc_id").alias("hi"), F.col("ids").alias("arr_b"), F.col("n").alias("nb")
+    )
+    verified = cands.join(arr_a, "lo").join(arr_b, "hi")
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
     return (
-        common.join(sa, F.col("doc_a") == F.col("da"))
-        .join(sb, F.col("doc_b") == F.col("db"))
+        verified.select(
+            F.col("lo").alias("doc_a"),
+            F.col("hi").alias("doc_b"),
+            c.alias("c"),
+            "na",
+            "nb",
+        )
         .filter(10000 * F.col("c") >= 8000 * F.least("na", "nb"))
         .select(
             "doc_a",
