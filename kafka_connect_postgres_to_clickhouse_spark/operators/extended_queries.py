@@ -22,6 +22,7 @@ from ..plans.registry import register
 from ..sources.tables import load_table
 from .analytics_queries import (
     CORPUS_SQL,
+    MATERIALIZATION_TRIGGERS,
     SHINGLES_SQL,
     _corpus,
     _corpus_shingles,
@@ -4346,6 +4347,37 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_window_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 8-token window digest index (doc_id, i, endpos, h) over
+    the augmented corpus — the stored artifact of exact-substring
+    dedup (Lee et al. 2021 build their suffix array ONCE and serve
+    every dedup query from it; this is the window-granular analogue).
+    Spilled via _materialize so the expensive per-token digest pipeline
+    is an explicit index build, not per-query work.
+
+    shingles() zips shifted slices (functions/text.py) — a transform
+    lambda indexing the token array would re-inline the tokenization
+    into every element access (measured ~10x slower here)."""
+    from .analytics_queries import _materialize  # noqa: PLC0415
+
+    def build() -> DataFrame:
+        c = _corpus(spark, sf_dir)
+        t = c.select("doc_id", shingles(F.col("text"), 8).alias("sh8")).filter(
+            F.size("sh8") > 0
+        )
+        return t.select("doc_id", F.posexplode("sh8").alias("p0", "sh")).select(
+            "doc_id",
+            (F.col("p0") + 1).alias("i"),
+            (F.col("p0") + 8).alias("endpos"),
+            F.md5("sh").alias("h"),
+        )
+
+    return _materialize(spark, sf_dir, "dup_windows", build)
+
+
+MATERIALIZATION_TRIGGERS["dup_windows"] = _dup_window_table
+
+
 @register(
     "q_dup_ranges",
     oracle=f"""
@@ -4401,23 +4433,13 @@ def q_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB plan: the stride-1 explode is 1 row/token (the same cost
     class as the shingle pipelines, shuffled as 32-byte digests);
-    islands-merging windows partition BY DOC — thousands of small
-    independent partitions, never a global order."""
+    the digest table is a STORED index (_dup_window_table — exact-
+    substring dedup builds its suffix/digest index once and reuses
+    it); islands-merging windows partition BY DOC — thousands of
+    small independent partitions, never a global order."""
     from pyspark.sql import Window as W
 
-    c = _corpus(spark, sf_dir)
-    # shingles() zips shifted slices (functions/text.py) — a transform
-    # lambda indexing the token array would re-inline the tokenization
-    # into every element access (measured ~10x slower here)
-    t = c.select("doc_id", shingles(F.col("text"), 8).alias("sh8")).filter(
-        F.size("sh8") > 0
-    )
-    wins = t.select("doc_id", F.posexplode("sh8").alias("p0", "sh")).select(
-        "doc_id",
-        (F.col("p0") + 1).alias("i"),
-        (F.col("p0") + 8).alias("endpos"),
-        F.md5("sh").alias("h"),
-    )
+    wins = _dup_window_table(spark, sf_dir)
     wh = W.partitionBy("h")
     hits = (
         wins.withColumn(
@@ -5471,34 +5493,35 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_lsh_calibration grades the candidate SET; this grades the
     ESTIMATOR).
 
-    100 TB plan: signatures and exact pairs both ride the memoized
-    shingle pipeline; the comparison joins 8-column signature rows
-    onto the edge table — edge-sized work, integer outputs."""
+    100 TB plan: the exact pair set rides the verified PPJoin pair
+    table (q_neardup_jaccard's memoized output — prefix-filtered, never
+    a full inverted-index self-join, which goes quadratic on hot
+    shingles) and recomputes the integer basis points edge-sized via
+    array_intersect on the shared re-keyed shingle arrays; signatures
+    ride the memoized postings; the comparison joins 8-column signature
+    rows onto the edge table — edge-sized work, integer outputs."""
     from .analytics_queries import _corpus_shingles, _materialize
 
     posts = _materialize(
         spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir)
-    ).select("doc_id", "sh", F.md5("sh").alias("h"))
+    ).select("doc_id", F.md5("sh").alias("h"))
     sigs = posts.groupBy("doc_id").agg(
         *[F.min(F.substring("h", 4 * s + 1, 4)).alias(f"minh{s}") for s in range(8)]
     )
-    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = posts.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = posts.select(F.col("doc_id").alias("doc_b"), "sh")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
+    arrays = _shingle_array_table(spark, sf_dir)
+    arr_a = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("ids").alias("arr_a"), F.col("n").alias("na")
     )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    arr_b = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("ids").alias("arr_b"), F.col("n").alias("nb")
+    )
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
     exact = (
-        common.join(sa, F.col("doc_a") == F.col("da"))
-        .join(sb, F.col("doc_b") == F.col("db"))
-        .filter(
-            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.5
-        )
+        q_neardup_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select("doc_a", "doc_b", c.alias("c"), "na", "nb")
         .select(
             "doc_a",
             "doc_b",
@@ -9675,8 +9698,6 @@ def _simhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-
-from .analytics_queries import MATERIALIZATION_TRIGGERS  # noqa: E402
 
 MATERIALIZATION_TRIGGERS["simhash_sigs"] = _simhash_sig_table
 
