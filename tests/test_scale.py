@@ -144,3 +144,49 @@ def test_per_row_ops_have_no_exchange(spark):
     for key in ("q_span_self_repetition", "q_truncate_middle"):
         plan = _plan(qs[key](spark, SF))
         assert "Exchange" not in plan, f"{key} grew a shuffle"
+
+
+def test_index_consumers_probe_the_spill(spark):
+    """Queries documented as probing a STORED index must plan a scan of
+    the parquet spill (`spark-warehouse/_materialized/...`), not a
+    rebuild of the index pipeline: a regression here silently turns
+    the per-query cost from probe-sized back to corpus-sized."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for key, spill in [
+        ("q_simsearch_ivf", "ivf_assign"),
+        ("q_simsearch_lsh", "lsh_sig"),
+        ("q_dup_ranges", "dup_windows"),
+        ("q_containment", "shingle_arrays"),
+        # (q_dedup_clusters also rides jaccard_pairs, but its iterative
+        # label propagation localCheckpoints each round, which truncates
+        # lineage and with it inputFiles — probe its direct-aggregation
+        # sibling instead)
+        ("q_dup_graph_degree", "jaccard_pairs"),
+    ]:
+        # plan toString() truncates Location paths, so ask the source
+        # list directly
+        files = qs[key](spark, SF).inputFiles()
+        assert any(spill in f for f in files), (
+            f"{key} no longer reads the {spill} spill"
+        )
+
+
+def test_index_probe_scans_column_prune(spark):
+    """The spill tier must keep column pruning: a consumer that needs
+    only (vec_id, cent_id) from the IVF assignment, or only doc ids
+    from the pair table, must not drag the 64-float embedding arrays
+    or pair metadata through its scan (ReadSchema is the contract)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    plan = _plan(qs["q_dedup_clusters"](spark, SF))
+    # the only source with a `jaccard` column is the pair spill; its
+    # scans must not read it (cluster labeling uses just the id pair)
+    for line in plan.splitlines():
+        if "FileScan" in line and "ReadSchema:" in line:
+            schema = line.split("ReadSchema:")[1]
+            assert "jaccard" not in schema, (
+                "pair-table scan reads the score column it does not use"
+            )
