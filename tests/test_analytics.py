@@ -79,6 +79,43 @@ def test_jaccard_prefix_join_equals_bruteforce(spark, queries):
     assert fast == brute
 
 
+def test_containment_prefix_join_equals_bruteforce(spark, queries):
+    """The one-sided rare-first prefix filter of the containment join
+    (smaller doc indexes only its nb - ceil(0.8*nb) + 1 rarest
+    shingles) must not lose a single pair: the pigeonhole argument is
+    checked against the unfiltered all-pairs join at the same 0.8
+    overlap-coefficient threshold."""
+    fast = {
+        (r.doc_a, r.doc_b, r.n_common, r.containment_bp)
+        for r in queries["q_containment"](spark, SF).collect()
+    }
+    arrays = _corpus_shingle_arrays(spark, SF).filter(F.size("sh_arr") > 0)
+    a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    brute = {
+        (r.doc_a, r.doc_b, r.n_common, r.containment_bp)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            c.alias("c"),
+            F.size("arr_a").alias("na"),
+            F.size("arr_b").alias("nb"),
+        )
+        .filter(10000 * F.col("c") >= 8000 * F.least("na", "nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").cast("long").alias("n_common"),
+            F.expr("(10000 * c) div LEAST(na, nb)").alias("containment_bp"),
+        )
+        .collect()
+    }
+    assert fast and fast == brute
+
+
 def test_dedup_clusters_consistent_with_pairs(spark, queries):
     """Cluster assignment must be the exact connected components of the
     Jaccard pair graph: both endpoints of every pair share a cluster,
