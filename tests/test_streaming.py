@@ -345,7 +345,7 @@ def test_sessionized_stream_custom_state(spark, tmp_path):
     }
 
 
-def test_streaming_schema_evolution_restart(spark, tmp_path):
+def test_streaming_schema_evolution_widen_merge(spark, tmp_path):
     """auto.evolve.tables analog (setup.sh:134-135): a restart with a
     widened payload schema merges old state via unionByName — old rows
     get NULL for the new column, new rows carry it."""
