@@ -92,6 +92,110 @@ def spark_session(spark):
     return spark
 
 
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    _events,
+    st.lists(st.integers(min_value=1, max_value=29), max_size=4),
+    st.booleans(),
+)
+def test_microbatch_fold_matches_one_shot(spark_session, rows, cuts, redeliver):
+    """Micro-batch split invariance — the streaming=batch consistency
+    contract: folding the changelog through ``upsert_batch`` over ANY
+    consecutive micro-batch partition (the shapes Trigger.AvailableNow
+    can produce) must equal the one-shot ``apply_changelog`` fold, and
+    re-delivering the trailing batch (at-least-once replay after a
+    crash between state publish and checkpoint commit) must be a
+    no-op.  This is the operator-level core of what
+    test_streaming_checkpoint_resume_idempotent asserts through the
+    full engine."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.upsert import (
+        upsert_batch,
+    )
+
+    spark = spark_session
+    if not rows:
+        return
+    data = [(seq, key, op, ts, tag) for seq, (key, op, ts, tag) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "_seq long, user_id int, op string, ts_i long, tag int"
+    ).select(
+        "_seq", "user_id", "op",
+        F.timestamp_seconds(F.col("ts_i")).alias("updated_at"), "tag",
+    )
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    edges = [0, *bounds, len(rows)]
+    keys, version = ["user_id"], ["updated_at", "_seq"]
+    state = None
+    last_batch = None
+    for lo, hi in zip(edges, edges[1:]):
+        if lo == hi:
+            continue
+        batch = df.filter((F.col("_seq") >= lo) & (F.col("_seq") < hi)).filter(
+            F.col("op") != "d"
+        )
+        last_batch = batch
+        state = batch if state is None else upsert_batch(state, batch, keys, version)
+    if redeliver and state is not None and last_batch is not None:
+        state = upsert_batch(state, last_batch, keys, version)
+    got = (
+        {}
+        if state is None
+        else {
+            r.user_id: (int(r.updated_at.timestamp()), r._seq, r.tag)
+            for r in apply_changelog(state, keys, version).collect()
+        }
+    )
+    assert got == _reference_lww(rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_events, st.integers(min_value=0, max_value=2**31))
+def test_lww_fold_is_order_and_partition_invariant(spark_session, rows, seed):
+    """Determinism under physical layout: the LWW fold must produce the
+    SAME state for any row order and any partitioning of the input —
+    the property that makes replay reproducible on a cluster, where
+    arrival order within a shuffle partition is nondeterministic.
+    (Holds because the version tuple (updated_at, _seq) is unique per
+    row: max_by has no ties to break nondeterministically.)"""
+    import random
+
+    import pyspark.sql.functions as F
+
+    spark = spark_session
+    if not rows:
+        return
+    data = [(seq, key, op, ts, tag) for seq, (key, op, ts, tag) in enumerate(rows)]
+    shuffled = data[:]
+    random.Random(seed).shuffle(shuffled)
+
+    def fold(recs, n_parts):
+        df = spark.createDataFrame(
+            recs, "_seq long, user_id int, op string, ts_i long, tag int"
+        ).repartition(n_parts).select(
+            "_seq", "user_id", "op",
+            F.timestamp_seconds(F.col("ts_i")).alias("updated_at"), "tag",
+        )
+        state = apply_changelog(df, ["user_id"], ["updated_at", "_seq"])
+        return {
+            r.user_id: (int(r.updated_at.timestamp()), r._seq, r.tag)
+            for r in state.collect()
+        }
+
+    expected = _reference_lww(rows)
+    assert fold(data, 1) == expected
+    assert fold(shuffled, 7) == expected
+
+
 _payloads = st.lists(
     st.tuples(
         st.integers(min_value=-(2**31), max_value=2**31 - 1),  # user_id
