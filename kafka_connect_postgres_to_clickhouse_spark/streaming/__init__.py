@@ -3,6 +3,7 @@ from .pipeline import (
     changelog_file_stream,
     deduped_stream,
     kafka_source,
+    prune_state_versions,
     read_state,
     run_cdc_pipeline,
     run_multi_table_pipeline,
@@ -16,6 +17,7 @@ __all__ = [
     "changelog_file_stream",
     "deduped_stream",
     "kafka_source",
+    "prune_state_versions",
     "read_state",
     "run_cdc_pipeline",
     "run_multi_table_pipeline",

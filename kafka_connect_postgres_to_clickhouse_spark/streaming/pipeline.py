@@ -59,6 +59,39 @@ def _current_version(state_dir: str) -> int | None:
         return None
 
 
+def prune_state_versions(state_dir: str, keep: int = 3) -> list[int]:
+    """Bounded-disk retention for versioned state snapshots — the
+    ClickHouse old-part cleanup analog (merged parts linger briefly for
+    in-flight readers, then go).  Without it every micro-batch leaves a
+    full snapshot behind and state disk grows linearly with BATCH COUNT
+    forever — the one unbounded resource in the versioned-directory
+    scheme at 100 TB.
+
+    Deletes only versions <= current - keep: never the current version,
+    never anything newer (a concurrent writer's in-flight v{N+1}), and
+    ``keep`` committed versions stay so a reader that resolved
+    ``_CURRENT`` just before a swap can still finish its scan.  Called
+    AFTER the ``_CURRENT`` swap; a crash mid-prune just leaves extra
+    old dirs for the next batch's prune — correctness never depends on
+    pruning having run.  Returns the removed version numbers."""
+    import re
+    import shutil
+
+    cur = _current_version(state_dir)
+    if cur is None or keep < 1:
+        return []
+    removed = []
+    try:
+        names = os.listdir(state_dir)
+    except OSError:
+        return []
+    for name in names:
+        if re.fullmatch(r"v\d+", name) and int(name[1:]) <= cur - keep:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+            removed.append(int(name[1:]))
+    return sorted(removed)
+
+
 def read_state(
     spark: SparkSession, state_dir: str, include_tombstones: bool = False
 ) -> DataFrame | None:
@@ -87,6 +120,7 @@ def run_cdc_pipeline(
     version_cols: Sequence[str],
     apply_deletes: bool = False,
     dlq_dir: str | None = None,
+    retain_versions: int = 3,
 ) -> None:
     """Run the full pipeline until no more input (Trigger.AvailableNow).
 
@@ -139,7 +173,8 @@ def run_cdc_pipeline(
                 os.path.join(dlq_dir, f"batch_id={batch_id}")
             )
         _merge_batch(
-            spark, batch, payload_schema, state_dir, keys, version_cols, apply_deletes
+            spark, batch, payload_schema, state_dir, keys, version_cols,
+            apply_deletes, retain_versions,
         )
 
     (
@@ -159,6 +194,7 @@ def _merge_batch(
     keys: Sequence[str],
     version_cols: Sequence[str],
     apply_deletes: bool,
+    retain_versions: int = 3,
 ) -> None:
     """One micro-batch of one table: parse, filter, LWW-merge, publish."""
     clean = batch.filter(F.col("value").isNotNull())  # tombstone drop
@@ -186,6 +222,9 @@ def _merge_batch(
     with open(tmp, "w") as f:
         f.write(str(nxt))
     os.replace(tmp, _current_marker(state_dir))
+    # after the swap: old snapshots beyond the retention window go —
+    # without this, state disk grows linearly with micro-batch count
+    prune_state_versions(state_dir, keep=retain_versions)
 
 
 TOPIC_TABLE_RE = r"^postgres_cdc\.iman\.(.*)$"  # RegexRouter, setup.sh:119-126
@@ -200,6 +239,7 @@ def run_multi_table_pipeline(
     version_cols: Sequence[str],
     apply_deletes: bool = False,
     topic_re: str = TOPIC_TABLE_RE,
+    retain_versions: int = 3,
 ) -> None:
     """N mirrored tables on ONE changelog stream — the reference's
     actual shape (all tables of the ``iman`` schema flow through the
@@ -230,6 +270,7 @@ def run_multi_table_pipeline(
                 keys[t],
                 version_cols,
                 apply_deletes,
+                retain_versions,
             )
 
     (
@@ -682,6 +723,7 @@ def run_slot_lag_monitor(
         with open(tmp, "w") as f:
             f.write(str(nxt))
         os.replace(tmp, _current_marker(state_dir))
+        prune_state_versions(state_dir)
 
     (
         stream.writeStream.foreachBatch(update)

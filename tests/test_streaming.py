@@ -179,6 +179,56 @@ def test_streaming_schema_evolution_restart(spark, tmp_path, users_schema):
     assert all(rows[uid][2] is None for uid in (1, 2, 3))
 
 
+def test_state_version_retention_bounded(spark, tmp_path, users_schema):
+    """State disk must be bounded by the retention window, not by
+    micro-batch count: six single-event micro-batches advance the
+    versioned state v0..v5, and with retain_versions=2 only the two
+    newest snapshots survive on disk — while the final state still
+    equals the golden fold (pruning is invisible to correctness, the
+    ClickHouse old-part cleanup analog)."""
+    import os
+    import re
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        prune_state_versions,
+    )
+
+    log = reference_scenario_changelog(spark)
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    wire = log.select(
+        "_seq", "topic", "op",
+        build_envelope_json(payload.schema, "postgres_cdc.iman.users.Value").alias("value"),
+    ).collect()
+    src = tmp_path / "wire"
+    src.mkdir()
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    assert prune_state_versions(state_dir) == []  # no state yet: no-op
+
+    for r in sorted(wire, key=lambda r: r._seq):
+        (src / f"batch_{r._seq}.json").write_text(
+            json.dumps({"_seq": r._seq, "topic": r.topic, "op": r.op, "value": r.value})
+        )
+        run_cdc_pipeline(
+            changelog_file_stream(spark, str(src)), users_schema, state_dir, ckpt,
+            KEYS, VERSION, retain_versions=2,
+        )
+
+    on_disk = sorted(
+        int(d[1:]) for d in os.listdir(state_dir) if re.fullmatch(r"v\d+", d)
+    )
+    assert on_disk == [4, 5], f"retention window violated: {on_disk}"
+    assert _state_map(read_state(spark, state_dir)) == {
+        1: ("user1", "Bronze"),
+        2: ("user2", "Silver"),
+        3: ("user3", "Gold"),
+        999: ("updated_user", "Test"),
+    }
+    # keep=1 may drop everything but the current version — never it
+    assert prune_state_versions(state_dir, keep=1) == [4]
+    assert read_state(spark, state_dir).count() == 4
+
+
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     """Watermarked tumbling window over a stream == batch groupBy."""
     from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
