@@ -59,6 +59,21 @@ def _current_version(state_dir: str) -> int | None:
         return None
 
 
+def _read_manifest(state_dir: str, version: int | None) -> dict | None:
+    """Bucket manifest of a state version, or None for an unbucketed
+    (monolithic-snapshot) version.  Shape:
+    ``{"n_buckets": N, "buckets": {"<bucket>": <version holding it>}}``."""
+    if version is None:
+        return None
+    import json
+
+    try:
+        with open(os.path.join(state_dir, f"v{version}", "_MANIFEST.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def prune_state_versions(state_dir: str, keep: int = 3) -> list[int]:
     """Bounded-disk retention for versioned state snapshots — the
     ClickHouse old-part cleanup analog (merged parts linger briefly for
@@ -80,15 +95,23 @@ def prune_state_versions(state_dir: str, keep: int = 3) -> list[int]:
     cur = _current_version(state_dir)
     if cur is None or keep < 1:
         return []
+    # bucketed states reference buckets ACROSS versions (copy-on-write):
+    # any version the current manifest points into is live regardless of
+    # age — deleting it would tear holes in the current snapshot
+    manifest = _read_manifest(state_dir, cur)
+    live = set(manifest["buckets"].values()) if manifest else set()
     removed = []
     try:
         names = os.listdir(state_dir)
     except OSError:
         return []
     for name in names:
-        if re.fullmatch(r"v\d+", name) and int(name[1:]) <= cur - keep:
+        if not re.fullmatch(r"v\d+", name):
+            continue
+        v = int(name[1:])
+        if v <= cur - keep and v not in live:
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
-            removed.append(int(name[1:]))
+            removed.append(v)
     return sorted(removed)
 
 
@@ -105,9 +128,46 @@ def read_state(
     v = _current_version(state_dir)
     if v is None:
         return None
-    df = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+    manifest = _read_manifest(state_dir, v)
+    if manifest is None:
+        df = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+    else:
+        df = _read_buckets(
+            spark, state_dir, manifest, [int(b) for b in manifest["buckets"]]
+        ).drop("bkt")
     if not include_tombstones and "op" in df.columns:
         df = df.filter((F.col("op") != "d") | F.col("op").isNull())
+    return df
+
+
+def _read_buckets(
+    spark: SparkSession, state_dir: str, manifest: dict, want: Sequence[int]
+) -> DataFrame | None:
+    """Read the requested buckets of a bucketed state through its
+    manifest — each bucket from the VERSION that currently holds it
+    (copy-on-write: untouched buckets still live in older version
+    dirs).  Reads are per-bucket directory paths, so a merge that
+    wants 3 of 64 buckets lists and scans exactly those 3 — the
+    partition-pruning this layout exists for.  Schema differences
+    across versions (evolution rewrote touched buckets only) merge
+    via unionByName(allowMissingColumns=True).  Returns None when no
+    requested bucket has any state yet."""
+    held = manifest["buckets"]
+    by_version: dict[int, list[int]] = {}
+    for b in want:
+        ver = held.get(str(b))
+        if ver is not None:
+            by_version.setdefault(int(ver), []).append(b)
+    parts = []
+    for ver, buckets in sorted(by_version.items()):
+        vdir = os.path.join(state_dir, f"v{ver}")
+        paths = [os.path.join(vdir, f"bkt={b}") for b in sorted(buckets)]
+        parts.append(spark.read.option("basePath", vdir).parquet(*paths))
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
     return df
 
 
@@ -121,8 +181,16 @@ def run_cdc_pipeline(
     apply_deletes: bool = False,
     dlq_dir: str | None = None,
     retain_versions: int = 3,
+    n_buckets: int | None = None,
 ) -> None:
     """Run the full pipeline until no more input (Trigger.AvailableNow).
+
+    ``n_buckets`` switches the state layout to bucket-level
+    copy-on-write (``_merge_batch_bucketed``): per-batch merge work
+    becomes O(batch + touched buckets) instead of O(state) — the
+    setting for state that dwarfs its micro-batches.  Default keeps
+    the monolithic snapshot (simplest, fine while state is
+    batch-sized).
 
     Per micro-batch: parse envelope (PERMISSIVE — corrupt rows dropped,
     mirroring errors.tolerance=all), drop tombstones (null value,
@@ -172,10 +240,16 @@ def run_cdc_pipeline(
             corrupt.write.mode("overwrite").parquet(
                 os.path.join(dlq_dir, f"batch_id={batch_id}")
             )
-        _merge_batch(
-            spark, batch, payload_schema, state_dir, keys, version_cols,
-            apply_deletes, retain_versions,
-        )
+        if n_buckets is not None:
+            _merge_batch_bucketed(
+                spark, batch, payload_schema, state_dir, keys, version_cols,
+                apply_deletes, n_buckets, retain_versions,
+            )
+        else:
+            _merge_batch(
+                spark, batch, payload_schema, state_dir, keys, version_cols,
+                apply_deletes, retain_versions,
+            )
 
     (
         stream.writeStream.foreachBatch(upsert)
@@ -184,6 +258,22 @@ def run_cdc_pipeline(
         .start()
         .awaitTermination()
     )
+
+
+def _parse_clean(
+    batch: DataFrame, payload_schema: T.StructType, apply_deletes: bool
+) -> DataFrame:
+    """Wire micro-batch -> clean payload rows: tombstone drop, envelope
+    parse (PERMISSIVE), corrupt drop, delete drop (default mode).
+    NULL-safe on op: a source without an op column (e.g. the Kafka
+    wrapper emits op=NULL) must pass everything through, not drop every
+    row on a NULL predicate."""
+    clean = batch.filter(F.col("value").isNotNull())
+    parsed = parse_envelope(clean, payload_schema)
+    rows = parsed.filter(~F.col("_corrupt")).drop("_corrupt")
+    if not apply_deletes:
+        rows = rows.filter((F.col("op") != "d") | F.col("op").isNull())
+    return rows
 
 
 def _merge_batch(
@@ -197,14 +287,7 @@ def _merge_batch(
     retain_versions: int = 3,
 ) -> None:
     """One micro-batch of one table: parse, filter, LWW-merge, publish."""
-    clean = batch.filter(F.col("value").isNotNull())  # tombstone drop
-    parsed = parse_envelope(clean, payload_schema)
-    rows = parsed.filter(~F.col("_corrupt")).drop("_corrupt")
-    if not apply_deletes:
-        # NULL-safe: a source without an op column (e.g. the Kafka
-        # wrapper emits op=NULL) must pass everything through, not
-        # drop every row on a NULL predicate
-        rows = rows.filter((F.col("op") != "d") | F.col("op").isNull())
+    rows = _parse_clean(batch, payload_schema, apply_deletes)
     existing = read_state(spark, state_dir, include_tombstones=True)
     if existing is not None:
         rows = existing.unionByName(rows, allowMissingColumns=True)
@@ -227,6 +310,85 @@ def _merge_batch(
     prune_state_versions(state_dir, keep=retain_versions)
 
 
+def _merge_batch_bucketed(
+    spark: SparkSession,
+    batch: DataFrame,
+    payload_schema: T.StructType,
+    state_dir: str,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    apply_deletes: bool,
+    n_buckets: int,
+    retain_versions: int = 3,
+) -> None:
+    """Incremental keyed merge with bucket-level copy-on-write — the
+    scale path ``_merge_batch`` cannot be: the monolithic merge unions
+    the WHOLE existing state into every micro-batch and rewrites all of
+    it, O(|state|) work per batch, untenable once state dwarfs batches
+    (a 100 TB mirror absorbing MB-sized batches).
+
+    Layout: state rows are hash-bucketed by key
+    (``pmod(xxhash64(keys), n_buckets)``, engine-stable), each version
+    directory holds only the buckets ITS batch touched
+    (``vN/bkt=i/``), and an underscore-hidden ``_MANIFEST.json`` maps
+    every bucket to the version that currently holds it.  A micro-batch
+    therefore: computes its touched buckets (bounded driver list,
+    <= n_buckets), reads exactly those buckets through the manifest,
+    LWW-merges them with the batch, writes only them into the new
+    version, and publishes manifest+_CURRENT with the same
+    write-then-swap discipline — per-batch work is
+    O(|batch| + |touched buckets|), never O(|state|).  This is the
+    parts-plus-manifest scheme of ReplacingMergeTree / lakehouse MERGE
+    re-expressed on plain parquet; with Delta/Iceberg the manifest is
+    the table format's job.  Schema evolution rides free: only touched
+    buckets rewrite with the widened schema and the manifest read
+    unionByName-fills the rest.
+
+    Tombstone and replay semantics are identical to ``_merge_batch``
+    (LWW is idempotent; re-delivered batches converge).  ``n_buckets``
+    is fixed at state creation and enforced against the manifest —
+    changing it requires a rebucketing rewrite, exactly like changing
+    a table's bucket count."""
+    rows = _parse_clean(batch, payload_schema, apply_deletes)
+    prev = _current_version(state_dir)
+    manifest = _read_manifest(state_dir, prev)
+    if prev is not None and manifest is None:
+        raise ValueError(
+            f"{state_dir} holds unbucketed state; bucketed merge would corrupt it"
+        )
+    if manifest is not None and manifest["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"state has n_buckets={manifest['n_buckets']}, merge asked {n_buckets}; "
+            "rebucketing requires a full rewrite"
+        )
+    rows = rows.withColumn(
+        "bkt", F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+    )
+    touched = sorted(r.bkt for r in rows.select("bkt").distinct().collect())
+    if not touched:
+        return  # empty/corrupt-only batch: state and manifest stand
+    if manifest is not None:
+        existing = _read_buckets(spark, state_dir, manifest, touched)
+        if existing is not None:
+            rows = existing.unionByName(rows, allowMissingColumns=True)
+    merged = lww_dedup(rows, keys, version_cols)
+    nxt = 0 if prev is None else prev + 1
+    vdir = os.path.join(state_dir, f"v{nxt}")
+    merged.write.mode("overwrite").partitionBy("bkt").parquet(vdir)
+    new_buckets = dict(manifest["buckets"]) if manifest is not None else {}
+    new_buckets.update({str(b): nxt for b in touched})
+    import json
+
+    with open(os.path.join(vdir, "_MANIFEST.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _current_marker(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, _current_marker(state_dir))
+    prune_state_versions(state_dir, keep=retain_versions)
+
+
 TOPIC_TABLE_RE = r"^postgres_cdc\.iman\.(.*)$"  # RegexRouter, setup.sh:119-126
 
 
@@ -240,6 +402,7 @@ def run_multi_table_pipeline(
     apply_deletes: bool = False,
     topic_re: str = TOPIC_TABLE_RE,
     retain_versions: int = 3,
+    n_buckets: int | None = None,
 ) -> None:
     """N mirrored tables on ONE changelog stream — the reference's
     actual shape (all tables of the ``iman`` schema flow through the
@@ -262,16 +425,18 @@ def run_multi_table_pipeline(
             if r._table in schemas
         ]
         for t in present:
-            _merge_batch(
-                spark,
-                routed.filter(F.col("_table") == t).drop("_table"),
-                schemas[t],
-                os.path.join(state_root, t),
-                keys[t],
-                version_cols,
-                apply_deletes,
-                retain_versions,
-            )
+            slice_df = routed.filter(F.col("_table") == t).drop("_table")
+            table_state = os.path.join(state_root, t)
+            if n_buckets is not None:
+                _merge_batch_bucketed(
+                    spark, slice_df, schemas[t], table_state, keys[t],
+                    version_cols, apply_deletes, n_buckets, retain_versions,
+                )
+            else:
+                _merge_batch(
+                    spark, slice_df, schemas[t], table_state, keys[t],
+                    version_cols, apply_deletes, retain_versions,
+                )
 
     (
         stream.writeStream.foreachBatch(upsert)

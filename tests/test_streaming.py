@@ -229,6 +229,133 @@ def test_state_version_retention_bounded(spark, tmp_path, users_schema):
     assert read_state(spark, state_dir).count() == 4
 
 
+def _wire_rows(spark):
+    log = reference_scenario_changelog(spark)
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    return sorted(
+        log.select(
+            "_seq", "topic", "op",
+            build_envelope_json(payload.schema, "postgres_cdc.iman.users.Value").alias(
+                "value"
+            ),
+        ).collect(),
+        key=lambda r: r._seq,
+    )
+
+
+def _write_batch_file(src, name, rows):
+    (src / name).write_text(
+        "\n".join(
+            json.dumps(
+                {"_seq": r._seq, "topic": r.topic, "op": r.op, "value": r.value}
+            )
+            for r in rows
+        )
+    )
+
+
+def test_bucketed_state_copy_on_write(spark, tmp_path, users_schema):
+    """Bucket-level copy-on-write merge (n_buckets): a micro-batch
+    rewrites ONLY the buckets its keys touch — the second batch (one
+    key) must produce a version directory with exactly one bucket while
+    the first version keeps serving the untouched buckets through the
+    manifest; manifest-aware retention must NOT prune the old version
+    while its buckets are live, even at keep=1.  Final state equals the
+    monolithic pipeline's on the same wire."""
+    import os
+    import re
+
+    wire = _wire_rows(spark)
+    src = tmp_path / "wire"
+    src.mkdir()
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    # batch A: the three inserts (keys 1,2,3) -> v0 with >=1 bucket dirs
+    _write_batch_file(src, "batch_a.json", [r for r in wire if r._seq <= 3])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, state_dir, ckpt,
+        KEYS, VERSION, retain_versions=1, n_buckets=8,
+    )
+    v0_buckets = {d for d in os.listdir(state_dir + "/v0") if d.startswith("bkt=")}
+    assert v0_buckets, "first batch wrote no buckets"
+
+    # batch B: delete(1) [dropped] + insert/update key 999 -> ONE bucket
+    _write_batch_file(src, "batch_b.json", [r for r in wire if r._seq >= 4])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, state_dir, ckpt,
+        KEYS, VERSION, retain_versions=1, n_buckets=8,
+    )
+    v1_buckets = {d for d in os.listdir(state_dir + "/v1") if d.startswith("bkt=")}
+    assert len(v1_buckets) == 1, f"expected 1 rewritten bucket, got {v1_buckets}"
+    # keep=1 would normally remove v0 — its buckets are live in the
+    # manifest, so it must survive
+    versions = {d for d in os.listdir(state_dir) if re.fullmatch(r"v\d+", d)}
+    assert "v0" in versions and "v1" in versions
+
+    golden = {
+        1: ("user1", "Bronze"),
+        2: ("user2", "Silver"),
+        3: ("user3", "Gold"),
+        999: ("updated_user", "Test"),
+    }
+    assert _state_map(read_state(spark, state_dir)) == golden
+
+    # equivalence: the monolithic pipeline over the same wire files
+    mono_state, mono_ckpt = str(tmp_path / "mstate"), str(tmp_path / "mckpt")
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, mono_state, mono_ckpt,
+        KEYS, VERSION,
+    )
+    assert _state_map(read_state(spark, mono_state)) == golden
+
+    # the bucket-count contract is enforced against the manifest
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        _merge_batch_bucketed,
+    )
+
+    one = spark.createDataFrame(
+        [(wire[0]._seq, wire[0].topic, wire[0].op, wire[0].value)],
+        "_seq long, topic string, op string, value string",
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        _merge_batch_bucketed(
+            spark, one, users_schema, state_dir, KEYS, VERSION, False, n_buckets=4
+        )
+
+
+def test_bucketed_schema_evolution_touched_only(spark, tmp_path, users_schema):
+    """Evolution on the bucketed layout rewrites ONLY touched buckets
+    with the widened schema; untouched buckets NULL-fill the new column
+    through the manifest read's unionByName."""
+    wire = _wire_rows(spark)
+    src = tmp_path / "wire"
+    src.mkdir()
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _write_batch_file(src, "batch_a.json", [r for r in wire if r._seq <= 3])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, state_dir, ckpt,
+        KEYS, VERSION, n_buckets=8,
+    )
+
+    log = reference_scenario_changelog(spark).withColumn(
+        "email", F.concat(F.col("username"), F.lit("@example.com"))
+    )
+    payload = log.select("user_id", "username", "account_type", "email", "updated_at")
+    widened = log.select(
+        "_seq", "topic", "op",
+        build_envelope_json(payload.schema, "x").alias("value"),
+    ).collect()
+    _write_batch_file(src, "batch_b.json", [r for r in widened if r._seq >= 5])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), payload.schema, state_dir, ckpt,
+        KEYS, VERSION, n_buckets=8,
+    )
+    state = read_state(spark, state_dir)
+    rows = {r.user_id: (r.username, r.email) for r in state.collect()}
+    assert rows[999] == ("updated_user", "updated_user@example.com")
+    assert rows[1] == ("user1", None) and rows[2] == ("user2", None)
+
+
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     """Watermarked tumbling window over a stream == batch groupBy."""
     from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
@@ -576,6 +703,21 @@ def test_multi_table_pipeline_routes_by_topic(spark, tmp_path):
     items = read_state(spark, str(tmp_path / "state" / "items"))
     assert {(r.user_id, r.username) for r in users.collect()} == {(1, "alice2")}
     assert {(r.item_id, r.price) for r in items.collect()} == {(7, 9.99)}
+
+    # same wire through the bucketed copy-on-write layout: same states
+    run_multi_table_pipeline(
+        changelog_file_stream(spark, str(src)),
+        schemas={"users": users_schema, "items": items_schema},
+        keys={"users": ["user_id"], "items": ["item_id"]},
+        state_root=str(tmp_path / "bstate"),
+        checkpoint_dir=str(tmp_path / "bckpt"),
+        version_cols=["updated_at", "_seq"],
+        n_buckets=4,
+    )
+    busers = read_state(spark, str(tmp_path / "bstate" / "users"))
+    bitems = read_state(spark, str(tmp_path / "bstate" / "items"))
+    assert {(r.user_id, r.username) for r in busers.collect()} == {(1, "alice2")}
+    assert {(r.item_id, r.price) for r in bitems.collect()} == {(7, 9.99)}
 
 
 def test_multimodal_resize_and_frame_sample(spark):
