@@ -1,6 +1,7 @@
 from .pipeline import (
     bootstrap_pipeline,
     changelog_file_stream,
+    compact_state,
     deduped_stream,
     kafka_source,
     prune_state_versions,
@@ -15,6 +16,7 @@ from .pipeline import (
 __all__ = [
     "bootstrap_pipeline",
     "changelog_file_stream",
+    "compact_state",
     "deduped_stream",
     "kafka_source",
     "prune_state_versions",

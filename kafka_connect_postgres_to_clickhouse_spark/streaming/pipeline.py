@@ -389,6 +389,53 @@ def _merge_batch_bucketed(
     prune_state_versions(state_dir, keep=retain_versions)
 
 
+def compact_state(
+    spark: SparkSession, state_dir: str, retain_versions: int = 1
+) -> int | None:
+    """Rewrite every live bucket into ONE fresh version — the
+    ``OPTIMIZE TABLE ... FINAL`` analog for the bucketed layout.
+
+    Copy-on-write leaves dead bucket copies behind: a version dir must
+    survive while ANY of its buckets is still referenced, so the stale
+    siblings it wrote alongside that bucket stay on disk too (worst
+    case ~2x state after every bucket of a full initial version has
+    been rewritten once elsewhere).  Compaction reads the current state
+    through the manifest, writes all buckets into a single new version
+    with a self-contained manifest, swaps ``_CURRENT``, and lets the
+    now-unreferenced old versions age out through the normal retention
+    prune.  Same crash discipline as the merge: the swap is the commit
+    point, a crash before it changes nothing.  No-op (returns None) on
+    empty or unbucketed state; otherwise returns the new version."""
+    prev = _current_version(state_dir)
+    manifest = _read_manifest(state_dir, prev)
+    if manifest is None:
+        return None
+    df = _read_buckets(
+        spark, state_dir, manifest, [int(b) for b in manifest["buckets"]]
+    )
+    if df is None:
+        return None
+    nxt = prev + 1
+    vdir = os.path.join(state_dir, f"v{nxt}")
+    df.write.mode("overwrite").partitionBy("bkt").parquet(vdir)
+    import json
+
+    with open(os.path.join(vdir, "_MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "n_buckets": manifest["n_buckets"],
+                "buckets": {b: nxt for b in manifest["buckets"]},
+            },
+            f,
+        )
+    tmp = _current_marker(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, _current_marker(state_dir))
+    prune_state_versions(state_dir, keep=retain_versions)
+    return nxt
+
+
 TOPIC_TABLE_RE = r"^postgres_cdc\.iman\.(.*)$"  # RegexRouter, setup.sh:119-126
 
 

@@ -322,6 +322,19 @@ def test_bucketed_state_copy_on_write(spark, tmp_path, users_schema):
             spark, one, users_schema, state_dir, KEYS, VERSION, False, n_buckets=4
         )
 
+    # compaction (OPTIMIZE FINAL analog): all live buckets rewrite into
+    # one self-contained version, the old scattered versions prune away
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        compact_state,
+    )
+
+    assert compact_state(spark, state_dir, retain_versions=1) == 2
+    versions = {d for d in os.listdir(state_dir) if re.fullmatch(r"v\d+", d)}
+    assert versions == {"v2"}, f"compaction left {versions}"
+    assert _state_map(read_state(spark, state_dir)) == golden
+    # unbucketed state: explicit no-op
+    assert compact_state(spark, str(tmp_path / "mstate")) is None
+
 
 def test_bucketed_schema_evolution_touched_only(spark, tmp_path, users_schema):
     """Evolution on the bucketed layout rewrites ONLY touched buckets
