@@ -8436,15 +8436,15 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM documents),
     g AS (
       SELECT DISTINCT source,
-             unnest(list_transform(generate_series(1, len(t) - 7),
+             md5(unnest(list_transform(generate_series(1, len(t) - 7),
                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
                          t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
-                         t[i+6] || ' ' || t[i+7])) AS gram
+                         t[i+6] || ' ' || t[i+7]))) AS g
       FROM toks WHERE len(t) >= 8
     )
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
-    FROM g a JOIN g b USING (gram)
+    FROM g a JOIN g b USING (g)
     WHERE a.source < b.source
     GROUP BY a.source, b.source
     """,
@@ -8455,26 +8455,47 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination-audit companion to q_decontaminate (which gates a
     designated eval set; this audits every pair symmetrically).
 
-    100 TB plan: grams dedup to (source, gram) grain first; the
-    self-join runs at GRAM grain and each gram's fanout is bounded
-    by the number of sources (single digits), so pair expansion is
-    linear in distinct grams.  At cluster scale the gram strings
-    shuffle as md5 digests instead (q_dup_ranges pattern) — same
-    join, 32-byte keys."""
-    d = load_table(spark, sf_dir, "documents")
-    g = d.select(
-        "source", F.explode(shingles(F.col("text"), k=8)).alias("gram")
-    ).distinct()
+    100 TB plan: grams digest to md5 at the EXPLODE (the q_dup_ranges
+    pattern — ~50-char span strings never shuffle, 32-hex keys do) and
+    dedup to (source, digest) grain in the spilled ``source_grams``
+    table, which both join sides read — without the spill Spark
+    recomputes the explode+distinct per side.  The self-join runs at
+    digest grain and each digest's fanout is bounded by the number of
+    sources (single digits), so pair expansion is linear in distinct
+    grams.  The oracle digests identically, so any md5 collision
+    collapses the same gram pair in both engines — counts stay
+    value-exact."""
+    g = _source_gram_table(spark, sf_dir)
     a = g.alias("a")
     b = g.alias("b")
     return (
-        a.join(b, "gram")
+        a.join(b, "g")
         .filter(F.col("a.source") < F.col("b.source"))
         .groupBy(
             F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
         )
         .agg(F.count("*").cast("long").alias("n_shared_8grams"))
     )
+
+
+def _source_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, md5(8-gram)) table, parquet-spilled once per
+    session: the per-token explode + hash + distinct dominates the
+    leakage audit, and the self-join needs it on BOTH sides."""
+    from .analytics_queries import _materialize  # noqa: PLC0415
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return (
+            d.select("source", F.explode(shingles(F.col("text"), k=8)).alias("gram"))
+            .select("source", F.md5("gram").alias("g"))
+            .distinct()
+        )
+
+    return _materialize(spark, sf_dir, "source_grams", build)
+
+
+MATERIALIZATION_TRIGGERS["source_grams"] = _source_gram_table
 
 
 # --- wave 22 (round 3): partsupp-dependent TPC-H --------------------------
