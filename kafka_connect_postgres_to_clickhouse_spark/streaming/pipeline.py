@@ -361,9 +361,7 @@ def _merge_batch_bucketed(
             f"state has n_buckets={manifest['n_buckets']}, merge asked {n_buckets}; "
             "rebucketing requires a full rewrite"
         )
-    rows = rows.withColumn(
-        "bkt", F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
-    )
+    rows = rows.withColumn("bkt", _bucket_col(keys, n_buckets))
     touched = sorted(r.bkt for r in rows.select("bkt").distinct().collect())
     if not touched:
         return  # empty/corrupt-only batch: state and manifest stand
@@ -387,6 +385,62 @@ def _merge_batch_bucketed(
         f.write(str(nxt))
     os.replace(tmp, _current_marker(state_dir))
     prune_state_versions(state_dir, keep=retain_versions)
+
+
+def _bucket_col(keys: Sequence[str], n_buckets: int) -> F.Column:
+    """Engine-stable bucket id for a key tuple."""
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+    ).cast("int")
+
+
+def seed_state(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    state_dir: str,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    n_buckets: int | None = None,
+) -> None:
+    """``snapshot.mode=initial`` twin (reference setup.sh:92): publish
+    a consistent initial table snapshot as the FIRST state version so
+    the changelog stream starts from existing rows — Debezium reads the
+    whole table (op='r') before tailing the WAL; here the batch
+    snapshot (e.g. ``sources.jdbc.read_snapshot``) becomes v0 and the
+    stream's LWW merges land on top.  Snapshot rows get ``op='r'`` and
+    ``_seq=0`` when absent, so any changelog event (``_seq >= 1``)
+    with an equal-or-newer version tuple outranks them — the handoff
+    needs no coordination beyond per-key LWW (the q_snapshot_handoff
+    registry query proves exactly this algebra in batch).  Passing
+    ``n_buckets`` seeds the bucketed copy-on-write layout instead.
+    Refuses a non-empty state dir: seeding is bootstrap, not merge."""
+    if _current_version(state_dir) is not None:
+        raise ValueError(f"{state_dir} already holds state; refusing to seed")
+    rows = snapshot
+    if "op" not in rows.columns:
+        rows = rows.withColumn("op", F.lit("r"))
+    if "_seq" not in rows.columns:
+        rows = rows.withColumn("_seq", F.lit(0).cast("long"))
+    # a snapshot re-read under load may carry per-key duplicates
+    rows = lww_dedup(rows, keys, version_cols)
+    vdir = os.path.join(state_dir, "v0")
+    if n_buckets is not None:
+        rows = rows.withColumn("bkt", _bucket_col(keys, n_buckets))
+        rows.write.mode("overwrite").partitionBy("bkt").parquet(vdir)
+        buckets = sorted(r.bkt for r in rows.select("bkt").distinct().collect())
+        import json
+
+        with open(os.path.join(vdir, "_MANIFEST.json"), "w") as f:
+            json.dump(
+                {"n_buckets": n_buckets, "buckets": {str(b): 0 for b in buckets}}, f
+            )
+    else:
+        rows.write.mode("overwrite").parquet(vdir)
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _current_marker(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("0")
+    os.replace(tmp, _current_marker(state_dir))
 
 
 def compact_state(

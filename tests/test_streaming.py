@@ -336,6 +336,57 @@ def test_bucketed_state_copy_on_write(spark, tmp_path, users_schema):
     assert compact_state(spark, str(tmp_path / "mstate")) is None
 
 
+def test_snapshot_seed_then_stream_handoff(spark, tmp_path, users_schema):
+    """snapshot.mode=initial twin (setup.sh:92): an initial table
+    snapshot seeds state v0 (op='r', _seq=0), then the changelog stream
+    resumes from the post-snapshot position — the LWW handoff lands the
+    stream's newer versions on top of snapshot rows with no
+    coordination, in both the monolithic and bucketed layouts."""
+    import pytest as _pytest
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        seed_state,
+    )
+
+    # the snapshot: table contents after the three initial inserts
+    snap = (
+        reference_scenario_changelog(spark)
+        .filter(F.col("_seq") <= 3)
+        .select("user_id", "username", "account_type", "updated_at")
+    )
+    wire = _wire_rows(spark)
+    src = tmp_path / "wire"
+    src.mkdir()
+    # only the POST-snapshot changelog reaches the wire (seq 4-6)
+    _write_batch_file(src, "tail.json", [r for r in wire if r._seq >= 4])
+    golden = {
+        1: ("user1", "Bronze"),
+        2: ("user2", "Silver"),
+        3: ("user3", "Gold"),
+        999: ("updated_user", "Test"),
+    }
+
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    seed_state(spark, snap, state_dir, KEYS, VERSION)
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, state_dir, ckpt,
+        KEYS, VERSION,
+    )
+    assert _state_map(read_state(spark, state_dir)) == golden
+
+    bstate, bckpt = str(tmp_path / "bstate"), str(tmp_path / "bckpt")
+    seed_state(spark, snap, bstate, KEYS, VERSION, n_buckets=8)
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, bstate, bckpt,
+        KEYS, VERSION, n_buckets=8,
+    )
+    assert _state_map(read_state(spark, bstate)) == golden
+
+    # seeding over existing state must refuse, not silently overwrite
+    with _pytest.raises(ValueError, match="refusing to seed"):
+        seed_state(spark, snap, state_dir, KEYS, VERSION)
+
+
 def test_bucketed_schema_evolution_touched_only(spark, tmp_path, users_schema):
     """Evolution on the bucketed layout rewrites ONLY touched buckets
     with the widened schema; untouched buckets NULL-fill the new column
