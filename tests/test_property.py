@@ -196,6 +196,90 @@ def test_lww_fold_is_order_and_partition_invariant(spark_session, rows, seed):
     assert fold(shuffled, 7) == expected
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    _events,
+    st.lists(st.integers(min_value=1, max_value=29), max_size=2),
+    st.sampled_from([1, 2, 8]),
+)
+def test_bucketed_fold_matches_monolithic_and_reference(
+    spark_session, rows, cuts, n_buckets
+):
+    """The bucketed copy-on-write merge must produce the SAME state as
+    the monolithic merge and the pure-Python reference on ARBITRARY
+    changelogs and micro-batch splits — stressing manifest bookkeeping
+    under touch patterns the example tests can't enumerate (same bucket
+    rewritten every batch, all buckets at n_buckets=1, key storms), and
+    compact_state must be a read-level no-op on the result."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.envelope import (
+        build_envelope_json,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        _merge_batch,
+        _merge_batch_bucketed,
+        compact_state,
+        read_state,
+    )
+
+    spark = spark_session
+    if not rows:
+        return
+    payload_schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("tag", T.IntegerType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    )
+    data = [(seq, op, key, tag, ts) for seq, (key, op, ts, tag) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "_seq long, op string, user_id int, tag int, ts_i long"
+    ).select(
+        "_seq", "op", "user_id", "tag",
+        F.timestamp_seconds(F.col("ts_i")).alias("updated_at"),
+    )
+    wire = df.select(
+        "_seq", "op", build_envelope_json(payload_schema, "t.Value").alias("value")
+    )
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    edges = [0, *bounds, len(rows)]
+    keys, version = ["user_id"], ["updated_at", "_seq"]
+    root = tempfile.mkdtemp(prefix="kcptc_prop_")
+    mono, bucketed = f"{root}/mono", f"{root}/bkt"
+    for lo, hi in zip(edges, edges[1:]):
+        if lo == hi:
+            continue
+        seg = wire.filter((F.col("_seq") >= lo) & (F.col("_seq") < hi))
+        _merge_batch(spark, seg, payload_schema, mono, keys, version, False)
+        _merge_batch_bucketed(
+            spark, seg, payload_schema, bucketed, keys, version, False, n_buckets
+        )
+
+    def state_map(state_dir):
+        df = read_state(spark, state_dir)
+        if df is None:
+            return {}
+        return {
+            r.user_id: (int(r.updated_at.timestamp()), r._seq, r.tag)
+            for r in df.collect()
+        }
+
+    expected = _reference_lww(rows)
+    assert state_map(mono) == expected
+    assert state_map(bucketed) == expected
+    compact_state(spark, bucketed)
+    assert state_map(bucketed) == expected
+
+
 _payloads = st.lists(
     st.tuples(
         st.integers(min_value=-(2**31), max_value=2**31 - 1),  # user_id
