@@ -132,9 +132,12 @@ def read_state(
     if manifest is None:
         df = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
     else:
-        df = _read_buckets(
+        bucketed = _read_buckets(
             spark, state_dir, manifest, [int(b) for b in manifest["buckets"]]
-        ).drop("bkt")
+        )
+        if bucketed is None:  # seeded from an empty snapshot: no buckets yet
+            return None
+        df = bucketed.drop("bkt")
     if not include_tombstones and "op" in df.columns:
         df = df.filter((F.col("op") != "d") | F.col("op").isNull())
     return df

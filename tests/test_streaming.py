@@ -386,6 +386,17 @@ def test_snapshot_seed_then_stream_handoff(spark, tmp_path, users_schema):
     with _pytest.raises(ValueError, match="refusing to seed"):
         seed_state(spark, snap, state_dir, KEYS, VERSION)
 
+    # an EMPTY snapshot seeds a valid bucketed state (no buckets yet):
+    # read_state reports no state, and the stream still folds on top
+    estate, eckpt = str(tmp_path / "estate"), str(tmp_path / "eckpt")
+    seed_state(spark, snap.limit(0), estate, KEYS, VERSION, n_buckets=8)
+    assert read_state(spark, estate) is None
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, estate, eckpt,
+        KEYS, VERSION, n_buckets=8,
+    )
+    assert _state_map(read_state(spark, estate)) == {999: ("updated_user", "Test")}
+
 
 def test_bucketed_schema_evolution_touched_only(spark, tmp_path, users_schema):
     """Evolution on the bucketed layout rewrites ONLY touched buckets
