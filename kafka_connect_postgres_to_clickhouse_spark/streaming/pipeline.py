@@ -769,6 +769,7 @@ def bootstrap_pipeline(
     version_cols: Sequence[str],
     schema: str = "iman",
     apply_deletes: bool = False,
+    n_buckets: int | None = None,
 ) -> dict[str, T.StructType]:
     """The reference's entry point A (setup.sh bootstrap) end-to-end:
     catalog discovery -> per-table Spark schemas -> keyed multi-table
@@ -807,7 +808,8 @@ def bootstrap_pipeline(
         id_cols = [r.column_name for r in tcols if r.column_name.endswith("_id")]
         keys[t] = [id_cols[0] if id_cols else tcols[0].column_name]
     run_multi_table_pipeline(
-        stream, schemas, keys, state_root, checkpoint_dir, version_cols, apply_deletes
+        stream, schemas, keys, state_root, checkpoint_dir, version_cols,
+        apply_deletes, n_buckets=n_buckets,
     )
     return schemas
 
