@@ -39,7 +39,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in load_all_queries().items()}
+    """Registry callables, each pinning the session conf first.
+
+    The driver owns its SparkSession; ``tune`` re-asserts the three
+    runtime-settable confs correctness rides on (UTC session timezone,
+    AQE, parquet nanos handling) on EVERY call — ``load_table`` already
+    sets them whenever a fixture carries timestamp columns, this closes
+    the remaining gap for queries that derive timestamps from integers
+    without loading a timestamp-bearing table."""
+
+    def pinned(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: pinned(spec.fn) for name, spec in load_all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
