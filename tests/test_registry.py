@@ -226,6 +226,38 @@ def test_cross_engine_result_dtypes_aligned(spark):
     )
 
 
+def test_queries_pin_conf_on_hostile_session(spark):
+    """The driver owns its SparkSession; __spark_entry__.queries() must
+    re-pin the runtime conf correctness rides on.  Simulate the hostile
+    case: flip the session timezone away from UTC, run a
+    timestamp-deriving query through the WRAPPED callable, and require
+    the conf pinned back and the result value-equal to its DuckDB
+    oracle (an unwrapped run under a non-UTC session would shift every
+    derived wall-clock value)."""
+    import duckdb
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entry
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        qs, osql = entry.queries(), entry.oracle_sql()
+        sp = qs["q_win_tumbling"](spark, SF_DIR).toPandas()
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+        )
+        du = con.sql(osql["q_win_tumbling"]).df()
+        sp = sp.sort_values(list(sp.columns)).reset_index(drop=True)
+        du = du.sort_values(list(du.columns)).reset_index(drop=True)
+        assert sp.shape == du.shape
+        assert (sp.astype(str).values == du.astype(str).values).all()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+
+
 def test_no_cartesian_products_in_any_plan(spark):
     """No registry query may plan a CartesianProduct: the only legal
     cross joins are 1-row/bounded broadcast sides (BroadcastNestedLoop)
