@@ -93,7 +93,7 @@ def spark_session(spark):
 
 
 @settings(
-    max_examples=15,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -155,7 +155,7 @@ def test_microbatch_fold_matches_one_shot(spark_session, rows, cuts, redeliver):
 
 
 @settings(
-    max_examples=15,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -197,7 +197,7 @@ def test_lww_fold_is_order_and_partition_invariant(spark_session, rows, seed):
 
 
 @settings(
-    max_examples=8,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
