@@ -364,18 +364,27 @@ def _merge_batch_bucketed(
             f"state has n_buckets={manifest['n_buckets']}, merge asked {n_buckets}; "
             "rebucketing requires a full rewrite"
         )
-    rows = rows.withColumn("bkt", _bucket_col(keys, n_buckets))
-    touched = sorted(r.bkt for r in rows.select("bkt").distinct().collect())
-    if not touched:
-        return  # empty/corrupt-only batch: state and manifest stand
-    if manifest is not None:
-        existing = _read_buckets(spark, state_dir, manifest, touched)
-        if existing is not None:
-            rows = existing.unionByName(rows, allowMissingColumns=True)
-    merged = lww_dedup(rows, keys, version_cols)
-    nxt = 0 if prev is None else prev + 1
-    vdir = os.path.join(state_dir, f"v{nxt}")
-    merged.write.mode("overwrite").partitionBy("bkt").parquet(vdir)
+    # persisted because TWO jobs consume the parsed batch: the touched-
+    # bucket collect below and the merge write — without it the
+    # envelope parse runs twice per micro-batch
+    batch_rows = rows.withColumn("bkt", _bucket_col(keys, n_buckets)).persist()
+    try:
+        touched = sorted(r.bkt for r in batch_rows.select("bkt").distinct().collect())
+        if not touched:
+            return  # empty/corrupt-only batch: state and manifest stand
+        merge_input = batch_rows
+        if manifest is not None:
+            existing = _read_buckets(spark, state_dir, manifest, touched)
+            if existing is not None:
+                merge_input = existing.unionByName(
+                    batch_rows, allowMissingColumns=True
+                )
+        merged = lww_dedup(merge_input, keys, version_cols)
+        nxt = 0 if prev is None else prev + 1
+        vdir = os.path.join(state_dir, f"v{nxt}")
+        merged.write.mode("overwrite").partitionBy("bkt").parquet(vdir)
+    finally:
+        batch_rows.unpersist()
     new_buckets = dict(manifest["buckets"]) if manifest is not None else {}
     new_buckets.update({str(b): nxt for b in touched})
     import json
@@ -430,7 +439,13 @@ def seed_state(
     if n_buckets is not None:
         rows = rows.withColumn("bkt", _bucket_col(keys, n_buckets))
         rows.write.mode("overwrite").partitionBy("bkt").parquet(vdir)
-        buckets = sorted(r.bkt for r in rows.select("bkt").distinct().collect())
+        # the written partition dirs ARE the bucket list — a local
+        # listing instead of recomputing the snapshot for a collect
+        buckets = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vdir)
+            if d.startswith("bkt=")
+        )
         import json
 
         with open(os.path.join(vdir, "_MANIFEST.json"), "w") as f:
