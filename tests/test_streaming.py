@@ -398,6 +398,40 @@ def test_snapshot_seed_then_stream_handoff(spark, tmp_path, users_schema):
     assert _state_map(read_state(spark, estate)) == {999: ("updated_user", "Test")}
 
 
+def test_bucketed_read_prunes_to_requested_buckets(spark, tmp_path, users_schema):
+    """The manifest read is the partition pruning the layout exists
+    for: asking for ONE bucket must scan files under that bucket's
+    directories only — across versions — never the rest of the state."""
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        _current_version,
+        _read_buckets,
+        _read_manifest,
+    )
+
+    wire = _wire_rows(spark)
+    src = tmp_path / "wire"
+    src.mkdir()
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _write_batch_file(src, "batch_a.json", [r for r in wire if r._seq <= 3])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, state_dir, ckpt,
+        KEYS, VERSION, n_buckets=8,
+    )
+    _write_batch_file(src, "batch_b.json", [r for r in wire if r._seq >= 4])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, state_dir, ckpt,
+        KEYS, VERSION, n_buckets=8,
+    )
+    manifest = _read_manifest(state_dir, _current_version(state_dir))
+    for b in (int(x) for x in manifest["buckets"]):
+        df = _read_buckets(spark, state_dir, manifest, [b])
+        files = df.inputFiles()
+        assert files, f"bucket {b} produced no input files"
+        assert all(f"bkt={b}" in f for f in files), (
+            f"bucket {b} read leaked outside its directories: {files}"
+        )
+
+
 def test_bucketed_schema_evolution_touched_only(spark, tmp_path, users_schema):
     """Evolution on the bucketed layout rewrites ONLY touched buckets
     with the widened schema; untouched buckets NULL-fill the new column
