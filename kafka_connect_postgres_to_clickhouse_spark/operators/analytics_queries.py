@@ -50,13 +50,20 @@ MATERIALIZATION_TRIGGERS: dict = {}
 
 
 def _materialize_root() -> str:
-    """Spill directory for materialized intermediates: the repo's
-    spark-warehouse (gitignored).  On a cluster this would be a shared
-    filesystem / object-store temp-table prefix instead."""
-    import os
+    """Spill directory for materialized intermediates.
 
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(here, "spark-warehouse", "_materialized")
+    ``SPARK_GRAFT_MATERIALIZE_DIR`` wins when set (on a cluster this is
+    the shared-filesystem / object-store temp-table prefix every
+    executor can reach); the default is a per-user tmp directory —
+    never anywhere under the installed package or source tree, which
+    must stay read-only at runtime."""
+    import os
+    import tempfile
+
+    env = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+    if env:
+        return env
+    return os.path.join(tempfile.gettempdir(), "spark_graft_materialized")
 
 
 def _materialize(spark, sf_dir: str, name: str, build) -> DataFrame:
@@ -1127,15 +1134,16 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def first_unit(emb: pd.Series) -> pd.Series:
-        def one(v) -> float:
-            x = np.asarray(v, dtype=np.float64)
-            # round half away from zero (floor(v+0.5) — all v >= 0
-            # here), matching Spark/DuckDB round(); np.rint rounds
-            # half to even and diverges on exact .5 boundaries
-            n2 = np.floor((x * x) * 1e9 + 0.5).astype(np.int64).sum()
-            return float(x[0] / np.sqrt(n2 / 1e9))
-
-        return emb.map(one)
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        # one (batch, dim) matrix per Arrow batch: embeddings are
+        # fixed-dim, so the whole batch vectorizes — no per-element loop
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        # round half away from zero (floor(v+0.5) — all v >= 0 here),
+        # matching Spark/DuckDB round(); np.rint rounds half to even
+        # and diverges on exact .5 boundaries
+        n2 = np.floor((m * m) * 1e9 + 0.5).astype(np.int64).sum(axis=1)
+        return pd.Series(m[:, 0] / np.sqrt(n2 / 1e9))
 
     e = load_table(spark, sf_dir, "embeddings")
     return e.select("vec_id", first_unit(F.col("embedding")).alias("first_unit"))

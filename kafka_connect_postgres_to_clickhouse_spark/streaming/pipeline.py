@@ -96,10 +96,18 @@ def prune_state_versions(state_dir: str, keep: int = 3) -> list[int]:
     if cur is None or keep < 1:
         return []
     # bucketed states reference buckets ACROSS versions (copy-on-write):
-    # any version the current manifest points into is live regardless of
-    # age — deleting it would tear holes in the current snapshot
-    manifest = _read_manifest(state_dir, cur)
-    live = set(manifest["buckets"].values()) if manifest else set()
+    # a version any RETAINED manifest points into is live regardless of
+    # age — deleting it would tear holes in that snapshot.  The keep
+    # window exists for readers that resolved _CURRENT just before the
+    # swap, so the live set must union the manifests of every retained
+    # version (cur-keep, cur], not just the current one: a bucket
+    # untouched since v0 but rewritten by the newest batch drops out of
+    # the current manifest while cur-1's manifest still needs v0.
+    live: set[int] = set()
+    for v in range(max(0, cur - keep + 1), cur + 1):
+        manifest = _read_manifest(state_dir, v)
+        if manifest:
+            live.update(manifest["buckets"].values())
     removed = []
     try:
         names = os.listdir(state_dir)
@@ -110,8 +118,11 @@ def prune_state_versions(state_dir: str, keep: int = 3) -> list[int]:
             continue
         v = int(name[1:])
         if v <= cur - keep and v not in live:
-            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
-            removed.append(v)
+            path = os.path.join(state_dir, name)
+            shutil.rmtree(path, ignore_errors=True)
+            # a failed/partial rmtree must not be reported as removed
+            if not os.path.exists(path):
+                removed.append(v)
     return sorted(removed)
 
 

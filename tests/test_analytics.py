@@ -160,6 +160,50 @@ def test_materialized_intermediates_spill_to_parquet(spark, queries):
     assert _materialize_root() in plan or "_materialized" in plan
 
 
+def test_materialize_root_outside_package_tree(spark, monkeypatch, tmp_path):
+    """The spill directory must never live under the installed package
+    or source tree (read-only installs, packaging hygiene): the default
+    is a tmp path, SPARK_GRAFT_MATERIALIZE_DIR overrides it, and a real
+    spill through the override leaves the package directory untouched."""
+    import os
+
+    import kafka_connect_postgres_to_clickhouse_spark as pkg
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
+        _MATERIALIZED,
+        MATERIALIZATION_TRIGGERS,
+        _materialize_root,
+    )
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    repo_dir = os.path.dirname(pkg_dir)
+
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE_DIR", raising=False)
+    default_root = os.path.abspath(_materialize_root())
+    assert not default_root.startswith(pkg_dir + os.sep)
+    assert not default_root.startswith(os.path.join(repo_dir, "kafka_connect"))
+
+    override = str(tmp_path / "spill")
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", override)
+    assert _materialize_root() == override
+
+    def tree(d):
+        return {
+            os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs
+        }
+
+    before = tree(pkg_dir)
+    saved = dict(_MATERIALIZED)
+    _MATERIALIZED.clear()
+    try:
+        MATERIALIZATION_TRIGGERS["emb_norms"](spark, SF).count()
+        spilled = tree(override)
+        assert any(f.endswith(".parquet") for f in spilled), spilled
+    finally:
+        _MATERIALIZED.clear()
+        _MATERIALIZED.update(saved)
+    assert tree(pkg_dir) == before, "materialize wrote under the package tree"
+
+
 def test_pair_graph_broadcast_config_flip(spark, queries):
     """spark.kcptc.broadcastPairGraph=false must flip the pair-graph
     joins to shuffle joins without changing results — the documented

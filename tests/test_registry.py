@@ -98,7 +98,6 @@ def test_oracle_result_types_hash_safe():
     normalizes dtypes.  Plan-only (relation.types) — no execution."""
     import duckdb
 
-    sys.path.insert(0, ROOT)
     from tools.check_oracle import TABLES
 
     con = duckdb.connect()
@@ -181,7 +180,6 @@ def test_cross_engine_result_dtypes_aligned(spark):
     proven safe by every green timestamp key since round 1."""
     import duckdb
 
-    sys.path.insert(0, ROOT)
     from tools.check_oracle import TABLES
 
     compatible = {
@@ -236,7 +234,6 @@ def test_queries_pin_conf_on_hostile_session(spark):
     derived wall-clock value)."""
     import duckdb
 
-    sys.path.insert(0, ROOT)
     import __spark_entry__ as entry
 
     original = spark.conf.get("spark.sql.session.timeZone")

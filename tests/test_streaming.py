@@ -229,6 +229,54 @@ def test_state_version_retention_bounded(spark, tmp_path, users_schema):
     assert read_state(spark, state_dir).count() == 4
 
 
+def test_prune_keeps_buckets_live_in_retained_manifests(tmp_path):
+    """Retention race regression: the live-bucket set must union the
+    manifests of EVERY retained version, not just the current one.  A
+    bucket untouched since v0 that the newest batch rewrites drops out
+    of the current manifest, but cur-1's manifest still points into v0
+    — the reader the keep window exists for (resolved _CURRENT just
+    before the swap) would lose that bucket mid-scan if v0 pruned."""
+    import json
+    import os
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        prune_state_versions,
+    )
+
+    state = tmp_path / "state"
+    # v0 wrote buckets 0,1; v1 rewrote bucket 1; v2 rewrote bucket 0.
+    manifests = {
+        0: {"0": 0, "1": 0},
+        1: {"0": 0, "1": 1},
+        2: {"0": 2, "1": 1},
+    }
+    for v, buckets in manifests.items():
+        d = state / f"v{v}"
+        d.mkdir(parents=True)
+        (d / "_MANIFEST.json").write_text(
+            json.dumps({"n_buckets": 8, "buckets": buckets})
+        )
+    (state / "_CURRENT").write_text("2")
+
+    # keep=2 retains v1,v2; v1's manifest still maps bucket 0 -> v0, so
+    # v0 must survive even though the CURRENT manifest dropped it
+    assert prune_state_versions(str(state), keep=2) == []
+    assert (state / "v0").exists()
+
+    # once v3 rewrites bucket 1, the retained window (v2,v3) references
+    # only v1..v3: v0 finally prunes, v1 stays live via v2's manifest
+    d = state / "v3"
+    d.mkdir()
+    (d / "_MANIFEST.json").write_text(
+        json.dumps({"n_buckets": 8, "buckets": {"0": 2, "1": 3}})
+    )
+    (state / "_CURRENT").write_text("3")
+    assert prune_state_versions(str(state), keep=2) == [0]
+    assert not (state / "v0").exists()
+    assert (state / "v1").exists()
+    assert sorted(os.listdir(state)) == ["_CURRENT", "v1", "v2", "v3"]
+
+
 def _wire_rows(spark):
     log = reference_scenario_changelog(spark)
     payload = log.select("user_id", "username", "account_type", "updated_at")
