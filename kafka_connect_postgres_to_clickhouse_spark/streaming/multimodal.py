@@ -1,11 +1,22 @@
 """Multimodal column processing: opaque binary payloads + typed
 metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The image/audio libraries are not in this container, so the actual
-decode is STUBBED: ``backend="fake"`` produces deterministic features
-from the raw bytes (so the Spark-side plumbing — schema, batching,
-partitioning — is fully real and tested), and any other backend raises
-NotImplementedError at the exact point a PIL/ffmpeg call would go.
+Decode backends, selected per call:
+
+- ``"wav"`` — REAL audio decode: RIFF/PCM WAV via the stdlib ``wave``
+  module + numpy (8/16/32-bit PCM, any channel count, downmixed to
+  mono).  Feature = FEATURE_DIM-bin RMS energy envelope.
+- ``"bmp"`` — REAL image decode: uncompressed 24/32-bit BI_RGB BMP
+  parsed with ``struct`` + numpy (bottom-up and top-down rows, 4-byte
+  row padding).  Feature = FEATURE_DIM-bin luminance histogram;
+  ``resize_images`` does true nearest-neighbor pixel resampling and
+  re-encodes a valid BMP.
+- ``"fake"`` — deterministic byte-domain stand-in (raw-byte histogram)
+  for media types whose codecs aren't in this container (JPEG, MP3,
+  MP4, ...).  The Spark-side plumbing is identical for all backends.
+- anything else (``"pil"``, ``"ffmpeg"``) — NotImplementedError at the
+  exact point the library call would go: the pluggable seam for real
+  codec libs.
 
 Scale notes: payload bytes never shuffle — mapInPandas is a narrow
 transformation; metadata-only predicates prune files before any
@@ -15,12 +26,102 @@ Python once, zero-copy.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# real pure-Python codecs (stdlib + numpy only)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/PCM WAV bytes -> (mono float64 samples in [-1, 1], rate).
+
+    Stdlib ``wave`` handles the RIFF chunk walk; numpy reinterprets the
+    PCM frames.  8-bit PCM is unsigned per the WAV spec; 16/32-bit are
+    signed little-endian.  Multi-channel audio downmixes by mean."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sampwidth == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sampwidth}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono float samples in [-1, 1] -> 16-bit PCM WAV bytes."""
+    import io
+    import wave
+
+    pcm = np.round(
+        np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0) * 32767.0
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP bytes -> (h, w, 3) uint8 RGB.
+
+    Hand-parsed headers (``struct``): BITMAPFILEHEADER gives the pixel
+    array offset, BITMAPINFOHEADER gives dims/bpp; rows are 4-byte
+    padded, bottom-up unless height is negative, channels stored BGR."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    header_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, 2::-1].copy()  # BGR(A) -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BI_RGB BMP bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = body.tobytes()
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -46,21 +147,52 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return (hist / hist.sum()).astype(np.float32)
 
 
+def _wav_features(payload: bytes) -> np.ndarray:
+    """REAL audio decode -> FEATURE_DIM-bin RMS energy envelope."""
+    samples, _rate = decode_wav(payload)
+    if samples.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    bins = np.array_split(samples, FEATURE_DIM)
+    return np.array(
+        [np.sqrt(np.mean(b * b)) if b.size else 0.0 for b in bins], dtype=np.float32
+    )
+
+
+def _bmp_features(payload: bytes) -> np.ndarray:
+    """REAL image decode -> FEATURE_DIM-bin luminance histogram (L1)."""
+    px = decode_bmp(payload).astype(np.float64)
+    # ITU-R BT.601 luma
+    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).ravel()
+    hist = np.bincount(
+        (luma // (256 // FEATURE_DIM)).astype(np.int64).clip(0, FEATURE_DIM - 1),
+        minlength=FEATURE_DIM,
+    ).astype(np.float64)
+    return (hist / max(hist.sum(), 1.0)).astype(np.float32)
+
+
+_FEATURE_BACKENDS = {"fake": _fake_decode, "wav": _wav_features, "bmp": _bmp_features}
+
+
 def extract_features(df: DataFrame, backend: str = "fake") -> DataFrame:
     """payload binary -> fixed-dim feature vector, Arrow-batched.
 
     Input columns: doc_id, media_type, payload (binary).
+    ``backend``: "wav" and "bmp" decode real bytes (see module
+    docstring); "fake" hashes raw bytes for codec-less media types.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _FEATURE_BACKENDS.get(backend)
         for pdf in batches:
-            if backend != "fake":
-                # Real decode would go here (PIL.Image.open / soundfile /
-                # av frame sampling); libs absent in this environment.
+            if decode is None:
+                # The pluggable seam: PIL.Image.open / soundfile / av
+                # frame sampling would go here; libs absent in this
+                # environment.
                 raise NotImplementedError(
-                    f"decode backend {backend!r} not available; use 'fake'"
+                    f"decode backend {backend!r} not available; "
+                    f"use one of {sorted(_FEATURE_BACKENDS)}"
                 )
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -89,23 +221,34 @@ def resize_images(
     """Image resize over opaque binary payloads, Arrow-batched.
 
     Input columns: doc_id, media_type, width, height, payload.
-    ``backend="fake"`` performs a deterministic byte-domain
+    ``backend="bmp"`` is a REAL image resize: decode the BMP, true
+    nearest-neighbor pixel resampling to (out_w, out_h), re-encode a
+    valid BMP.  ``backend="fake"`` performs a deterministic byte-domain
     "resample" — nearest-neighbor index selection over the raw bytes
-    to out_w*out_h length — so the plumbing (schema, batch shape, the
-    per-row transform boundary) is real; a real backend (PIL/cv2)
-    would decode, resample pixels, and re-encode at the marked point.
+    to out_w*out_h length — for payloads whose codec isn't available;
+    a PIL/cv2 backend would plug in at the marked point.
     Narrow transformation: payloads never shuffle.
     """
+
+    def _bmp_resize(p: bytes) -> bytes:
+        px = decode_bmp(p)
+        h, w = px.shape[:2]
+        yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+        xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+        return encode_bmp(px[yi][:, xi])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = out_w * out_h
         for pdf in batches:
-            if backend != "fake":
+            if backend not in ("fake", "bmp"):
                 raise NotImplementedError(
-                    f"resize backend {backend!r} not available; use 'fake'"
+                    f"resize backend {backend!r} not available; use 'fake' or 'bmp'"
                 )
             out = []
             for p in pdf["payload"]:
+                if backend == "bmp":
+                    out.append(_bmp_resize(p))
+                    continue
                 arr = np.frombuffer(p, dtype=np.uint8)
                 if len(arr) == 0:
                     out.append(b"\x00" * n_out)

@@ -625,6 +625,100 @@ def test_multimodal_feature_plumbing(spark):
         extract_features(docs, backend="pil").collect()
 
 
+def test_multimodal_real_wav_decode(spark):
+    """REAL audio decode end-to-end: 16-bit PCM WAV bytes built with the
+    stdlib encoder flow through the SAME mapInPandas path as the stubs
+    and come out as the RMS envelope of the actual samples — no
+    NotImplementedError anywhere on the wav path."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        FEATURE_DIM,
+        decode_wav,
+        encode_wav,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(7)
+    clips = {
+        # silence | half-scale noise | loud-then-quiet step
+        1: np.zeros(1600),
+        2: rng.uniform(-0.5, 0.5, 1600),
+        3: np.concatenate([np.full(800, 0.9), np.full(800, 0.05)]),
+    }
+    payloads = {i: encode_wav(x, rate=16000) for i, x in enumerate(clips.values(), 1)}
+
+    # codec roundtrip: decode(encode(x)) == x up to 16-bit quantization
+    for i, x in zip(payloads, clips.values()):
+        back, rate = decode_wav(payloads[i])
+        assert rate == 16000 and len(back) == len(x)
+        assert np.abs(back - np.clip(x, -1, 1)).max() < 2.0 / 32768
+
+    df = spark.createDataFrame(
+        [(i, "audio", bytearray(p)) for i, p in payloads.items()],
+        "doc_id long, media_type string, payload binary",
+    )
+    feats = {r.doc_id: list(r.feature) for r in extract_features(df, backend="wav").collect()}
+    assert all(len(f) == FEATURE_DIM for f in feats.values())
+    assert max(feats[1]) < 1e-6  # silence has no energy
+    assert all(0.2 < v < 0.4 for v in feats[2])  # uniform(-.5,.5) RMS ~ 0.29
+    # step clip: loud first half, quiet second half
+    assert all(v > 0.8 for v in feats[3][: FEATURE_DIM // 2])
+    assert all(v < 0.1 for v in feats[3][FEATURE_DIM // 2 :])
+
+
+def test_multimodal_real_bmp_decode_and_resize(spark):
+    """REAL image decode end-to-end: hand-encoded 24-bit BMPs decode to
+    the exact pixel matrix, the luminance-histogram feature matches a
+    numpy recomputation, and resize_images(backend='bmp') performs a
+    true nearest-neighbor pixel resize whose output is itself a
+    decodable BMP."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        FEATURE_DIM,
+        decode_bmp,
+        encode_bmp,
+        extract_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    # odd width exercises the 4-byte row padding
+    images = {1: rng.integers(0, 256, (16, 13, 3), dtype=np.uint8),
+              2: np.full((8, 8, 3), 255, dtype=np.uint8)}
+    payloads = {i: encode_bmp(px) for i, px in images.items()}
+
+    for i, px in images.items():
+        assert np.array_equal(decode_bmp(payloads[i]), px)
+
+    df = spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in payloads.items()],
+        "doc_id long, media_type string, payload binary",
+    )
+    feats = {r.doc_id: np.array(r.feature) for r in extract_features(df, backend="bmp").collect()}
+    # white image: all luma in the top bin
+    assert feats[2][-1] == pytest.approx(1.0)
+    # random image: matches the numpy-side histogram
+    px = images[1].astype(np.float64)
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    hist = np.bincount(
+        (luma.ravel() // (256 // FEATURE_DIM)).astype(int).clip(0, FEATURE_DIM - 1),
+        minlength=FEATURE_DIM,
+    )
+    assert feats[1] == pytest.approx(hist / hist.sum(), abs=1e-6)
+
+    meta = df.withColumn("width", F.lit(0)).withColumn("height", F.lit(0))
+    resized = {r.doc_id: r for r in resize_images(meta, out_w=4, out_h=4, backend="bmp").collect()}
+    for i, px0 in images.items():
+        out = decode_bmp(bytes(resized[i].payload))
+        assert out.shape == (4, 4, 3)
+        h, w = px0.shape[:2]
+        yi = (np.arange(4) * h // 4).clip(0, h - 1)
+        xi = (np.arange(4) * w // 4).clip(0, w - 1)
+        assert np.array_equal(out, px0[yi][:, xi])
+
+
 def test_sessionized_stream_custom_state(spark, tmp_path):
     """applyInPandasWithState sessionizer: in-batch gap split + event-time
     timeout close, verified against the batch gaps-and-islands answer."""
