@@ -4365,11 +4365,15 @@ def _dup_window_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = c.select("doc_id", shingles(F.col("text"), 8).alias("sh8")).filter(
             F.size("sh8") > 0
         )
+        # xxhash64 long digest, not an md5 string: h is only ever
+        # compared for equality (cross-doc window match), and the
+        # 8-byte key quarters the spill + the partition-by-h shuffle
+        # vs a 32-char hex string
         return t.select("doc_id", F.posexplode("sh8").alias("p0", "sh")).select(
             "doc_id",
             (F.col("p0") + 1).alias("i"),
             (F.col("p0") + 8).alias("endpos"),
-            F.md5("sh").alias("h"),
+            F.xxhash64("sh").alias("h"),
         )
 
     return _materialize(spark, sf_dir, "dup_windows", build)
@@ -8479,16 +8483,18 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _source_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (source, md5(8-gram)) table, parquet-spilled once per
-    session: the per-token explode + hash + distinct dominates the
+    """Distinct (source, xxhash64(8-gram)) table, parquet-spilled once
+    per session: the per-token explode + hash + distinct dominates the
     leakage audit, and the self-join needs it on BOTH sides."""
     from .analytics_queries import _materialize  # noqa: PLC0415
 
     def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
+        # 8-byte xxhash64 digest: g is only joined for equality, so the
+        # long key shrinks the distinct shuffle + spill 4x vs md5 hex
         return (
             d.select("source", F.explode(shingles(F.col("text"), k=8)).alias("gram"))
-            .select("source", F.md5("gram").alias("g"))
+            .select("source", F.xxhash64("gram").alias("g"))
             .distinct()
         )
 
