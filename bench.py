@@ -82,11 +82,36 @@ def main() -> None:
         # blocks before the next query instead of accumulating over 96
         gc.collect()
     total = round(sum(times.values()), 4)
+
+    # Stability pass: the slowest lines get two extra timed runs so a
+    # verdict can separate real regressions from shared-host noise
+    # (observed ±0.5 s swings on identical code round-over-round).
+    # Materialize lines evict their own memo+respill each run so the
+    # BUILD is what repeats; consumer queries repeat warm, matching how
+    # the main loop bills them.
+    stability: dict[str, dict] = {}
+    for name in [n for n, _ in sorted(times.items(), key=lambda kv: -kv[1])[:10]]:
+        runs = [times[name]]
+        for _ in range(2):
+            if name.startswith("_materialize:"):
+                mname = name.split(":", 1)[1]
+                for k in list(_MATERIALIZED):
+                    if k[1] == sf_dir and k[2] == mname:
+                        del _MATERIALIZED[k]
+            runs.append(round(run_once(name), 4))
+            gc.collect()
+        mean = sum(runs) / len(runs)
+        sd = (sum((x - mean) ** 2 for x in runs) / (len(runs) - 1)) ** 0.5
+        stability[name] = {
+            "runs": runs, "mean": round(mean, 4), "sd": round(sd, 4),
+        }
+
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "stability": stability,
         "sf": sf,
     }
     # The driver keeps only the TAIL (~2000 chars) of stdout, so the

@@ -1376,21 +1376,53 @@ def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_materialize:ivf_assign`, and q_simsearch_ivf (the query path)
     pays only probe selection + nprobe-pruned exact re-ranking.
 
-    Nearest-centroid assignment is an argmax, not a ranking: max_by
-    over struct(cs, -cent_id) (desc score, asc id tie-break) folds the
-    scoring pass into ONE partial aggregate — map-side combine, no
-    window sort."""
+    The scoring pass is a mapInPandas over the vector table with the
+    coarse codebook as a closure constant — the centroid set is the
+    index's codebook (fixed k in production; every-50th vector in this
+    fixture), i.e. exactly the rows the previous plan broadcast, so
+    collecting it once at build time is the same bounded transfer.
+    Each Arrow batch computes all B x C scaled-integer dots as numpy
+    matrix ops and emits the argmax directly: no B x C intermediate
+    rows, no shuffle, one narrow pass.
+
+    Exactness: per-element round(x*y*1e9) BIGINTs sum order-
+    independently (functions/vectors.py discipline), so any evaluation
+    order gives the oracle's integers; numpy replicates Spark/DuckDB
+    round-half-away-from-zero via a boundary-corrected floor(|p|+0.5)
+    (the bare +0.5 trick misrounds doubles within 1 ulp of .5, e.g.
+    0.49999999999999994).  cs then divides identical ints by identical
+    sqrt products — bit-identical IEEE sequence — and numpy argmax
+    takes the FIRST max over ascending cent_ids, matching the
+    (cs desc, cent_id asc) tie-break."""
     def build() -> DataFrame:
         norms = _emb_norms(spark, sf_dir).select("vec_id", "embedding", "n2")
-        return (
-            _ivf_cell_scores(norms, _ivf_cents(norms))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    "cent_id", F.struct(F.col("cs"), -F.col("cent_id"))
-                ).alias("cent_id")
-            )
-        )
+        cents = _ivf_cents(norms).orderBy("cent_id").collect()
+        cent_ids = np.array([r.cent_id for r in cents], dtype=np.int64)
+        cmat = np.array([r.c_emb for r in cents], dtype=np.float64)
+        c_sqrt = np.sqrt(np.array([r.c_n2 for r in cents], dtype=np.float64))
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                v_sqrt = np.sqrt(pdf["n2"].to_numpy().astype(np.float64))
+                dots = np.empty((len(pdf), len(cent_ids)), dtype=np.int64)
+                for j in range(len(cent_ids)):
+                    p = emb * cmat[j] * float(SCALE)
+                    ap = np.abs(p)
+                    r = np.floor(ap + 0.5)
+                    r -= (r - ap) > 0.5  # half-away-from-zero, ulp-safe
+                    dots[:, j] = (np.sign(p) * r).astype(np.int64).sum(axis=1)
+                cs = dots.astype(np.float64) / (v_sqrt[:, None] * c_sqrt[None, :])
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cent_id": cent_ids[cs.argmax(axis=1)],
+                    }
+                )
+
+        return norms.mapInPandas(assign, "vec_id long, cent_id long")
 
     return _materialize(spark, sf_dir, "ivf_assign", build)
 

@@ -138,6 +138,143 @@ def test_live_clickhouse_roundtrip(spark):
 
 @needs_pg
 @needs_kafka
+@needs_ch
+def test_live_golden_sequence_reference_replay(spark, tmp_path):
+    """The reference's exact end-to-end demo (setup.sh:150-207) against
+    live services, with the assertions the reference only prints:
+
+    1. three INSERTs (user1/Bronze, user2/Silver, user3/Gold,
+       setup.sh:156-161) -> mirrored state equals the golden TSV the
+       reference asserts (setup.sh:183-189);
+    2. DELETE user_id=1 (setup.sh:194) -> the row PERSISTS in the sink
+       — the documented drop-deletes semantic (tombstones.on.delete=
+       false + drop.tombstones, SURVEY.md section 0); the reference's
+       own 'DELETE sync test' only prints this (setup.sh:195-197);
+    3. INSERT 999 then UPDATE to 'updated_user' (setup.sh:202-205) ->
+       LWW upsert lands the updated row;
+    4. the final state writes to live ClickHouse and reads back equal
+       (the setup.sh:177-189 sink leg).
+
+    Requires the Debezium source connector feeding KAFKA_TOPICS from
+    PG_TABLE (the reference's postgres-connect service).  DML goes
+    through the JVM's own JDBC driver (already on the classpath for
+    the Spark JDBC reads), so no Python Postgres client is needed."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_postgres_to_clickhouse_spark.sources.jdbc import (
+        clickhouse_writer_options,
+        write_clickhouse,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
+        kafka_source,
+        read_state,
+        run_cdc_pipeline,
+    )
+
+    users_schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType(), False),
+            T.StructField("username", T.StringType()),
+            T.StructField("account_type", T.StringType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    )
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    conn = spark._jvm.java.sql.DriverManager.getConnection(PG_URL)
+    try:
+        def sql(stmt: str) -> None:
+            s = conn.createStatement()
+            try:
+                s.execute(stmt)
+            finally:
+                s.close()
+
+        def drain_until(pred, timeout_s: float = 90.0):
+            """availableNow drains + state read until pred(state map)."""
+            deadline = time.time() + timeout_s
+            state = {}
+            while time.time() < deadline:
+                run_cdc_pipeline(
+                    kafka_source(spark, KAFKA_BOOTSTRAP, KAFKA_TOPICS),
+                    users_schema, state_dir, ckpt,
+                    ["user_id"], ["updated_at"],
+                )
+                df = read_state(spark, state_dir)
+                state = (
+                    {}
+                    if df is None
+                    else {
+                        r.user_id: (r.username, r.account_type)
+                        for r in df.select(
+                            "user_id", "username", "account_type"
+                        ).collect()
+                    }
+                )
+                if pred(state):
+                    return state
+                time.sleep(2)
+            raise AssertionError(f"timed out waiting for sync; state={state}")
+
+        # fresh replay slate (reference assumes a fresh DB); the DELETEs
+        # emit op='d' events which the pipeline drops by design, and the
+        # state dir is fresh, so nothing stale leaks into assertions
+        sql(f"DELETE FROM {PG_TABLE} WHERE user_id IN (1, 2, 3, 999)")
+
+        # 1. the reference's three INSERTs (setup.sh:156-161)
+        sql(
+            f"INSERT INTO {PG_TABLE} (user_id, username, account_type,"
+            " updated_at, created_at) VALUES"
+            " (1, 'user1', 'Bronze', now(), now()),"
+            " (2, 'user2', 'Silver', now(), now()),"
+            " (3, 'user3', 'Gold', now(), now())"
+        )
+        golden = {1: ("user1", "Bronze"), 2: ("user2", "Silver"), 3: ("user3", "Gold")}
+        state = drain_until(lambda s: {k: s.get(k) for k in golden} == golden)
+
+        # 2. DELETE does NOT propagate (setup.sh:191-197 semantic)
+        sql(f"DELETE FROM {PG_TABLE} WHERE user_id = 1")
+        time.sleep(5)
+        state = drain_until(lambda s: s.get(1) == ("user1", "Bronze"))
+
+        # 3. INSERT then UPDATE (setup.sh:199-205): LWW lands the update
+        sql(
+            f"INSERT INTO {PG_TABLE} (user_id, username, account_type,"
+            " updated_at, created_at) VALUES (999, 'test_user', 'Test', now(), now())"
+        )
+        sql(
+            f"UPDATE {PG_TABLE} SET username = 'updated_user',"
+            " updated_at = now() WHERE user_id = 999"
+        )
+        state = drain_until(lambda s: s.get(999) == ("updated_user", "Test"))
+        for k, v in golden.items():
+            assert state[k] == v
+
+        # 4. ClickHouse sink leg: mirror the state, read it back equal
+        final = read_state(spark, state_dir).select(
+            "user_id", "username", "account_type", "updated_at"
+        )
+        write_clickhouse(
+            final, CLICKHOUSE_URL, "kcptc_golden_users", ["user_id"], ["updated_at"]
+        )
+        back = (
+            spark.read.format("jdbc")
+            .options(**clickhouse_writer_options(CLICKHOUSE_URL, "kcptc_golden_users"))
+            .load()
+        )
+        mirrored = {
+            r.user_id: (r.username, r.account_type)
+            for r in back.select("user_id", "username", "account_type").collect()
+        }
+        assert {k: mirrored.get(k) for k in state} == state
+    finally:
+        conn.close()
+
+
+@needs_pg
+@needs_kafka
 def test_live_bootstrap_pipeline_end_to_end(spark, tmp_path):
     """Entry point A against real services: live catalog discovery ->
     per-table schemas -> keyed CDC pipeline consuming the live broker
