@@ -2347,32 +2347,61 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard embedding-space label-propagation / auto-labeling
     primitive for training-data curation.
 
-    100 TB plan: the 20 queries BROADCAST; the corpus streams through
-    ONE narrow scan computing 20 scaled-integer distances per vector
-    (functions/vectors.py discipline — order-independent BIGINT sums,
-    hash-exact vs the oracle); the per-query top-5 is a window over the
-    20-query × corpus score stream partitioned by query (at larger
-    query sets this becomes groupBy(query) + min-heap via max_by(k));
-    the vote is a tiny two-level agg.  Ties break on (votes DESC,
-    label ASC) deterministically."""
+    100 TB plan: the 20 queries BROADCAST (closure constant of a
+    mapInPandas scorer); the corpus streams through ONE narrow pass
+    that computes all 20 scaled-integer distances per Arrow batch as
+    numpy matrix ops AND keeps only the per-partition top-5 per query
+    — so what reaches the global top-5 window is <= 100 rows per
+    partition, never the N x 20 score stream (the old plan shuffled
+    and sorted that stream into 20 skewed partitions).  Exactness:
+    per-element round((e_k-q_k)^2 * 1e9) BIGINTs sum order-
+    independently (functions/vectors.py discipline; ulp-safe
+    half-away rounding), and the local top-5 by (d2, nbr_id) is a
+    lossless prefilter of the global (d2, nbr_id) order.  The vote is
+    a tiny two-level agg; ties break on (votes DESC, label ASC)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("embedding").alias("qemb"),
+    qrows = sorted(
+        e.filter(F.col("vec_id") < 20).collect(), key=lambda r: r.vec_id
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "true_label",
-            F.col("vec_id").alias("nbr_id"),
-            F.col("label").alias("nbr_label"),
-            sqdist_scaled(F.col("embedding"), F.col("qemb")).alias("d2"),
-        )
+    qids = [int(r.vec_id) for r in qrows]
+    qlabels = [int(r.label) for r in qrows]
+    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            cols: dict[str, list] = {
+                "query_id": [], "true_label": [], "nbr_id": [],
+                "nbr_label": [], "d2": [],
+            }
+            for j, qid in enumerate(qids):
+                diff = emb - qmat[j]
+                p = diff * diff * 1e9
+                r = np.floor(p + 0.5)
+                r -= (r - p) > 0.5  # half-away-from-zero, ulp-safe
+                d2 = r.astype(np.int64).sum(axis=1)
+                mask = ids != qid
+                d2m, idm, lbm = d2[mask], ids[mask], labels[mask]
+                sel = np.lexsort((idm, d2m))[: min(5, len(d2m))]
+                cols["query_id"] += [qid] * len(sel)
+                cols["true_label"] += [qlabels[j]] * len(sel)
+                cols["nbr_id"] += list(idm[sel])
+                cols["nbr_label"] += list(lbm[sel])
+                cols["d2"] += list(d2m[sel])
+            yield pd.DataFrame(cols)
+
+    scored = e.mapInPandas(
+        score,
+        "query_id long, true_label int, nbr_id long, nbr_label int, d2 long",
     )
     top5 = (
         scored.withColumn(
@@ -9961,3 +9990,117 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qerr_scaled"),
     )
+
+
+# --- wave 23 (round 5): REAL multimodal decode through the driver gate ----
+#
+# streaming/multimodal.py gained real pure-Python codecs (WAV RIFF/PCM,
+# BMP BI_RGB) in round 5.  These two keys run the ACTUAL decoders over
+# payload bytes synthesized deterministically from doc_id, engineered so
+# the decoded features are exactly SQL-expressible: a solid-color BMP's
+# luminance histogram is a single full bin, and a constant-amplitude
+# 16-bit PCM clip's RMS envelope is the quantized amplitude m/32768 —
+# exact in float32 (m <= 32767 fits the 24-bit mantissa), so the values
+# hash-match the oracle bit-for-bit.  This is the driver-gate proof that
+# the decode path (mapInPandas -> codec -> feature) is real, not a stub.
+
+
+@register(
+    "q_media_decode_bmp",
+    oracle="""
+    SELECT doc_id,
+           CAST(102 AS INTEGER) AS n_bytes,
+           CAST(floor((0.299*c + 0.587*c + 0.114*c) / 32) AS INTEGER) AS top_bin,
+           CAST(1.0 AS FLOAT) AS top_frac
+    FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c FROM documents)
+    """,
+)
+def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: per doc, encode a solid-color
+    4x4 24-bit BMP (color = doc_id % 256), decode it with the
+    hand-parsed BMP reader inside the SAME mapInPandas feature path
+    the stub backends use, and emit the dominant luminance bin.
+
+    Exactness: all 16 pixels share one luma, so the L1 histogram is
+    exactly 1.0 in one bin; the oracle replays the identical IEEE
+    luma expression (0.299c + 0.587c + 0.114c, left-assoc doubles)
+    so the floor-div bin matches bit-for-bit even at bin boundaries.
+    n_bytes = 54 header + 4 rows x 12-byte stride = 102.
+
+    Scale: payload synthesis + decode are narrow Arrow-batched passes;
+    nothing shuffles."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import encode_bmp, extract_features
+
+    def mk(batches):
+        for pdf in batches:
+            payloads = [
+                encode_bmp(np.full((4, 4, 3), int(i) % 256, dtype=np.uint8))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    feats = extract_features(media, backend="bmp")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        (F.array_position(F.col("feature"), F.array_max("feature")) - 1)
+        .cast("int")
+        .alias("top_bin"),
+        F.array_max("feature").alias("top_frac"),
+    )
+
+
+@register(
+    "q_media_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(364 AS INTEGER) AS n_bytes,
+           CAST(round(((doc_id % 128) / 128.0) * 32767) / 32768.0 AS FLOAT) AS rms
+    FROM documents
+    """,
+)
+def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per doc, encode a 160-sample
+    16-bit PCM WAV at constant amplitude (doc_id % 128)/128, decode it
+    with the stdlib RIFF reader through the mapInPandas feature path,
+    and emit the RMS of the first envelope bin.
+
+    Exactness: amplitudes k/128 are exact doubles whose only rounding
+    tie (k=64 -> 16383.5) resolves identically under numpy half-even
+    and SQL half-away (both 16384); the decoded constant clip's RMS is
+    sqrt of an exact square, i.e. exactly m/32768, which float32
+    represents exactly.  n_bytes = 44-byte canonical header + 320."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import encode_wav, extract_features
+
+    def mk(batches):
+        for pdf in batches:
+            payloads = [
+                encode_wav(np.full(160, (int(i) % 128) / 128.0), rate=16000)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    feats = extract_features(media, backend="wav")
+    return feats.select("doc_id", "n_bytes", F.element_at("feature", 1).alias("rms"))
