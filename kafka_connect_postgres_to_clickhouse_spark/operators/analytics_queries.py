@@ -891,25 +891,53 @@ def _lsh_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_norms spill so the n2 fold also runs only once across the ANN
     family."""
     n_tables, bits = 6, 4
-    planes = _hyperplanes(n_bits=n_tables * bits)
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _lsh_bucket(
-                    F.col("embedding"), planes[t * bits : (t + 1) * bits]
-                ).alias("bucket"),
+    planes = np.array(_hyperplanes(n_bits=n_tables * bits), dtype=np.float64)
+    lut = np.array([format(i, f"0{bits}b") for i in range(1 << bits)])
+    weights = 1 << np.arange(bits - 1, -1, -1)
+
+    def sig(batches):
+        # numpy build of the 24 projections: products are EXACT
+        # (+/-1 weights) and the k-loop accumulates left-to-right,
+        # replaying F.aggregate / DuckDB list_reduce addition-for-
+        # addition, so every sign bit (and thus every candidate pair
+        # the index yields) is identical to the JVM/SQL fold.  A
+        # vectorized np.sum would pairwise-sum and could flip a
+        # near-zero projection's sign.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            bits01 = np.empty((n, n_tables * bits), dtype=np.int64)
+            for b in range(n_tables * bits):
+                acc = np.zeros(n)
+                w = planes[b]
+                for k in range(emb.shape[1]):
+                    acc = acc + emb[:, k] * w[k]
+                bits01[:, b] = acc > 0
+            buckets = np.empty((n, n_tables), dtype=object)
+            for t in range(n_tables):
+                codes = bits01[:, t * bits : (t + 1) * bits] @ weights
+                buckets[:, t] = lut[codes]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "embedding": np.repeat(pdf["embedding"].to_numpy(), n_tables),
+                    "n2": np.repeat(pdf["n2"].to_numpy(), n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.ravel(),
+                }
             )
-            for t in range(n_tables)
-        ]
-    )
+
     return _materialize(
         spark,
         sf_dir,
         "lsh_sig",
         lambda: _emb_norms(spark, sf_dir)
-        .select("vec_id", "embedding", "n2", F.explode(tables).alias("tb"))
-        .select("vec_id", "embedding", "n2", "tb.tbl", "tb.bucket"),
+        .select("vec_id", "embedding", "n2")
+        .mapInPandas(
+            sig, "vec_id long, embedding array<float>, n2 long, tbl int, bucket string"
+        ),
     )
 
 
