@@ -52,6 +52,26 @@ def shingles(col: Column, k: int = 3) -> Column:
     return acc
 
 
+def shingle_digests(col: Column, k: int = 8) -> Column:
+    """xxhash64 digest per k-token window, WITHOUT materializing the
+    window strings: hash each token once, then combine the k shifted
+    token-hash slices with one xxhash64(k longs) per window.  Position
+    j of the result digests tokens [j, j+k) — identical alignment to
+    ``shingles()``.
+
+    For digest-only consumers (equality joins/grouping: the exact-
+    substring window index, the cross-source gram-leak audit) this is
+    ~1.5x cheaper than building the k-token strings and hashing them,
+    because the k-1 chained concat allocations disappear.  NOT a
+    drop-in for consumers that need the shingle text (MinHash's md5
+    order statistic, the Jaccard postings)."""
+    t = tokens(col)
+    th = F.transform(t, lambda x: F.xxhash64(x))
+    win = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(th, j + 1, win).alias(f"c{j}") for j in range(k)])
+    return F.transform(z, lambda s: F.xxhash64(*[s[f"c{j}"] for j in range(k)]))
+
+
 def shingles_sql(col: str, k: int = 3) -> str:
     """DuckDB rendering of shingles() (1-based list indexing)."""
     t = f"string_split(lower({col}), ' ')"

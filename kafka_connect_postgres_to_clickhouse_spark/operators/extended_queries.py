@@ -4390,19 +4390,22 @@ def _dup_window_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics_queries import _materialize  # noqa: PLC0415
 
     def build() -> DataFrame:
+        from ..functions.text import shingle_digests  # noqa: PLC0415
+
         c = _corpus(spark, sf_dir)
-        t = c.select("doc_id", shingles(F.col("text"), 8).alias("sh8")).filter(
-            F.size("sh8") > 0
+        # long digests straight from token hashes (shingle_digests):
+        # h is only ever compared for equality (cross-doc window
+        # match), so the window STRINGS never materialize and the
+        # 8-byte key quarters the spill + partition-by-h shuffle vs
+        # a 32-char hex string
+        t = c.select("doc_id", shingle_digests(F.col("text"), 8).alias("h8")).filter(
+            F.size("h8") > 0
         )
-        # xxhash64 long digest, not an md5 string: h is only ever
-        # compared for equality (cross-doc window match), and the
-        # 8-byte key quarters the spill + the partition-by-h shuffle
-        # vs a 32-char hex string
-        return t.select("doc_id", F.posexplode("sh8").alias("p0", "sh")).select(
+        return t.select("doc_id", F.posexplode("h8").alias("p0", "h")).select(
             "doc_id",
             (F.col("p0") + 1).alias("i"),
             (F.col("p0") + 8).alias("endpos"),
-            F.xxhash64("sh").alias("h"),
+            "h",
         )
 
     return _materialize(spark, sf_dir, "dup_windows", build)
@@ -8518,12 +8521,15 @@ def _source_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics_queries import _materialize  # noqa: PLC0415
 
     def build() -> DataFrame:
+        from ..functions.text import shingle_digests  # noqa: PLC0415
+
         d = load_table(spark, sf_dir, "documents")
-        # 8-byte xxhash64 digest: g is only joined for equality, so the
-        # long key shrinks the distinct shuffle + spill 4x vs md5 hex
+        # 8-byte digests straight from token hashes (shingle_digests):
+        # g is only joined for equality, so the gram strings never
+        # materialize and the long key shrinks the distinct shuffle +
+        # spill 4x vs md5 hex
         return (
-            d.select("source", F.explode(shingles(F.col("text"), k=8)).alias("gram"))
-            .select("source", F.xxhash64("gram").alias("g"))
+            d.select("source", F.explode(shingle_digests(F.col("text"), 8)).alias("g"))
             .distinct()
         )
 

@@ -341,3 +341,84 @@ def test_envelope_roundtrip_identity(spark_session, rows):
         for r in back.filter(~F.col("_corrupt")).collect()
     }
     assert got == orig
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_codec_roundtrip_property(h, w, seed):
+    """encode_bmp -> decode_bmp is the identity on arbitrary pixel
+    matrices — including odd widths that exercise the 4-byte row
+    padding (no Spark session needed: pure codec property)."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=512),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_codec_roundtrip_property(n, rate, seed):
+    """encode_wav -> decode_wav recovers arbitrary-length clips to
+    16-bit quantization accuracy, preserving the sample rate; values
+    outside [-1, 1] clip rather than wrap."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    x = np.random.default_rng(seed).uniform(-1.5, 1.5, n)
+    back, got_rate = decode_wav(encode_wav(x, rate=rate))
+    assert got_rate == rate and len(back) == n
+    assert np.abs(back - np.clip(x, -1.0, 1.0)).max() < 2.0 / 32768
+
+
+def test_wav_decode_8bit_and_stereo_downmix():
+    """decode_wav handles the other PCM layouts the RIFF spec allows:
+    8-bit unsigned samples land in [-1, 1) around the 128 midpoint,
+    and stereo frames downmix by channel mean."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_wav,
+    )
+
+    # 8-bit mono: bytes 0, 128, 255 -> -1.0, 0.0, ~0.992
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))
+    x, rate = decode_wav(buf.getvalue())
+    assert rate == 8000
+    assert np.allclose(x, [-1.0, 0.0, 127 / 128], atol=1e-12)
+
+    # 16-bit stereo: L=+0.5, R=-0.5 per frame -> mono 0.0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(
+            np.array([16384, -16384] * 4, dtype="<i2").tobytes()
+        )
+    x, rate = decode_wav(buf.getvalue())
+    assert len(x) == 4 and np.allclose(x, 0.0)
