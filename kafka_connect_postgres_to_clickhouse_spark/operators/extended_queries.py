@@ -507,56 +507,99 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed-ML loop (IVF coarse quantizer training, corpus
     clustering for mixture balancing).
 
-    The 100 TB iteration shape: centroids are k rows — they BROADCAST;
-    assignment is one narrow scan computing k scaled-integer squared
-    distances per vector (zip_with/aggregate, functions/vectors.py);
-    the centroid update shuffles only (k x dim) partial-sum rows,
-    never vectors; per-iteration lineage is cut with localCheckpoint
-    on the k-row centroid table (cluster deployments checkpoint to
-    durable storage).  Assignment argmin is MIN over struct(d, cid) —
-    a partial aggregate, no window over the corpus.  Exactness:
-    distances are order-independent BIGINT sums; centroid means divide
-    in the same IEEE sequence in both engines, so even after two
-    iterations every value hash-matches the oracle's unrolled SQL."""
+    The 100 TB iteration shape: centroids are k rows — they ride as a
+    mapInPandas closure codebook (the broadcast analog); each Arrow
+    batch scores all k scaled-integer squared distances as numpy
+    matrix ops and emits only (k x dim) PARTIAL sums for the centroid
+    update — map-side combine in numpy, so the update shuffle carries
+    k x dim x n_partitions rows, never vectors and never an N x dim
+    explode.  The k x dim update aggregate is driver-collected (512
+    rows) to form the next codebook, exactly what an iterative
+    distributed trainer checkpoints between rounds.  Exactness:
+    per-element round((x-c)^2 * 1e9) BIGINTs sum order-independently
+    (ulp-safe half-away rounding), argmin ties break to the smallest
+    cid (numpy first-max over ascending cids), and the centroid means
+    divide in the same IEEE sequence as the oracle — so after two full
+    iterations every value hash-matches the unrolled SQL."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "cid",
-            sqdist_scaled(F.col("embedding"), F.col("c")).alias("d"),
-        )
-        m = scored.groupBy("vec_id").agg(F.min(F.struct("d", "cid")).alias("m"))
-        return m.select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+    def d2int(emb: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
+        out = np.empty((len(emb), len(cents)), dtype=np.int64)
+        for j in range(len(cents)):
+            diff = emb - cents[j]
+            p = diff * diff * float(SCALE)
+            r = np.floor(p + 0.5)
+            r -= (r - p) > 0.5  # half-away-from-zero, ulp-safe
+            out[:, j] = r.astype(np.int64).sum(axis=1)
+        return out
 
-    init = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
-    )
-    a1 = assign(init)
+    init = sorted(e.filter(F.col("vec_id") < 8).collect(), key=lambda r: r.vec_id)
+    cids = np.array([r.vec_id for r in init], dtype=np.int64)
+    c0 = np.array([r.embedding for r in init], dtype=np.float64)
+    k, dim = c0.shape
+
+    def update_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a = d2int(emb, c0).argmin(axis=1)
+            cols = {"cid": [], "k0": [], "s": [], "cnt": []}
+            for j in range(k):
+                m = a == j
+                if not m.any():
+                    continue
+                p = emb[m] * float(SCALE)
+                ap = np.abs(p)
+                r = np.floor(ap + 0.5)
+                r -= (r - ap) > 0.5
+                s = (np.sign(p) * r).astype(np.int64).sum(axis=0)
+                cols["cid"] += [int(cids[j])] * dim
+                cols["k0"] += list(range(dim))
+                cols["s"] += list(s)
+                cols["cnt"] += [int(m.sum())] * dim
+            yield pd.DataFrame(cols)
+
     per_dim = (
-        a1.select("vec_id", "cid")
-        .join(e, "vec_id")
-        .select("cid", F.posexplode("embedding").alias("k0", "x"))
+        e.mapInPandas(update_partials, "cid long, k0 int, s long, cnt long")
         .groupBy("cid", "k0")
-        .agg(
-            F.sum(F.round(F.col("x").cast("double") * SCALE).cast("long")).alias("s"),
-            F.count("*").alias("cnt"),
-        )
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        .collect()
     )
-    c1 = (
-        per_dim.groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k0", "s", "cnt"))),
-                lambda t: t["s"].cast("double") / t["cnt"] / F.lit(1_000_000_000.0),
-            ).alias("c")
+    c1_by_cid: dict[int, np.ndarray] = {}
+    for cid in sorted({r.cid for r in per_dim}):
+        rows = sorted((r for r in per_dim if r.cid == cid), key=lambda r: r.k0)
+        c1_by_cid[cid] = np.array(
+            [float(r.s) / r.cnt / 1_000_000_000.0 for r in rows]
         )
-        .localCheckpoint(eager=True)
-    )
-    a2 = assign(c1)
-    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
-        F.count("*").alias("n_vecs"), F.sum("d").alias("inertia_scaled")
+    cids1 = np.array(sorted(c1_by_cid), dtype=np.int64)
+    c1 = np.stack([c1_by_cid[c] for c in cids1])
+
+    def score_final(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = d2int(emb, c1)
+            a = d2.argmin(axis=1)
+            best = d2[np.arange(len(emb)), a]
+            cols = {"cluster_id": [], "n": [], "d": []}
+            for j in range(len(cids1)):
+                m = a == j
+                if not m.any():
+                    continue
+                cols["cluster_id"].append(int(cids1[j]))
+                cols["n"].append(int(m.sum()))
+                cols["d"].append(int(best[m].sum()))
+            yield pd.DataFrame(cols)
+
+    return (
+        e.mapInPandas(score_final, "cluster_id long, n long, d long")
+        .groupBy("cluster_id")
+        .agg(F.sum("n").alias("n_vecs"), F.sum("d").alias("inertia_scaled"))
     )
 
 
