@@ -2514,45 +2514,93 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding-space label-quality audit (noisy labels show up as
     off-diagonal mass).
 
-    100 TB plan: per-(label, dim) sums are ONE partial agg over the
-    posexploded corpus (shuffles (labels x dims) rows, never vectors);
-    the 10 centroid rows broadcast back; assignment is a narrow scan
-    with an argmin partial agg (min over struct(d2, label) — no window
-    over the corpus); the confusion matrix is a 100-cell final agg.
-    Exactness mirrors q_kmeans: scaled-int sums, one IEEE division
-    sequence for the means, scaled-int distances."""
+    100 TB plan (the q_kmeans iteration shape): per-(label, dim) sums
+    are map-side numpy partials from ONE narrow mapInPandas pass —
+    (labels x dims x n_partitions) rows shuffle, never vectors and
+    never an N x dim explode; the tiny (labels x dims) aggregate is
+    driver-collected into the centroid codebook; assignment is a
+    second narrow pass emitting per-batch (true, pred) partial counts;
+    the confusion matrix is a 100-cell final agg.  Exactness mirrors
+    q_kmeans: scaled-int sums (ulp-safe half-away rounding), one IEEE
+    division sequence for the means, scaled-int distances, argmin ties
+    to the smallest label."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    def sum_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            labels = pdf["label"].to_numpy()
+            dim = emb.shape[1]
+            p = emb * float(SCALE)
+            ap = np.abs(p)
+            r = np.floor(ap + 0.5)
+            r -= (r - ap) > 0.5  # half-away-from-zero, ulp-safe
+            xs = (np.sign(p) * r).astype(np.int64)
+            cols = {"label": [], "k0": [], "s": [], "cnt": []}
+            for lb in np.unique(labels):
+                m = labels == lb
+                cols["label"] += [int(lb)] * dim
+                cols["k0"] += list(range(dim))
+                cols["s"] += list(xs[m].sum(axis=0))
+                cols["cnt"] += [int(m.sum())] * dim
+            yield pd.DataFrame(cols)
+
     per_dim = (
-        e.select("label", F.posexplode("embedding").alias("k0", "x"))
+        e.mapInPandas(sum_partials, "label int, k0 int, s long, cnt long")
         .groupBy("label", "k0")
-        .agg(
-            F.sum(F.round(F.col("x").cast("double") * SCALE).cast("long")).alias("s"),
-            F.count("*").alias("cnt"),
-        )
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        .collect()
     )
-    cents = (
-        per_dim.groupBy(F.col("label").alias("clabel"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k0", "s", "cnt"))),
-                lambda t: t["s"].cast("double") / t["cnt"] / F.lit(1_000_000_000.0),
-            ).alias("cvec")
-        )
+    by_label: dict[int, list] = {}
+    for r in per_dim:
+        by_label.setdefault(r.label, []).append(r)
+    clabels = np.array(sorted(by_label), dtype=np.int64)
+    cents = np.stack(
+        [
+            np.array(
+                [
+                    float(r.s) / r.cnt / 1_000_000_000.0
+                    for r in sorted(by_label[lb], key=lambda r: r.k0)
+                ]
+            )
+            for lb in clabels
+        ]
     )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        sqdist_scaled(F.col("embedding"), F.col("cvec")).alias("d2"),
-    )
-    a = scored.groupBy("vec_id").agg(
-        F.any_value(F.col("label")).alias("true_label"),
-        F.min(F.struct("d2", "clabel")).alias("m"),
-    )
+
+    def classify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            labels = pdf["label"].to_numpy()
+            d2 = np.empty((len(emb), len(clabels)), dtype=np.int64)
+            for j in range(len(clabels)):
+                diff = emb - cents[j]
+                p = diff * diff * float(SCALE)
+                r = np.floor(p + 0.5)
+                r -= (r - p) > 0.5
+                d2[:, j] = r.astype(np.int64).sum(axis=1)
+            pred = clabels[d2.argmin(axis=1)]
+            pairs, counts = np.unique(
+                np.stack([labels.astype(np.int64), pred]), axis=1, return_counts=True
+            )
+            yield pd.DataFrame(
+                {
+                    "true_label": pairs[0],
+                    "pred_label": pairs[1],
+                    "n": counts,
+                }
+            )
+
     return (
-        a.select("true_label", F.col("m.clabel").alias("pred_label"))
+        e.mapInPandas(classify, "true_label int, pred_label int, n long")
         .groupBy("true_label", "pred_label")
-        .agg(F.count("*").alias("n_vecs"))
+        .agg(F.sum("n").alias("n_vecs"))
     )
 
 
