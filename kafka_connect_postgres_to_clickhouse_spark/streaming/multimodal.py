@@ -277,13 +277,35 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def split_bmp_stream(payload: bytes) -> list[bytes]:
+    """REAL demux of a BMP-strip container (concatenated BMP images,
+    the simplest valid video-as-frames container): walk the stream,
+    reading each frame's byte length from its own BITMAPFILEHEADER
+    size field.  Raises on anything that is not a clean BMP
+    sequence."""
+    frames = []
+    off = 0
+    while off < len(payload):
+        if payload[off : off + 2] != b"BM":
+            raise ValueError(f"BMP-strip corrupt at offset {off}")
+        (size,) = struct.unpack_from("<I", payload, off + 2)
+        if size < 54 or off + size > len(payload):
+            raise ValueError(f"BMP-strip frame size {size} invalid at {off}")
+        frames.append(payload[off : off + size])
+        off += size
+    return frames
+
+
 def sample_frames(
     df: DataFrame, frame_bytes: int = 256, every_nth: int = 2, backend: str = "fake"
 ) -> DataFrame:
     """Video frame sampling: one payload row -> every Nth frame,
-    UDTF-shaped (rows expand).  ``backend="fake"`` treats the payload
-    as fixed-size frame chunks; a real backend would demux/seek
-    keyframes (av/ffmpeg) at the marked point.
+    UDTF-shaped (rows expand).  ``backend="bmp_strip"`` REALLY demuxes
+    a concatenated-BMP container (each emitted frame is a decodable
+    BMP; ``frame_bytes`` is ignored — frame boundaries come from the
+    headers); ``backend="fake"`` treats the payload as fixed-size
+    chunks; an av/ffmpeg backend for real codecs would plug in at the
+    marked point.
 
     Scale: expansion happens map-side inside mapInPandas — frames of
     one video stay on the partition that read it, and downstream
@@ -293,17 +315,25 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if backend != "fake":
+            if backend not in ("fake", "bmp_strip"):
                 raise NotImplementedError(
-                    f"frame-sampling backend {backend!r} not available; use 'fake'"
+                    f"frame-sampling backend {backend!r} not available; "
+                    "use 'fake' or 'bmp_strip'"
                 )
             ids, nos, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(len(p) // frame_bytes, 1)
-                for f in range(0, n_frames, every_nth):
+                if backend == "bmp_strip":
+                    chunks = split_bmp_stream(bytes(p))
+                else:
+                    n_frames = max(len(p) // frame_bytes, 1)
+                    chunks = [
+                        bytes(p[f * frame_bytes : (f + 1) * frame_bytes])
+                        for f in range(n_frames)
+                    ]
+                for f in range(0, len(chunks), every_nth):
                     ids.append(doc_id)
                     nos.append(f)
-                    frames.append(bytes(p[f * frame_bytes : (f + 1) * frame_bytes]))
+                    frames.append(chunks[f])
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_no": pd.array(nos, dtype="int32"), "frame": frames}
             )

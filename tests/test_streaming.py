@@ -1516,3 +1516,45 @@ def test_dlq_routes_corrupt_wire_and_state_unaffected(spark, tmp_path, users_sch
     state = _state_map(read_state(spark, str(tmp_path / "state")))
     assert state[1] == ("user1", "Bronze")
     assert state[999] == ("updated_user", "Test")
+
+
+def test_multimodal_bmp_strip_frame_sampling(spark):
+    """REAL video-as-frames demux: a concatenated-BMP container splits
+    at header-declared frame boundaries (not fixed-size chunks), every
+    2nd frame is sampled, and each emitted frame decodes back to its
+    source pixels."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        sample_frames,
+        split_bmp_stream,
+    )
+
+    rng = np.random.default_rng(3)
+    # varying dims -> varying frame byte sizes: proves header-driven
+    # splitting, which fixed-size chunking would garble
+    frames_px = [
+        rng.integers(0, 256, (4 + i, 5 + (i % 3), 3), dtype=np.uint8)
+        for i in range(5)
+    ]
+    strip = b"".join(encode_bmp(px) for px in frames_px)
+    assert [decode_bmp(f).shape for f in split_bmp_stream(strip)] == [
+        px.shape for px in frames_px
+    ]
+
+    df = spark.createDataFrame(
+        [(7, "video", 0, 0, bytearray(strip))],
+        "doc_id long, media_type string, width int, height int, payload binary",
+    )
+    out = {
+        r.frame_no: bytes(r.frame)
+        for r in sample_frames(df, every_nth=2, backend="bmp_strip").collect()
+    }
+    assert sorted(out) == [0, 2, 4]
+    for f in sorted(out):
+        assert np.array_equal(decode_bmp(out[f]), frames_px[f])
+
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        sample_frames(df, backend="ffmpeg").collect()
