@@ -10201,3 +10201,81 @@ def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
     feats = extract_features(media, backend="wav")
     return feats.select("doc_id", "n_bytes", F.element_at("feature", 1).alias("rms"))
+
+
+@register(
+    "q_media_frame_scan",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, fn AS frame_no,
+             CAST((doc_id + 85 * fn) % 256 AS DOUBLE) AS c
+      FROM documents, (SELECT unnest([0, 2]) AS fn)
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(102 AS INTEGER) AS n_bytes,
+           CAST(floor((0.299*c + 0.587*c + 0.114*c) / 32) AS INTEGER) AS top_bin
+    FROM f
+    """,
+)
+def q_media_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL demux + decode chained through the driver gate: per doc,
+    encode a 3-frame BMP-strip 'video' (solid colors (doc_id+85*f)%256
+    for f=0,1,2), demux it with the header-walking splitter
+    (sample_frames backend='bmp_strip', every 2nd frame -> 0 and 2),
+    decode each sampled frame with the real BMP reader, and emit its
+    dominant luminance bin.
+
+    Exactness matches q_media_decode_bmp: one full histogram bin per
+    solid frame, oracle replays the identical IEEE luma expression.
+    Scale: synthesis, demux, and decode are all narrow Arrow-batched
+    passes; the row expansion (frames per video) happens map-side."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import (  # noqa: PLC0415
+        _bmp_features,
+        encode_bmp,
+        sample_frames,
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            payloads = [
+                b"".join(
+                    encode_bmp(
+                        np.full((4, 4, 3), (int(i) + 85 * f) % 256, dtype=np.uint8)
+                    )
+                    for f in range(3)
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    def feat(batches):
+        for pdf in batches:
+            frames = [bytes(p) for p in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"],
+                    "n_bytes": pd.array([len(p) for p in frames], dtype="int32"),
+                    "top_bin": pd.array(
+                        [int(np.argmax(_bmp_features(p))) for p in frames],
+                        dtype="int32",
+                    ),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    frames = sample_frames(media, every_nth=2, backend="bmp_strip")
+    return frames.mapInPandas(
+        feat, "doc_id long, frame_no int, n_bytes int, top_bin int"
+    )
