@@ -9818,38 +9818,61 @@ def _simhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash signature table (doc_id, lang, h) over the
     augmented corpus.  Both sides of q_simhash_neardup's band self-join
     read it; spilled once (parquet _materialize, 1 row/doc) so the
-    per-token md5 pipeline never runs twice."""
+    per-token md5 pipeline never runs twice.
+
+    Built as one narrow mapInPandas pass: per Arrow batch, factorize
+    the token stream (each DISTINCT token md5-hashed once via a
+    worker-local cache — the corpus vocabulary is Zipfian, so the
+    cache collapses the md5 count by ~50x), gather the per-token
+    +/-1 bit-vote rows, and reduceat over document boundaries for the
+    16 vote sums.  Exactness: hashlib md5 over UTF-8 == Spark/DuckDB
+    md5 byte-for-byte; Python lower()/split(' ') match the engines on
+    this ASCII corpus (the same equivalence every md5-parity oracle
+    already relies on); votes are integer sums, bit b set iff
+    sum > 0, identical to the oracle's fold."""
     from .analytics_queries import _corpus, _materialize  # noqa: PLC0415
 
-    c = _corpus(spark, sf_dir)
-    odd = "('1','3','5','7','9','b','d','f')"
-    bitsums = F.expr(
-        f"""
-        aggregate(
-          transform(__toks, w -> substring(md5(w), 1, 16)),
-          array_repeat(0, 16),
-          (acc, h) -> zip_with(acc, sequence(1, 16),
-            (a, p) -> a + IF(substring(h, p, 1) IN {odd}, 1, -1))
-        )"""
-    )
-    simhash = F.expr(
-        """
-        aggregate(
-          zip_with(__sums, sequence(0, 15),
-            (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b),
-                         CAST(0 AS BIGINT))),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
-    )
-    return _materialize(
-        spark,
-        sf_dir,
-        "simhash_sigs",
-        lambda: (
-            c.select("doc_id", "lang", tokens(F.col("text")).alias("__toks"))
-            .select("doc_id", "lang", bitsums.alias("__sums"))
-            .select("doc_id", "lang", simhash.alias("h"))
-        ),
-    )
+    def build() -> DataFrame:
+        import hashlib  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        odd = frozenset("13579bdf")
+
+        def sig(batches):
+            cache: dict[str, np.ndarray] = {}
+
+            def bits(w: str) -> np.ndarray:
+                v = cache.get(w)
+                if v is None:
+                    h = hashlib.md5(w.encode()).hexdigest()[:16]
+                    v = np.array(
+                        [1 if ch in odd else -1 for ch in h], dtype=np.int64
+                    )
+                    cache[w] = v
+                return v
+
+            shifts = np.arange(16, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                tok_lists = [t.lower().split(" ") for t in pdf["text"]]
+                counts = np.array([len(t) for t in tok_lists])
+                flat = [w for toks in tok_lists for w in toks]
+                codes, uniques = pd.factorize(np.array(flat, dtype=object))
+                m = np.stack([bits(w) for w in uniques])
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                sums = np.add.reduceat(m[codes], starts, axis=0)
+                h = ((sums > 0).astype(np.int64) << shifts).sum(axis=1)
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "h": h}
+                )
+
+        c = _corpus(spark, sf_dir).select("doc_id", "lang", "text")
+        return c.mapInPandas(sig, "doc_id long, lang string, h long")
+
+    return _materialize(spark, sf_dir, "simhash_sigs", build)
 
 
 MATERIALIZATION_TRIGGERS["simhash_sigs"] = _simhash_sig_table
