@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000  # 1e9: fits 64-dim gaussian dots in int64 comfortably
 
 
+def np_round_half_away(p):
+    """numpy replica of Spark/DuckDB ``round()`` (half away from zero)
+    over a float64 array — the worker-side twin of the scaled-integer
+    discipline for the mapInPandas scorers.
+
+    A bare ``floor(|p| + 0.5)`` misrounds doubles within 1 ulp of .5
+    (e.g. 0.49999999999999994 + 0.5 == 1.0 in IEEE): the correction
+    subtracts 1 wherever the addition rounded up across the boundary
+    (result exceeds |p| by MORE than 0.5; exact ties keep the round-up,
+    which is half-away behavior).  Returns float64 (integral values);
+    callers cast/sum as int64."""
+    import numpy as np
+
+    ap = np.abs(p)
+    r = np.floor(ap + 0.5)
+    r -= (r - ap) > 0.5
+    return np.sign(p) * r
+
+
 def dot_scaled(a: Column, b: Column) -> Column:
     """SUM(round(a[i]*b[i]*1e9)) as BIGINT — exact, order-independent."""
     prods = F.zip_with(

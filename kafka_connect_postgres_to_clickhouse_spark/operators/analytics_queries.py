@@ -54,16 +54,20 @@ def _materialize_root() -> str:
 
     ``SPARK_GRAFT_MATERIALIZE_DIR`` wins when set (on a cluster this is
     the shared-filesystem / object-store temp-table prefix every
-    executor can reach); the default is a per-user tmp directory —
-    never anywhere under the installed package or source tree, which
-    must stay read-only at runtime."""
+    executor can reach; also the knob for hosts whose tmpfiles reaper
+    ages /tmp out from under long-lived sessions); the default is a
+    genuinely PER-USER tmp directory — uid-suffixed so concurrent
+    users on a shared host never contend over one world-visible /tmp
+    path — and never anywhere under the installed package or source
+    tree, which must stay read-only at runtime."""
     import os
     import tempfile
 
     env = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
     if env:
         return env
-    return os.path.join(tempfile.gettempdir(), "spark_graft_materialized")
+    uid = os.getuid() if hasattr(os, "getuid") else "win"
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_materialized-{uid}")
 
 
 def _materialize(spark, sf_dir: str, name: str, build) -> DataFrame:
@@ -1164,14 +1168,15 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     def first_unit(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype="float64")
+        from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (
+            np_round_half_away,
+        )
+
         # one (batch, dim) matrix per Arrow batch: embeddings are
         # fixed-dim, so the whole batch vectorizes — no per-element loop
         m = np.stack(emb.to_numpy()).astype(np.float64)
-        # round half away from zero (floor(v+0.5) — all v >= 0 here),
-        # matching Spark/DuckDB round(); np.rint rounds half to even
-        # and diverges on exact .5 boundaries
-        n2 = np.floor((m * m) * 1e9 + 0.5).astype(np.int64).sum(axis=1)
-        return pd.Series(m[:, 0] / np.sqrt(n2 / 1e9))
+        n2 = np_round_half_away((m * m) * float(SCALE)).astype(np.int64).sum(axis=1)
+        return pd.Series(m[:, 0] / np.sqrt(n2 / float(SCALE)))
 
     e = load_table(spark, sf_dir, "embeddings")
     return e.select("vec_id", first_unit(F.col("embedding")).alias("first_unit"))
@@ -1430,6 +1435,10 @@ def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_sqrt = np.sqrt(np.array([r.c_n2 for r in cents], dtype=np.float64))
 
         def assign(batches):
+            from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (  # noqa: PLC0415
+                np_round_half_away,
+            )
+
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -1438,10 +1447,9 @@ def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dots = np.empty((len(pdf), len(cent_ids)), dtype=np.int64)
                 for j in range(len(cent_ids)):
                     p = emb * cmat[j] * float(SCALE)
-                    ap = np.abs(p)
-                    r = np.floor(ap + 0.5)
-                    r -= (r - ap) > 0.5  # half-away-from-zero, ulp-safe
-                    dots[:, j] = (np.sign(p) * r).astype(np.int64).sum(axis=1)
+                    dots[:, j] = (
+                        np_round_half_away(p).astype(np.int64).sum(axis=1)
+                    )
                 cs = dots.astype(np.float64) / (v_sqrt[:, None] * c_sqrt[None, :])
                 yield pd.DataFrame(
                     {

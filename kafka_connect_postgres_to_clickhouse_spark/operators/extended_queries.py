@@ -527,13 +527,15 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def d2int(emb: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
+        from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (  # noqa: PLC0415
+            np_round_half_away,
+        )
+
         out = np.empty((len(emb), len(cents)), dtype=np.int64)
         for j in range(len(cents)):
             diff = emb - cents[j]
             p = diff * diff * float(SCALE)
-            r = np.floor(p + 0.5)
-            r -= (r - p) > 0.5  # half-away-from-zero, ulp-safe
-            out[:, j] = r.astype(np.int64).sum(axis=1)
+            out[:, j] = np_round_half_away(p).astype(np.int64).sum(axis=1)
         return out
 
     init = sorted(e.filter(F.col("vec_id") < 8).collect(), key=lambda r: r.vec_id)
@@ -542,6 +544,10 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, dim = c0.shape
 
     def update_partials(batches):
+        from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (  # noqa: PLC0415
+            np_round_half_away,
+        )
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -553,10 +559,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not m.any():
                     continue
                 p = emb[m] * float(SCALE)
-                ap = np.abs(p)
-                r = np.floor(ap + 0.5)
-                r -= (r - ap) > 0.5
-                s = (np.sign(p) * r).astype(np.int64).sum(axis=0)
+                s = np_round_half_away(p).astype(np.int64).sum(axis=0)
                 cols["cid"] += [int(cids[j])] * dim
                 cols["k0"] += list(range(dim))
                 cols["s"] += list(s)
@@ -569,14 +572,21 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
         .collect()
     )
-    c1_by_cid: dict[int, np.ndarray] = {}
-    for cid in sorted({r.cid for r in per_dim}):
-        rows = sorted((r for r in per_dim if r.cid == cid), key=lambda r: r.k0)
-        c1_by_cid[cid] = np.array(
-            [float(r.s) / r.cnt / 1_000_000_000.0 for r in rows]
-        )
-    cids1 = np.array(sorted(c1_by_cid), dtype=np.int64)
-    c1 = np.stack([c1_by_cid[c] for c in cids1])
+    by_cid: dict[int, list] = {}
+    for r in per_dim:
+        by_cid.setdefault(r.cid, []).append(r)
+    cids1 = np.array(sorted(by_cid), dtype=np.int64)
+    c1 = np.stack(
+        [
+            np.array(
+                [
+                    float(r.s) / r.cnt / 1_000_000_000.0
+                    for r in sorted(by_cid[cid], key=lambda r: r.k0)
+                ]
+            )
+            for cid in cids1
+        ]
+    )
 
     def score_final(batches):
         for pdf in batches:
@@ -2416,6 +2426,10 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
 
     def score(batches):
+        from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (  # noqa: PLC0415
+            np_round_half_away,
+        )
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -2428,10 +2442,8 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for j, qid in enumerate(qids):
                 diff = emb - qmat[j]
-                p = diff * diff * 1e9
-                r = np.floor(p + 0.5)
-                r -= (r - p) > 0.5  # half-away-from-zero, ulp-safe
-                d2 = r.astype(np.int64).sum(axis=1)
+                p = diff * diff * float(SCALE)
+                d2 = np_round_half_away(p).astype(np.int64).sum(axis=1)
                 mask = ids != qid
                 d2m, idm, lbm = d2[mask], ids[mask], labels[mask]
                 sel = np.lexsort((idm, d2m))[: min(5, len(d2m))]
@@ -2530,6 +2542,10 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
 
     def sum_partials(batches):
+        from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (  # noqa: PLC0415
+            np_round_half_away,
+        )
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -2537,10 +2553,7 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = pdf["label"].to_numpy()
             dim = emb.shape[1]
             p = emb * float(SCALE)
-            ap = np.abs(p)
-            r = np.floor(ap + 0.5)
-            r -= (r - ap) > 0.5  # half-away-from-zero, ulp-safe
-            xs = (np.sign(p) * r).astype(np.int64)
+            xs = np_round_half_away(p).astype(np.int64)
             cols = {"label": [], "k0": [], "s": [], "cnt": []}
             for lb in np.unique(labels):
                 m = labels == lb
@@ -2573,6 +2586,10 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def classify(batches):
+        from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (  # noqa: PLC0415
+            np_round_half_away,
+        )
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -2582,9 +2599,7 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(len(clabels)):
                 diff = emb - cents[j]
                 p = diff * diff * float(SCALE)
-                r = np.floor(p + 0.5)
-                r -= (r - p) > 0.5
-                d2[:, j] = r.astype(np.int64).sum(axis=1)
+                d2[:, j] = np_round_half_away(p).astype(np.int64).sum(axis=1)
             pred = clabels[d2.argmin(axis=1)]
             pairs, counts = np.unique(
                 np.stack([labels.astype(np.int64), pred]), axis=1, return_counts=True
@@ -4488,7 +4503,11 @@ def _dup_window_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # h is only ever compared for equality (cross-doc window
         # match), so the window STRINGS never materialize and the
         # 8-byte key quarters the spill + partition-by-h shuffle vs
-        # a 32-char hex string
+        # a 32-char hex string.  Collision note: the oracle digests
+        # the literal window strings, so a 64-bit collision would
+        # fabricate a cross-doc hit; fixture-scale risk is n^2/2^65
+        # (<1e-6), and a 100 TB corpus widens to a salted
+        # (2 x xxhash64) digest pair — same plan, 16-byte keys.
         t = c.select("doc_id", shingle_digests(F.col("text"), 8).alias("h8")).filter(
             F.size("h8") > 0
         )
@@ -4559,7 +4578,8 @@ def q_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     to merge overlaps.
 
     100 TB plan: the stride-1 explode is 1 row/token (the same cost
-    class as the shingle pipelines, shuffled as 32-byte digests);
+    class as the shingle pipelines, shuffled as 8-byte token-hash
+    digests — see _dup_window_table's collision note);
     the digest table is a STORED index (_dup_window_table — exact-
     substring dedup builds its suffix/digest index once and reuses
     it); islands-merging windows partition BY DOC — thousands of
@@ -8582,16 +8602,20 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination-audit companion to q_decontaminate (which gates a
     designated eval set; this audits every pair symmetrically).
 
-    100 TB plan: grams digest to md5 at the EXPLODE (the q_dup_ranges
-    pattern — ~50-char span strings never shuffle, 32-hex keys do) and
-    dedup to (source, digest) grain in the spilled ``source_grams``
-    table, which both join sides read — without the spill Spark
-    recomputes the explode+distinct per side.  The self-join runs at
-    digest grain and each digest's fanout is bounded by the number of
-    sources (single digits), so pair expansion is linear in distinct
-    grams.  The oracle digests identically, so any md5 collision
-    collapses the same gram pair in both engines — counts stay
-    value-exact."""
+    100 TB plan: grams digest to 8-byte token-hash xxhash64 longs at
+    the EXPLODE (the q_dup_ranges pattern — ~50-char span strings
+    never materialize, long keys shuffle) and dedup to (source,
+    digest) grain in the spilled ``source_grams`` table, which both
+    join sides read — without the spill Spark recomputes the
+    explode+distinct per side.  The self-join runs at digest grain and
+    each digest's fanout is bounded by the number of sources (single
+    digits), so pair expansion is linear in distinct grams.
+
+    Digest honesty: the oracle counts over the literal gram strings,
+    so a Spark-side 64-bit collision WOULD perturb a count; at fixture
+    scale the birthday bound is ~n^2/2^65 < 1e-6, and a true 100 TB
+    corpus (1e10+ distinct grams) widens the digest to a salted
+    (2 x xxhash64) 128-bit pair — same plan shape, 16-byte keys."""
     g = _source_gram_table(spark, sf_dir)
     a = g.alias("a")
     b = g.alias("b")
