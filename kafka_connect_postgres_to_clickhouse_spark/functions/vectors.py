@@ -26,16 +26,19 @@ def np_round_half_away(p):
     discipline for the mapInPandas scorers.
 
     A bare ``floor(|p| + 0.5)`` misrounds doubles within 1 ulp of .5
-    (e.g. 0.49999999999999994 + 0.5 == 1.0 in IEEE): the correction
-    subtracts 1 wherever the addition rounded up across the boundary
-    (result exceeds |p| by MORE than 0.5; exact ties keep the round-up,
-    which is half-away behavior).  Returns float64 (integral values);
-    callers cast/sum as int64."""
+    (e.g. 0.49999999999999994 + 0.5 == 1.0 in IEEE).  The correction
+    must NOT be phrased as ``(r - ap) > 0.5``: that subtraction itself
+    rounds back to exactly 0.5 on the trap values (1.0 -
+    0.49999999999999994 == 0.5 under ties-to-even), silently skipping
+    the fix.  Instead compare ``ap < r - 0.5`` — r is integral with
+    ulp <= 0.5, so ``r - 0.5`` is EXACT, and the strict inequality
+    keeps true ties rounded up (half-away behavior).  Returns float64
+    (integral values); callers cast/sum as int64."""
     import numpy as np
 
     ap = np.abs(p)
     r = np.floor(ap + 0.5)
-    r -= (r - ap) > 0.5
+    r -= ap < (r - 0.5)
     return np.sign(p) * r
 
 

@@ -422,3 +422,29 @@ def test_wav_decode_8bit_and_stereo_downmix():
         )
     x, rate = decode_wav(buf.getvalue())
     assert len(x) == 4 and np.allclose(x, 0.0)
+
+
+def test_np_round_half_away_edges():
+    """The shared worker-side rounding helper must replicate
+    Spark/DuckDB round() (half away from zero) exactly — including the
+    doubles-within-1-ulp-of-.5 traps where bare floor(v+0.5) misrounds,
+    and negative values."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (
+        np_round_half_away,
+    )
+
+    near_half = 0.49999999999999994  # largest double < 0.5: +0.5 == 1.0 in IEEE
+    cases = {
+        0.0: 0, 0.5: 1, -0.5: -1, 1.5: 2, -1.5: -2, 2.5: 3,
+        near_half: 0, -near_half: 0,
+        1234.4999999999998: 1234,
+        0.50000000000000011: 1, 1e9 + 0.5: 1e9 + 1,
+    }
+    # note: 1.0 + near_half == 1.5 exactly in IEEE (a true tie), so it
+    # belongs to the 1.5 case above, not a new misround case
+    got = np_round_half_away(np.array(list(cases), dtype=np.float64))
+    assert list(got) == [float(v) for v in cases.values()], dict(
+        zip(cases, got)
+    )
