@@ -3764,6 +3764,43 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _basket_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (part_a, part_b, n_ab) co-purchase pair counts, spilled
+    once per session: q_copurchase (raw counts) and q_basket_lift
+    (lift statistic) both consume the identical pair table, and the
+    distinct + self-join + pair agg is the expensive half of both.
+
+    100 TB plan: distinct (order, part) first (one partial agg —
+    dedups multi-line items BEFORE pairing), then a self equi-join on
+    orderkey whose output is bounded by sum(basket_size^2) per order —
+    baskets are small and bounded, never corpus-sized (a hot basket
+    would salt-split); the a<b canonicalization halves the pair space
+    and makes rows unique."""
+    from .analytics_queries import _materialize  # noqa: PLC0415
+
+    def build() -> DataFrame:
+        l = _t(spark, sf_dir, "lineitem")
+        op = l.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+        )
+        b = op.select(
+            F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+        )
+        return (
+            a.join(
+                b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b"))
+            )
+            .groupBy("part_a", "part_b")
+            .agg(F.count("*").alias("n_ab"))
+        )
+
+    return _materialize(spark, sf_dir, "basket_pairs", build)
+
+
+MATERIALIZATION_TRIGGERS["basket_pairs"] = _basket_pair_table
+
+
 @register(
     "q_copurchase",
     oracle="""
@@ -3783,21 +3820,11 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same order — the association-mining primitive (and the text
     co-occurrence shape in disguise).
 
-    100 TB plan: distinct (order, part) first (one partial agg —
-    dedups multi-line items BEFORE pairing), then a self equi-join on
-    orderkey whose output is bounded by sum(basket_size^2) per order —
-    baskets are small and bounded, never corpus-sized (a hot basket
-    would salt-split); the pair count partial-aggregates and top-20 is
-    TakeOrdered.  The a<b canonicalization halves the pair space and
-    makes rows unique."""
-    l = _t(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    Probes the STORED pair table (_basket_pair_table); the top-20 is
+    TakeOrdered over the pair counts."""
     return (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
+        _basket_pair_table(spark, sf_dir)
+        .select("part_a", "part_b", F.col("n_ab").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
@@ -4952,22 +4979,16 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_copurchase's counts upgraded to the statistic rule-mining
     actually thresholds on.
 
-    100 TB plan: reuses the distinct (order, part) projection for all
-    three aggregates (pair counts, part degrees, order total); degrees
-    and the 1-row total broadcast onto the pair table; integer
+    100 TB plan: probes the STORED pair table (_basket_pair_table);
+    degrees and the 1-row total are cheap aggregates of the distinct
+    (order, part) projection that broadcast onto it; integer
     arithmetic end-to-end (n_ab * n_orders bounded by
     |orders|^2 ~ 1e18 at 1e9 orders — swap to DECIMAL beyond)."""
     l = _t(spark, sf_dir, "lineitem")
     op = l.select("l_orderkey", "l_partkey").distinct()
     tot = op.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
     deg = op.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_ab"))
-    )
+    pairs = _basket_pair_table(spark, sf_dir)
     da = deg.select(F.col("l_partkey").alias("pa"), F.col("n_p").alias("n_a"))
     db = deg.select(F.col("l_partkey").alias("pb"), F.col("n_p").alias("n_b"))
     return (

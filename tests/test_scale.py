@@ -158,6 +158,7 @@ def test_index_consumers_probe_the_spill(spark):
         ("q_simsearch_ivf", "ivf_assign"),
         ("q_simsearch_lsh", "lsh_sig"),
         ("q_dup_ranges", "dup_windows"),
+        ("q_copurchase", "basket_pairs"),
         ("q_containment", "shingle_arrays"),
         # (q_dedup_clusters also rides jaccard_pairs, but its iterative
         # label propagation localCheckpoints each round, which truncates
