@@ -448,3 +448,37 @@ def test_np_round_half_away_edges():
     assert list(got) == [float(v) for v in cases.values()], dict(
         zip(cases, got)
     )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-1e12,
+            max_value=1e12,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_round_half_away_matches_duckdb(vals):
+    """np_round_half_away IS the numpy stand-in for the oracle's
+    round() in every mapInPandas scorer — property-check it against
+    DuckDB itself on arbitrary doubles (sign, magnitude, tie, and
+    near-tie cases all generated)."""
+    import duckdb
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (
+        np_round_half_away,
+    )
+
+    got = np_round_half_away(np.array(vals, dtype=np.float64))
+    con = duckdb.connect()
+    exp = [
+        con.execute("SELECT round(CAST(? AS DOUBLE))", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert list(got) == exp, list(zip(vals, got, exp))
