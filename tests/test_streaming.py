@@ -1558,3 +1558,52 @@ def test_multimodal_bmp_strip_frame_sampling(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         sample_frames(df, backend="ffmpeg").collect()
+
+
+def test_multimodal_streaming_decode(spark, tmp_path):
+    """The real decode path must compose with Structured Streaming:
+    binary payloads arriving as a file stream flow through the SAME
+    extract_features mapInPandas (narrow, so it plans on a streaming
+    DataFrame), and the sink holds the real decoded features."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        FEATURE_DIM,
+        encode_bmp,
+        extract_features,
+    )
+
+    src, out, ckpt = tmp_path / "media", tmp_path / "feat", tmp_path / "ck"
+    rows = [
+        (i, "image", bytearray(encode_bmp(np.full((4, 4, 3), c, dtype=np.uint8))))
+        for i, c in [(1, 0), (2, 255), (3, 128)]
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    ).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, media_type string, payload binary")
+        .parquet(str(src))
+    )
+    assert stream.isStreaming
+    (
+        extract_features(stream, backend="bmp")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r.doc_id: list(r.feature)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for f in got.values():
+        assert len(f) == FEATURE_DIM
+    # solid black -> all luma mass in bin 0; solid white -> bin 7
+    assert got[1][0] == pytest.approx(1.0)
+    assert got[2][-1] == pytest.approx(1.0)
+    assert got[3][3] == pytest.approx(1.0)  # luma 100 -> bin 3
