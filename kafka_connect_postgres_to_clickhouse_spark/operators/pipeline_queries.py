@@ -127,8 +127,9 @@ def q_scan_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
            || ' (' || string_agg(column_name || ' ' || ch_type, ', ' ORDER BY ordinal_position)
            || ') ENGINE = ReplacingMergeTree() ORDER BY '
            || coalesce(
-                min(CASE WHEN column_name = regexp_replace(table_name, 's$', '') || '_id'
-                         THEN column_name END),
+                substring(min(CASE WHEN column_name LIKE '%\\_id' ESCAPE '\\'
+                              THEN lpad(CAST(ordinal_position AS VARCHAR), 6, '0')
+                                   || ':' || column_name END), 8),
                 arg_min(column_name, ordinal_position))
            || ';' AS ddl
     FROM cols

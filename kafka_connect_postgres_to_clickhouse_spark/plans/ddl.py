@@ -59,16 +59,23 @@ def generate_ddl(catalog_columns: DataFrame) -> DataFrame:
             ),
             ", ",
         ).alias("columns_sql"),
-        # PK heuristic (setup.sh:54-59,64): prefer '<stem>_id' column,
-        # else fall back to the first column by ordinal.
+        # PK heuristic (setup.sh:54-59,64 approximation): FIRST column
+        # ending '_id' by ordinal, else the first column — the SAME
+        # rule bootstrap_pipeline uses for the state merge key, so the
+        # sink's ReplacingMergeTree ORDER BY and the pipeline's LWW
+        # key can never diverge for one table.  (min of an
+        # ordinal-tagged string = arg-min; tag stripped below.)
         F.min_by("column_name", "ordinal_position").alias("first_column"),
         F.min(
             F.when(
-                F.col("column_name")
-                == F.concat(F.regexp_replace("table_name", "s$", ""), F.lit("_id")),
-                F.col("column_name"),
+                F.col("column_name").endswith("_id"),
+                F.concat(
+                    F.lpad(F.col("ordinal_position").cast("string"), 6, "0"),
+                    F.lit(":"),
+                    F.col("column_name"),
+                ),
             )
-        ).alias("pk_candidate"),
+        ).alias("pk_tagged"),
     )
     return agg.select(
         "table_schema",
@@ -81,7 +88,10 @@ def generate_ddl(catalog_columns: DataFrame) -> DataFrame:
             F.lit(" ("),
             F.col("columns_sql"),
             F.lit(") ENGINE = ReplacingMergeTree() ORDER BY "),
-            F.coalesce(F.col("pk_candidate"), F.col("first_column")),
+            F.coalesce(
+                F.substring(F.col("pk_tagged"), 8, 1_000_000),
+                F.col("first_column"),
+            ),
             F.lit(";"),
         ).alias("ddl"),
     )

@@ -58,26 +58,63 @@ class ChangelogGenReader(DataSourceReader):
 
 class ChangelogGenStreamReader(DataSourceStreamReader):
     """Microbatch twin: each trigger serves `batch_rows` more rows of
-    the same deterministic sequence; the offset IS the row index, so
-    restart/replay semantics are exact (same contract as a Kafka
-    offset)."""
+    the same deterministic sequence; the offset IS the row index (same
+    contract as a Kafka offset).
+
+    Restart semantics: a real source's ``latestOffset`` queries a
+    DURABLE system (the broker); this generator's pacing counter lives
+    in the reader, so exact resume across a query restart requires the
+    ``progress_path`` option — a sidecar file holding the high-water
+    mark, re-read by the recreated reader (atomic replace, one query
+    per path).  Without it a fresh reader restarts the pacing from 0
+    and a checkpoint-resumed query would re-serve delivered rows; the
+    ``partitions`` clamp below at least refuses to serve a regressed
+    (start > end) plan.  Tests that run a single uninterrupted query
+    need no path."""
 
     def __init__(self, options: dict) -> None:
         self.rows = int(options.get("rows", "1000"))
         self.batch_rows = int(options.get("batch_rows", "100"))
         self.n_keys = max(self.rows // 20, 1)
+        self.progress_path = options.get("progress_path")
+        self._latest = self._read_progress()
+
+    def _read_progress(self) -> int:
+        if not self.progress_path:
+            return 0
+        try:
+            with open(self.progress_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    def _write_progress(self, row: int) -> None:
+        if not self.progress_path:
+            return
+        import os
+
+        tmp = f"{self.progress_path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(row))
+        os.replace(tmp, self.progress_path)
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
     def latestOffset(self) -> dict:
         # each poll advances one batch, capped at the configured total
-        self._latest = getattr(self, "_latest", 0)
         self._latest = min(self._latest + self.batch_rows, self.rows)
+        self._write_progress(self._latest)
         return {"row": self._latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        return [InputPartition((start["row"], end["row"]))]
+        # a restarted pacing counter can plan end < start (committed
+        # checkpoint ahead of this reader's memory): adopt the
+        # committed position and serve nothing rather than duplicating
+        if start["row"] > self._latest:
+            self._latest = start["row"]
+            self._write_progress(self._latest)
+        return [InputPartition((start["row"], max(end["row"], start["row"])))]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         lo, hi = partition.value
@@ -85,7 +122,9 @@ class ChangelogGenStreamReader(DataSourceStreamReader):
             yield _row(r, self.n_keys)
 
     def commit(self, end: dict) -> None:
-        pass
+        if end["row"] > self._latest:
+            self._latest = end["row"]
+        self._write_progress(self._latest)
 
 
 class ChangelogGenSource(DataSource):

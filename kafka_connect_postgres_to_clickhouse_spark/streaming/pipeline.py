@@ -232,14 +232,18 @@ def run_cdc_pipeline(
     spark = stream.sparkSession
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        parsed = None
         if dlq_dir is not None:
+            # parse ONCE: this parsed frame feeds both the corrupt DLQ
+            # slice and (minus the raw bytes) the merge below — without
+            # the share, every micro-batch paid two full envelope-parse
+            # scans of the wire batch
             wire = batch.filter(F.col("value").isNotNull())
-            corrupt = (
-                parse_envelope(
-                    wire.withColumn("_raw", F.col("value")), payload_schema
-                )
-                .filter(F.col("_corrupt"))
-                .select("_seq", F.col("_raw").alias("value"))
+            parsed = parse_envelope(
+                wire.withColumn("_raw", F.col("value")), payload_schema
+            ).persist()
+            corrupt = parsed.filter(F.col("_corrupt")).select(
+                "_seq", F.col("_raw").alias("value")
             )
             # deterministic per-batch Hive-style subpath + overwrite,
             # NOT a flat append: foreachBatch is at-least-once, so a
@@ -254,16 +258,21 @@ def run_cdc_pipeline(
             corrupt.write.mode("overwrite").parquet(
                 os.path.join(dlq_dir, f"batch_id={batch_id}")
             )
-        if n_buckets is not None:
-            _merge_batch_bucketed(
-                spark, batch, payload_schema, state_dir, keys, version_cols,
-                apply_deletes, n_buckets, retain_versions,
-            )
-        else:
-            _merge_batch(
-                spark, batch, payload_schema, state_dir, keys, version_cols,
-                apply_deletes, retain_versions,
-            )
+        try:
+            pre = parsed.drop("_raw") if parsed is not None else None
+            if n_buckets is not None:
+                _merge_batch_bucketed(
+                    spark, batch, payload_schema, state_dir, keys, version_cols,
+                    apply_deletes, n_buckets, retain_versions, parsed=pre,
+                )
+            else:
+                _merge_batch(
+                    spark, batch, payload_schema, state_dir, keys, version_cols,
+                    apply_deletes, retain_versions, parsed=pre,
+                )
+        finally:
+            if parsed is not None:
+                parsed.unpersist()
 
     (
         stream.writeStream.foreachBatch(upsert)
@@ -275,15 +284,22 @@ def run_cdc_pipeline(
 
 
 def _parse_clean(
-    batch: DataFrame, payload_schema: T.StructType, apply_deletes: bool
+    batch: DataFrame,
+    payload_schema: T.StructType,
+    apply_deletes: bool,
+    parsed: DataFrame | None = None,
 ) -> DataFrame:
     """Wire micro-batch -> clean payload rows: tombstone drop, envelope
     parse (PERMISSIVE), corrupt drop, delete drop (default mode).
     NULL-safe on op: a source without an op column (e.g. the Kafka
     wrapper emits op=NULL) must pass everything through, not drop every
-    row on a NULL predicate."""
-    clean = batch.filter(F.col("value").isNotNull())
-    parsed = parse_envelope(clean, payload_schema)
+    row on a NULL predicate.  ``parsed`` accepts an already-parsed
+    frame (the DLQ path shares one envelope parse between the corrupt
+    slice and the merge) — the tombstone/corrupt/delete filters still
+    apply."""
+    if parsed is None:
+        clean = batch.filter(F.col("value").isNotNull())
+        parsed = parse_envelope(clean, payload_schema)
     rows = parsed.filter(~F.col("_corrupt")).drop("_corrupt")
     if not apply_deletes:
         rows = rows.filter((F.col("op") != "d") | F.col("op").isNull())
@@ -299,9 +315,22 @@ def _merge_batch(
     version_cols: Sequence[str],
     apply_deletes: bool,
     retain_versions: int = 3,
+    parsed: DataFrame | None = None,
 ) -> None:
     """One micro-batch of one table: parse, filter, LWW-merge, publish."""
-    rows = _parse_clean(batch, payload_schema, apply_deletes)
+    # symmetric twin of the bucketed path's guard: a monolithic merge
+    # on bucketed state would silently read the whole state through the
+    # manifest, rewrite it as a manifest-less snapshot (an O(|state|)
+    # rewrite the bucket layout exists to avoid), and destroy the
+    # copy-on-write layout — refuse instead of converting
+    prev = _current_version(state_dir)
+    if prev is not None and _read_manifest(state_dir, prev) is not None:
+        raise ValueError(
+            f"{state_dir} holds bucketed state; run with the same n_buckets "
+            "instead of the monolithic merge (rebucketing requires an "
+            "explicit rewrite)"
+        )
+    rows = _parse_clean(batch, payload_schema, apply_deletes, parsed=parsed)
     existing = read_state(spark, state_dir, include_tombstones=True)
     if existing is not None:
         rows = existing.unionByName(rows, allowMissingColumns=True)
@@ -334,6 +363,7 @@ def _merge_batch_bucketed(
     apply_deletes: bool,
     n_buckets: int,
     retain_versions: int = 3,
+    parsed: DataFrame | None = None,
 ) -> None:
     """Incremental keyed merge with bucket-level copy-on-write — the
     scale path ``_merge_batch`` cannot be: the monolithic merge unions
@@ -363,7 +393,7 @@ def _merge_batch_bucketed(
     is fixed at state creation and enforced against the manifest —
     changing it requires a rebucketing rewrite, exactly like changing
     a table's bucket count."""
-    rows = _parse_clean(batch, payload_schema, apply_deletes)
+    rows = _parse_clean(batch, payload_schema, apply_deletes, parsed=parsed)
     prev = _current_version(state_dir)
     manifest = _read_manifest(state_dir, prev)
     if prev is not None and manifest is None:
@@ -473,10 +503,15 @@ def seed_state(
 
 
 def compact_state(
-    spark: SparkSession, state_dir: str, retain_versions: int = 1
+    spark: SparkSession, state_dir: str, retain_versions: int = 3
 ) -> int | None:
     """Rewrite every live bucket into ONE fresh version — the
     ``OPTIMIZE TABLE ... FINAL`` analog for the bucketed layout.
+
+    ``retain_versions`` defaults to the merge paths' keep window (3) so
+    a reader that resolved ``_CURRENT`` just before the swap can still
+    finish its scan; pass 1 for immediate reclaim ONLY when no
+    concurrent readers exist (e.g. an offline maintenance window).
 
     Copy-on-write leaves dead bucket copies behind: a version dir must
     survive while ANY of its buckets is still referenced, so the stale
@@ -548,25 +583,36 @@ def run_multi_table_pipeline(
     spark = stream.sparkSession
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        routed = batch.withColumn("_table", F.regexp_extract("topic", topic_re, 1))
-        present = [
-            r._table
-            for r in routed.select("_table").distinct().collect()
-            if r._table in schemas
-        ]
-        for t in present:
-            slice_df = routed.filter(F.col("_table") == t).drop("_table")
-            table_state = os.path.join(state_root, t)
-            if n_buckets is not None:
-                _merge_batch_bucketed(
-                    spark, slice_df, schemas[t], table_state, keys[t],
-                    version_cols, apply_deletes, n_buckets, retain_versions,
-                )
-            else:
-                _merge_batch(
-                    spark, slice_df, schemas[t], table_state, keys[t],
-                    version_cols, apply_deletes, retain_versions,
-                )
+        # persisted because 1 + |tables| jobs consume the routed batch
+        # (the distinct-table collect plus one filtered slice per
+        # table): without it every table's merge re-reads and
+        # re-routes the SOURCE micro-batch — per-batch cost linear in
+        # table count times batch scan cost (same reason the bucketed
+        # merge persists its parsed batch)
+        routed = batch.withColumn(
+            "_table", F.regexp_extract("topic", topic_re, 1)
+        ).persist()
+        try:
+            present = [
+                r._table
+                for r in routed.select("_table").distinct().collect()
+                if r._table in schemas
+            ]
+            for t in present:
+                slice_df = routed.filter(F.col("_table") == t).drop("_table")
+                table_state = os.path.join(state_root, t)
+                if n_buckets is not None:
+                    _merge_batch_bucketed(
+                        spark, slice_df, schemas[t], table_state, keys[t],
+                        version_cols, apply_deletes, n_buckets, retain_versions,
+                    )
+                else:
+                    _merge_batch(
+                        spark, slice_df, schemas[t], table_state, keys[t],
+                        version_cols, apply_deletes, retain_versions,
+                    )
+        finally:
+            routed.unpersist()
 
     (
         stream.writeStream.foreachBatch(upsert)

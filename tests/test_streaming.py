@@ -1607,3 +1607,54 @@ def test_multimodal_streaming_decode(spark, tmp_path):
     assert got[1][0] == pytest.approx(1.0)
     assert got[2][-1] == pytest.approx(1.0)
     assert got[3][3] == pytest.approx(1.0)  # luma 100 -> bin 3
+
+
+def test_pysource_stream_reader_durable_progress(tmp_path):
+    """ChangelogGenStreamReader with progress_path resumes exactly: a
+    recreated reader (the checkpoint-restart case) continues from the
+    durable high-water mark instead of regressing to 0 and re-serving
+    delivered rows; a regressed plan (start > end) serves nothing."""
+    from kafka_connect_postgres_to_clickhouse_spark.sources.pydatasource import (
+        ChangelogGenStreamReader,
+    )
+
+    path = str(tmp_path / "progress")
+    opts = {"rows": "1000", "batch_rows": "100", "progress_path": path}
+
+    r1 = ChangelogGenStreamReader(opts)
+    assert r1.latestOffset() == {"row": 100}
+    assert r1.latestOffset() == {"row": 200}
+    r1.commit({"row": 200})
+
+    # restart: fresh reader object, same options
+    r2 = ChangelogGenStreamReader(opts)
+    assert r2.latestOffset() == {"row": 300}, "must resume, not regress to 100"
+
+    # without a path, a fresh reader CAN regress — the partitions clamp
+    # then refuses to serve the reversed range and adopts the position
+    r3 = ChangelogGenStreamReader({"rows": "1000", "batch_rows": "100"})
+    [part] = r3.partitions({"row": 500}, {"row": 100})
+    assert part.value == (500, 500)  # empty slice, no duplicates
+    assert r3.latestOffset() == {"row": 600}  # adopted, continues forward
+
+
+def test_monolithic_merge_refuses_bucketed_state(spark, tmp_path, users_schema):
+    """Symmetric layout guard: running the pipeline WITHOUT n_buckets
+    over state that was created bucketed must raise, not silently
+    rewrite the copy-on-write layout into a monolithic snapshot."""
+    wire = _wire_rows(spark)
+    src = tmp_path / "wire"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+
+    _write_batch_file(src, "batch_a.json", [r for r in wire if r._seq <= 3])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, state_dir,
+        str(tmp_path / "ck1"), KEYS, VERSION, n_buckets=8,
+    )
+    _write_batch_file(src, "batch_b.json", [r for r in wire if r._seq >= 4])
+    with pytest.raises(Exception, match="bucketed state"):
+        run_cdc_pipeline(
+            changelog_file_stream(spark, str(src)), users_schema, state_dir,
+            str(tmp_path / "ck2"), KEYS, VERSION,
+        )
