@@ -49,6 +49,9 @@ _MATERIALIZED: dict = {}
 MATERIALIZATION_TRIGGERS: dict = {}
 
 
+_SPILL_ROOT: str | None = None
+
+
 def _materialize_root() -> str:
     """Spill directory for materialized intermediates.
 
@@ -59,15 +62,40 @@ def _materialize_root() -> str:
     genuinely PER-USER tmp directory — uid-suffixed so concurrent
     users on a shared host never contend over one world-visible /tmp
     path — and never anywhere under the installed package or source
-    tree, which must stay read-only at runtime."""
+    tree, which must stay read-only at runtime.
+
+    The default name is PREDICTABLE, so a pre-existing entry is never
+    trusted: another local user could plant a directory or symlink at
+    the name before our first use and then read or poison the spills
+    this session round-trips through ``spark.read.parquet``.  The root
+    is claimed with mode 0700 and verified via ``lstat`` to be a real
+    directory owned by this uid; anything else falls back to a private
+    ``mkdtemp`` whose path is cached for the life of the process."""
     import os
+    import stat
     import tempfile
 
     env = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
     if env:
         return env
-    uid = os.getuid() if hasattr(os, "getuid") else "win"
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_materialized-{uid}")
+    global _SPILL_ROOT
+    if _SPILL_ROOT is not None:
+        return _SPILL_ROOT
+    uid = os.getuid() if hasattr(os, "getuid") else None
+    cand = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_materialized-{uid if uid is not None else 'win'}"
+    )
+    try:
+        os.makedirs(cand, mode=0o700, exist_ok=True)
+        st = os.lstat(cand)  # lstat: a symlink planted at the name fails S_ISDIR
+        if stat.S_ISDIR(st.st_mode) and (uid is None or st.st_uid == uid):
+            os.chmod(cand, 0o700)
+            _SPILL_ROOT = cand
+            return cand
+    except OSError:
+        pass
+    _SPILL_ROOT = tempfile.mkdtemp(prefix="spark_graft_materialized-")
+    return _SPILL_ROOT
 
 
 def _materialize(spark, sf_dir: str, name: str, build) -> DataFrame:
@@ -1200,8 +1228,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata.
 
     The payload is the utf-8 encoding of ``text`` standing in for real
-    image/audio bytes (decode itself is stubbed — see
-    streaming/multimodal.py); byte length, content hash, and metadata
+    image/audio bytes (real decode paths live in
+    streaming/multimodal.py — BMP/WAV/PNG codecs, driver-gated by the
+    q_media_decode_* keys); byte length, content hash, and metadata
     are first-class columns so partition pruning and predicate
     pushdown work on metadata without touching payload bytes.
     """

@@ -4142,15 +4142,11 @@ def q_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics see exactly what was injected, parse-side.
 
     100 TB plan: serde + classification are per-row; one 3-group
-    partial agg."""
-    log = _changelog(spark, sf_dir)
-    payload = log.select("user_id", "username", "account_type", "updated_at")
-    wire = log.select(
-        "_seq",
-        build_envelope_json(payload.schema, "postgres_cdc.iman.users.Value").alias(
-            "value"
-        ),
-    )
+    partial agg.  Wire bytes come from the shared ``_wire_envelopes``
+    spill (built once across the three wire-serde consumers)."""
+    from .pipeline_queries import _users_payload_schema, _wire_envelopes
+
+    wire = _wire_envelopes(spark, sf_dir).select("_seq", "value")
     corrupted = wire.withColumn(
         "value",
         F.when(F.col("_seq") % 97 == 0, F.substring("value", 1, 20))
@@ -4161,7 +4157,8 @@ def q_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wire bytes through as `raw` makes classification a pure per-row
     # select — no self-join, envelope construction runs once
     classified = parse_envelope(
-        corrupted.withColumn("raw", F.col("value")), payload.schema
+        corrupted.withColumn("raw", F.col("value")),
+        _users_payload_schema(spark, sf_dir),
     ).select(
         "_seq",
         F.when(~F.col("_corrupt"), "clean")
@@ -4236,7 +4233,8 @@ def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic every-5th-frame extraction schedule from the clip's
     frame count — the planning half of streaming/multimodal.py's
     mapInPandas frame sampler, made oracle-checkable (the decode half
-    stays a stubbed Arrow UDF since codec libs are absent).
+    runs for real on BMP strips — q_media_frame_scan — and stays a
+    documented seam only for codec-lib formats like MP4).
 
     100 TB plan: per-row sequence + explode; output size is
     sum(n_frames/5) — the plan rows are what a cluster would shuffle
@@ -5959,14 +5957,13 @@ def q_wire_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB plan: serialization + octet_length are per-row; one 2-group
     partial agg.  The oracle rebuilds the identical JSON bytes by
-    string concatenation, so the measurement itself is verified."""
-    log = _changelog(spark, sf_dir)
-    payload = log.select("user_id", "username", "account_type", "updated_at")
-    wire = log.select(
-        "op",
-        F.octet_length(
-            build_envelope_json(payload.schema, "postgres_cdc.iman.users.Value")
-        ).cast("long").alias("n_bytes"),
+    string concatenation, so the measurement itself is verified.  Wire
+    bytes come from the shared ``_wire_envelopes`` spill (built once
+    across the three wire-serde consumers)."""
+    from .pipeline_queries import _wire_envelopes
+
+    wire = _wire_envelopes(spark, sf_dir).select(
+        "op", F.octet_length("value").cast("long").alias("n_bytes")
     )
     return wire.groupBy("op").agg(
         F.count("*").alias("n_msgs"),
@@ -7501,8 +7498,8 @@ def q_media_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal storage budget: payload bytes by media type with
     per-type share — the capacity-planning rollup over the opaque
     binary column (q_multimodal_meta types the items; this prices
-    them; the decode stubs in streaming/multimodal.py spend against
-    exactly this budget).
+    them; the decode backends in streaming/multimodal.py spend
+    against exactly this budget).
 
     100 TB plan: byte length is a per-row metadata expression (the
     payload itself never moves); one 3-group partial agg + a 1-row
@@ -10184,7 +10181,7 @@ def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: per doc, encode a solid-color
     4x4 24-bit BMP (color = doc_id % 256), decode it with the
     hand-parsed BMP reader inside the SAME mapInPandas feature path
-    the stub backends use, and emit the dominant luminance bin.
+    the fallback backends use, and emit the dominant luminance bin.
 
     Exactness: all 16 pixels share one luma, so the L1 histogram is
     exactly 1.0 in one bin; the oracle replays the identical IEEE
@@ -10346,4 +10343,71 @@ def q_media_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(media, every_nth=2, backend="bmp_strip")
     return frames.mapInPandas(
         feat, "doc_id long, frame_no int, n_bytes int, top_bin int"
+    )
+
+
+# --- wave 24 (round 6): compressed-format decode through the driver gate ---
+
+
+@register(
+    "q_media_decode_png",
+    oracle="""
+    SELECT doc_id,
+           CAST(floor((0.299*c + 0.587*c + 0.114*c) / 32) AS INTEGER) AS top_bin,
+           CAST(1.0 AS FLOAT) AS top_frac
+    FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c FROM documents)
+    """,
+)
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image decode end-to-end: per doc, encode a
+    solid-color 5x5 8-bit truecolor PNG (color = doc_id % 256) with
+    scanline filters CYCLING through all five PNG filter types, then
+    decode it — stdlib zlib inflate + CRC-verified chunk walk +
+    None/Sub/Up/Average/Paeth un-filtering — inside the same
+    mapInPandas feature path as the other codecs, and emit the
+    dominant luminance bin.
+
+    This is the proof the decode architecture handles a real
+    COMPRESSED format with zero external codec deps (the r5 BMP/WAV
+    codecs are uncompressed); the cycle-filter encoder guarantees the
+    driver's exact-value gate exercises every un-filter arm, not just
+    filter 0.  Exactness matches q_media_decode_bmp: all 25 pixels
+    share one luma, so the L1 histogram is exactly 1.0 in one bin and
+    the oracle replays the identical IEEE luma expression.  n_bytes is
+    deliberately NOT emitted — DEFLATE length is content-dependent,
+    not SQL-derivable.
+
+    Scale: payload synthesis + inflate + decode are narrow
+    Arrow-batched passes; payload bytes never shuffle."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import encode_png, extract_features
+
+    def mk(batches):
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    np.full((5, 5, 3), int(i) % 256, dtype=np.uint8),
+                    filter_mode="cycle",
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    feats = extract_features(media, backend="png")
+    return feats.select(
+        "doc_id",
+        (F.array_position(F.col("feature"), F.array_max("feature")) - 1)
+        .cast("int")
+        .alias("top_bin"),
+        F.array_max("feature").alias("top_frac"),
     )

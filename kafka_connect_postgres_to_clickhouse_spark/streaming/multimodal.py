@@ -11,6 +11,10 @@ Decode backends, selected per call:
   row padding).  Feature = FEATURE_DIM-bin luminance histogram;
   ``resize_images`` does true nearest-neighbor pixel resampling and
   re-encodes a valid BMP.
+- ``"png"`` — REAL COMPRESSED image decode: 8-bit truecolor(+alpha)
+  PNG via stdlib ``zlib`` inflate, CRC-verified chunk walk, and all
+  five scanline un-filters (None/Sub/Up/Average/Paeth).  Same
+  luminance-histogram feature as BMP.
 - ``"fake"`` — deterministic byte-domain stand-in (raw-byte histogram)
   for media types whose codecs aren't in this container (JPEG, MP3,
   MP4, ...).  The Spark-side plumbing is identical for all backends.
@@ -66,11 +70,18 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
-    """Mono float samples in [-1, 1] -> 16-bit PCM WAV bytes."""
+    """Mono float samples in [-1, 1] -> 16-bit PCM WAV bytes.
+
+    Quantization rounds half AWAY from zero (np_round_half_away), the
+    repo-wide rounding discipline and what the q_media_decode_wav
+    oracle's SQL ``round()`` assumes — ``np.round`` is half-to-even
+    and would diverge on exact .5 sample values."""
     import io
     import wave
 
-    pcm = np.round(
+    from ..functions.vectors import np_round_half_away
+
+    pcm = np_round_half_away(
         np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0) * 32767.0
     )
     buf = io.BytesIO()
@@ -123,6 +134,143 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     )
     return file_header + info_header + data
 
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 section 6.6): pick whichever of
+    left/up/up-left is closest to a+b-c, ties preferring a, then b."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB — pure-stdlib COMPRESSED decode.
+
+    The one real compressed image format this container can decode with
+    zero external deps: big-endian chunk walk (IHDR/IDAT/IEND, every
+    chunk CRC32-verified), ``zlib`` inflate of the concatenated IDAT
+    stream, then per-scanline un-filtering implementing ALL FIVE PNG
+    filter types (None/Sub/Up/Average/Paeth).  Supports 8-bit
+    truecolor (color type 2) and truecolor+alpha (6), non-interlaced;
+    alpha is dropped on return."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    off = 8
+    while off + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        off += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = 3 if color == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG pixel stream is {len(raw)} bytes, want {h * (stride + 1)}")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 1:  # Sub: sequential in x, per-byte
+            for i in range(ch, stride):
+                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+        elif ftype == 2:  # Up: vectorized, uint8 add wraps mod 256
+            line += prev
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - ch]) if i >= ch else 0
+                line[i] = (int(line[i]) + (a + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - ch]) if i >= ch else 0
+                c = int(prev[i - ch]) if i >= ch else 0
+                line[i] = (int(line[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter type {ftype} invalid on row {y}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, ch)[:, :, :3].copy()
+
+
+def encode_png(pixels: np.ndarray, filter_mode: str = "none") -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor PNG bytes.
+
+    ``filter_mode="none"`` writes every scanline with filter 0;
+    ``"cycle"`` filters row y with type y % 5, so a >=5-row image
+    round-trips through every PNG filter type — the encoder-side twin
+    that lets q_media_decode_png drive ALL of decode_png's un-filter
+    arms under the driver's exact-value gate."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(h, w * 3).astype(np.int32)
+    lines = []
+    for y in range(h):
+        ftype = (y % 5) if filter_mode == "cycle" else 0
+        cur = flat[y]
+        up = flat[y - 1] if y else np.zeros(w * 3, dtype=np.int32)
+        left = np.concatenate([np.zeros(3, dtype=np.int32), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int32), up[:-3]])
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - up
+        elif ftype == 3:
+            enc = cur - (left + up) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, up, upleft)],
+                dtype=np.int32,
+            )
+            enc = cur - pred
+        lines.append(bytes([ftype]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    raw = b"".join(lines)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -158,10 +306,10 @@ def _wav_features(payload: bytes) -> np.ndarray:
     )
 
 
-def _bmp_features(payload: bytes) -> np.ndarray:
-    """REAL image decode -> FEATURE_DIM-bin luminance histogram (L1)."""
-    px = decode_bmp(payload).astype(np.float64)
-    # ITU-R BT.601 luma
+def _luma_hist(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB -> FEATURE_DIM-bin luminance histogram (L1),
+    ITU-R BT.601 luma — shared by the BMP and PNG image backends."""
+    px = px.astype(np.float64)
     luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).ravel()
     hist = np.bincount(
         (luma // (256 // FEATURE_DIM)).astype(np.int64).clip(0, FEATURE_DIM - 1),
@@ -170,7 +318,23 @@ def _bmp_features(payload: bytes) -> np.ndarray:
     return (hist / max(hist.sum(), 1.0)).astype(np.float32)
 
 
-_FEATURE_BACKENDS = {"fake": _fake_decode, "wav": _wav_features, "bmp": _bmp_features}
+def _bmp_features(payload: bytes) -> np.ndarray:
+    """REAL image decode -> FEATURE_DIM-bin luminance histogram (L1)."""
+    return _luma_hist(decode_bmp(payload))
+
+
+def _png_features(payload: bytes) -> np.ndarray:
+    """REAL compressed image decode (zlib inflate + un-filter) ->
+    FEATURE_DIM-bin luminance histogram (L1)."""
+    return _luma_hist(decode_png(payload))
+
+
+_FEATURE_BACKENDS = {
+    "fake": _fake_decode,
+    "wav": _wav_features,
+    "bmp": _bmp_features,
+    "png": _png_features,
+}
 
 
 def extract_features(df: DataFrame, backend: str = "fake") -> DataFrame:

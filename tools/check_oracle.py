@@ -77,7 +77,13 @@ def compare(name: str, spark_df, con) -> tuple[bool, str, float, dict]:
     spark_sec = time.time() - t0
     rec["spark_rows"] = len(sp)
     if spec.oracle is None:
-        rec.update(err="no_oracle")
+        # rows-only key that executed: record the pass, not all-False —
+        # a consumer reading this artifact in the driver's shape would
+        # otherwise count a passing key as a failure.  The inapplicable
+        # oracle-compare fields stay null rather than False.
+        rec.update(
+            rows_match=True, schema_match=None, hash_match=None, err="no_oracle"
+        )
         return len(sp) >= 0, f"rows-only: {len(sp)} rows", spark_sec, rec
     du = con.sql(spec.oracle).df()
     rec["oracle_rows"] = len(du)
