@@ -8649,20 +8649,29 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _source_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (source, xxhash64(8-gram)) table, parquet-spilled once
-    per session: the per-token explode + hash + distinct dominates the
-    leakage audit, and the self-join needs it on BOTH sides."""
+    per session: the self-join of the leakage audit needs it on BOTH
+    sides.
+
+    Derived from the dup_windows index, not a fresh corpus explode:
+    _dup_window_table already stores every stride-1 8-token digest for
+    every corpus doc, and the original documents are exactly its
+    doc_id < 1_000_000 slice (the +1M/+2M ids are the dedup-corpus
+    augmentation slices, _corpus in analytics_queries.py).  Joining
+    that slice back to doc_id -> source and de-duplicating gives the
+    identical relation the old explode built, one full per-token
+    digest pass cheaper per session.  At 100 TB the same holds: the
+    window index is the stored artifact, and source attribution is a
+    key join against the (doc_id, source) projection, never a second
+    pass over text."""
     from .analytics_queries import _materialize  # noqa: PLC0415
 
     def build() -> DataFrame:
-        from ..functions.text import shingle_digests  # noqa: PLC0415
-
-        d = load_table(spark, sf_dir, "documents")
-        # 8-byte digests straight from token hashes (shingle_digests):
-        # g is only joined for equality, so the gram strings never
-        # materialize and the long key shrinks the distinct shuffle +
-        # spill 4x vs md5 hex
+        wins = _dup_window_table(spark, sf_dir)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
         return (
-            d.select("source", F.explode(shingle_digests(F.col("text"), 8)).alias("g"))
+            wins.filter(F.col("doc_id") < 1_000_000)
+            .join(d, "doc_id")
+            .select("source", F.col("h").alias("g"))
             .distinct()
         )
 

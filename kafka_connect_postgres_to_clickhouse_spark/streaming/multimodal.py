@@ -385,33 +385,41 @@ def resize_images(
     """Image resize over opaque binary payloads, Arrow-batched.
 
     Input columns: doc_id, media_type, width, height, payload.
-    ``backend="bmp"`` is a REAL image resize: decode the BMP, true
-    nearest-neighbor pixel resampling to (out_w, out_h), re-encode a
-    valid BMP.  ``backend="fake"`` performs a deterministic byte-domain
+    ``backend="bmp"`` and ``backend="png"`` are REAL image resizes:
+    decode the payload, true nearest-neighbor pixel resampling to
+    (out_w, out_h), re-encode a valid image of the same format (the
+    PNG path round-trips through zlib DEFLATE both ways).
+    ``backend="fake"`` performs a deterministic byte-domain
     "resample" — nearest-neighbor index selection over the raw bytes
     to out_w*out_h length — for payloads whose codec isn't available;
     a PIL/cv2 backend would plug in at the marked point.
     Narrow transformation: payloads never shuffle.
     """
 
-    def _bmp_resize(p: bytes) -> bytes:
-        px = decode_bmp(p)
+    def _nn(px: np.ndarray) -> np.ndarray:
         h, w = px.shape[:2]
         yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
         xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-        return encode_bmp(px[yi][:, xi])
+        return px[yi][:, xi]
+
+    _codecs = {
+        "bmp": (decode_bmp, encode_bmp),
+        "png": (decode_png, lambda px: encode_png(px)),
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = out_w * out_h
         for pdf in batches:
-            if backend not in ("fake", "bmp"):
+            if backend != "fake" and backend not in _codecs:
                 raise NotImplementedError(
-                    f"resize backend {backend!r} not available; use 'fake' or 'bmp'"
+                    f"resize backend {backend!r} not available; "
+                    "use 'fake', 'bmp', or 'png'"
                 )
             out = []
             for p in pdf["payload"]:
-                if backend == "bmp":
-                    out.append(_bmp_resize(p))
+                if backend in _codecs:
+                    decode, encode = _codecs[backend]
+                    out.append(encode(_nn(decode(bytes(p)))))
                     continue
                 arr = np.frombuffer(p, dtype=np.uint8)
                 if len(arr) == 0:

@@ -223,3 +223,24 @@ def test_numpy_scorer_paths_stay_narrow(spark):
     ivf = MATERIALIZATION_TRIGGERS["ivf_assign"](spark, SF)
     assert ivf.count() > 0
     assert {f.split("/")[-2] for f in ivf.inputFiles()} != set(), "spill missing"
+
+
+def test_wire_serde_consumers_probe_the_envelope_spill(spark):
+    """The three wire-serde queries (q_corrupt_tolerate, q_dlq_stats,
+    q_wire_size_stats) must plan a scan of the shared wire_envelopes
+    spill instead of each re-running build_envelope_json over the
+    changelog: at 100 TB the wire bytes ARE the topic — serialized
+    exactly once on shared storage, scanned by every consumer."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for key in ("q_corrupt_tolerate", "q_dlq_stats", "q_wire_size_stats"):
+        files = qs[key](spark, SF).inputFiles()
+        assert any("wire_envelopes" in f for f in files), (
+            f"{key} no longer reads the wire_envelopes spill"
+        )
+        # and the serde must not run twice: the envelope builder
+        # (to_json over the payload struct) must be absent from the
+        # consumer's plan — it belongs to the spill build only
+        plan = qs[key](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        assert "to_json" not in plan, f"{key} rebuilds the envelope in-plan"

@@ -1658,3 +1658,55 @@ def test_monolithic_merge_refuses_bucketed_state(spark, tmp_path, users_schema):
             changelog_file_stream(spark, str(src)), users_schema, state_dir,
             str(tmp_path / "ck2"), KEYS, VERSION,
         )
+
+
+def test_multimodal_real_png_decode_and_resize(spark):
+    """REAL compressed image decode end-to-end through Spark: PNG
+    payloads (cycle-filtered, so every un-filter arm runs inside the
+    executor) decode to the exact pixel matrix via extract_features,
+    and resize_images(backend='png') emits true nearest-neighbor
+    resizes that are themselves decodable PNGs."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        FEATURE_DIM,
+        decode_png,
+        encode_png,
+        extract_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(23)
+    images = {1: rng.integers(0, 256, (9, 7, 3), dtype=np.uint8),
+              2: np.full((6, 6, 3), 255, dtype=np.uint8)}
+    payloads = {i: encode_png(px, filter_mode="cycle") for i, px in images.items()}
+
+    df = spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in payloads.items()],
+        "doc_id long, media_type string, payload binary",
+    )
+    feats = {
+        r.doc_id: np.array(r.feature)
+        for r in extract_features(df, backend="png").collect()
+    }
+    assert feats[2][-1] == pytest.approx(1.0)  # white -> top luma bin
+    px = images[1].astype(np.float64)
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    hist = np.bincount(
+        (luma.ravel() // (256 // FEATURE_DIM)).astype(int).clip(0, FEATURE_DIM - 1),
+        minlength=FEATURE_DIM,
+    )
+    assert feats[1] == pytest.approx(hist / hist.sum(), abs=1e-6)
+
+    meta = df.withColumn("width", F.lit(0)).withColumn("height", F.lit(0))
+    resized = {
+        r.doc_id: r
+        for r in resize_images(meta, out_w=3, out_h=5, backend="png").collect()
+    }
+    for i, px0 in images.items():
+        out = decode_png(bytes(resized[i].payload))
+        assert out.shape == (5, 3, 3)
+        h, w = px0.shape[:2]
+        yi = (np.arange(5) * h // 5).clip(0, h - 1)
+        xi = (np.arange(3) * w // 3).clip(0, w - 1)
+        assert np.array_equal(out, px0[yi][:, xi])
