@@ -94,7 +94,14 @@ def _materialize_root() -> str:
             return cand
     except OSError:
         pass
+    # Fallback root is unique per process, so no future session's
+    # idle-reaper would ever find it — remove it ourselves at exit or
+    # the spill set would accumulate in /tmp once per session.
+    import atexit
+    import shutil
+
     _SPILL_ROOT = tempfile.mkdtemp(prefix="spark_graft_materialized-")
+    atexit.register(shutil.rmtree, _SPILL_ROOT, ignore_errors=True)
     return _SPILL_ROOT
 
 

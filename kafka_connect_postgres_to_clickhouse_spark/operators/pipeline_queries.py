@@ -92,7 +92,8 @@ def _wire_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_seq",
             "op",
             build_envelope_json(
-                _users_payload_schema(spark, sf_dir), "postgres_cdc.iman.users.Value"
+                log.select(*_USERS_PAYLOAD_COLS).schema,
+                "postgres_cdc.iman.users.Value",
             ).alias("value"),
         )
 

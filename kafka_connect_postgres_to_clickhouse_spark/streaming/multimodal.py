@@ -156,7 +156,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     stream, then per-scanline un-filtering implementing ALL FIVE PNG
     filter types (None/Sub/Up/Average/Paeth).  Supports 8-bit
     truecolor (color type 2) and truecolor+alpha (6), non-interlaced;
-    alpha is dropped on return."""
+    alpha is dropped on return.
+
+    Hostile-payload posture (this runs inside executors over opaque
+    bytes): every structural defect — bad magic, truncated chunk, CRC
+    mismatch, absurd IHDR dims, over- or under-long pixel stream —
+    raises ValueError, never a raw struct/zlib error, and the inflate
+    is CAPPED at the expected pixel-stream length so a DEFLATE bomb or
+    a 2^30 x 2^30 IHDR is rejected before any large allocation."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -166,18 +173,24 @@ def decode_png(payload: bytes) -> np.ndarray:
     off = 8
     while off + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, off)
+        if off + 12 + length > len(payload):
+            raise ValueError(f"PNG truncated inside chunk at offset {off}")
         ctype = payload[off + 4 : off + 8]
         data = payload[off + 8 : off + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, off + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"PNG IHDR is {len(data)} bytes, want 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
         off += 12 + length
+    else:
+        raise ValueError("PNG truncated: no IEND chunk")
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
@@ -186,10 +199,21 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
         )
     ch = 3 if color == 2 else 4
+    # refuse absurd dims BEFORE sizing any buffer from them (64M px
+    # ~ a 8192x8192 RGBA frame; real corpora route bigger assets to a
+    # tiled decoder, they don't inflate them in one executor batch)
+    if not (0 < w and 0 < h and w * h <= 1 << 26):
+        raise ValueError(f"PNG dimensions {w}x{h} out of range")
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG pixel stream is {len(raw)} bytes, want {h * (stride + 1)}")
+    expected = h * (stride + 1)
+    try:
+        # cap the inflate at expected+1: a DEFLATE bomb stops there
+        # (len != expected -> rejected) instead of materializing
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from None
+    if len(raw) != expected:
+        raise ValueError(f"PNG pixel stream is {len(raw)}+ bytes, want {expected}")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
@@ -404,21 +428,21 @@ def resize_images(
 
     _codecs = {
         "bmp": (decode_bmp, encode_bmp),
-        "png": (decode_png, lambda px: encode_png(px)),
+        "png": (decode_png, encode_png),
     }
+    decode, encode = _codecs.get(backend, (None, None))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = out_w * out_h
         for pdf in batches:
-            if backend != "fake" and backend not in _codecs:
+            if backend != "fake" and decode is None:
                 raise NotImplementedError(
                     f"resize backend {backend!r} not available; "
                     "use 'fake', 'bmp', or 'png'"
                 )
             out = []
             for p in pdf["payload"]:
-                if backend in _codecs:
-                    decode, encode = _codecs[backend]
+                if decode is not None:
                     out.append(encode(_nn(decode(bytes(p)))))
                     continue
                 arr = np.frombuffer(p, dtype=np.uint8)

@@ -530,16 +530,55 @@ def test_png_decode_rejects_corruption():
     flipped[-20] ^= 0xFF  # inside IDAT payload -> its CRC no longer matches
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(flipped))
-    # 16-bit depth is out of scope and must be refused, not misparsed
-    ihdr = struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
-    chunk = (
-        struct.pack(">I", len(ihdr))
+    # truncation anywhere must raise ValueError, never a raw
+    # struct.error/zlib.error escaping into the executor
+    for cut in (12, 20, len(good) - 5):
+        with pytest.raises(ValueError):
+            decode_png(bytes(good[:cut]))
+    # a DEFLATE bomb / absurd-dims IHDR is rejected BEFORE allocation
+    ihdr = struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
         + b"IHDR"
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
+    with pytest.raises(ValueError, match="out of range|no IEND"):
+        decode_png(bomb)
+    # an IDAT stream LONGER than the declared dims is length-rejected
+    # (the capped inflate stops at expected+1, no bomb materializes)
+    over_raw = b"\x00" * (3 * (3 * 3 + 1) + 4096)
+    over = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"".join(
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            for t, d in (
+                (b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)),
+                (b"IDAT", zlib.compress(over_raw)),
+                (b"IEND", b""),
+            )
+        )
+    )
+    with pytest.raises(ValueError, match="pixel stream"):
+        decode_png(over)
+    # 16-bit depth is out of scope and must be refused, not misparsed
+    def _chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
     with pytest.raises(ValueError, match="unsupported PNG"):
-        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+        )
 
 
 def test_png_decode_drops_alpha():
