@@ -2695,7 +2695,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg MIN by shingle; the join back is hash-equi on the
     shingle (uniform md5-able key, no skew); one groupBy(doc_id)
     finishes.  Integer basis points, no floats."""
-    g = _corpus_shingles(spark, sf_dir)
+    from .analytics_queries import _materialize  # noqa: PLC0415
+
+    g = _materialize(
+        spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir)
+    )
     # first-seen via a frame-less window over the shingle partition:
     # the same shingle-keyed shuffle the MIN agg needed anyway, with
     # no join back (q_dup_ranges pattern)

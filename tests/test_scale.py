@@ -160,6 +160,8 @@ def test_index_consumers_probe_the_spill(spark):
         ("q_dup_ranges", "dup_windows"),
         ("q_copurchase", "basket_pairs"),
         ("q_containment", "shingle_arrays"),
+        ("q_ngram_novelty", "postings"),
+        ("q_source_ngram_leak", "source_grams"),
         # (q_dedup_clusters also rides jaccard_pairs, but its iterative
         # label propagation localCheckpoints each round, which truncates
         # lineage and with it inputFiles — probe its direct-aggregation
