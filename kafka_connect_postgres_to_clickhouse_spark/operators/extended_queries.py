@@ -7115,10 +7115,11 @@ def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigger vocab stops paying; q_vocab_oov evaluates ONE chosen size,
     this sweeps the knee).
 
-    100 TB plan: one vocab partial agg; the ranking runs over
-    vocab-grain rows (TakeOrdered-bounded in spirit — the fixture
-    vocab is tiny; a production sweep caps rank at max(k)); three
-    cumulative sums over the ranked head."""
+    100 TB plan: one vocab partial agg; the top-max(k) head is
+    selected by LIMIT (TakeOrderedAndProject — per-partition heaps,
+    no global sort), so the single-partition rank window only ever
+    sees max(k)=30 rows — a constant-size step, not a data-size
+    one (the q_zipf_slope discipline)."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
@@ -7128,7 +7129,8 @@ def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     tot = uc.agg(F.sum("n").cast("long").alias("total"))
-    r = uc.withColumn("rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("w"))))
+    head = uc.orderBy(F.desc("n"), F.asc("w")).limit(30)
+    r = head.withColumn("rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("w"))))
     ks = spark.createDataFrame([(10,), (20,), (30,)], ["vocab_size"])
     cov = (
         ks.join(r, r["rk"] <= ks["vocab_size"])
@@ -8486,32 +8488,81 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend deciles with each decile's share of total revenue in basis
     points — the inequality curve behind whale-account analysis.
 
-    Exactness: deterministic ntile ordering (cents, custkey) and
-    floor-divided integer shares.  100 TB plan: the global ntile
-    window runs over the CUSTOMER grain (post-aggregation, orders of
-    magnitude smaller than facts); at extreme customer counts swap
-    ntile for approx-quantile boundaries — noted in SURVEY.  The
-    scalar total joins back as a broadcast."""
+    Exactness: deterministic ntile ordering (cents, custkey), with the
+    ntile bucket computed ARITHMETICALLY from a global rank (SQL ntile
+    semantics: the first n mod 10 buckets get one extra row), and
+    floor-divided integer shares.
+
+    100 TB plan: NO global single-partition window.  The global rank
+    is the q_pack_sequences two-phase shape — range-partition by the
+    sort key (cents, custkey), rank per partition, collect only the K
+    per-partition row counts (a metadata round-trip), prefix-sum them
+    on the driver, and add each partition's base back as a map
+    literal.  Every data-bearing stage is K-way parallel; the decile
+    and its share are then per-row arithmetic on (rank, n, total)."""
     o = _t(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
     )
-    d = s.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("cents", "o_custkey")).cast("long")
+    t = (
+        s.repartitionByRange(32, "cents", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
     )
-    t = s.agg(F.sum("cents").cast("long").alias("tot"))
+    wloc = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+    # checkpoint freezes pid + local rank before the two consumers
+    # (per-partition count collect, final projection) so the range
+    # layout cannot be re-sampled differently between them
+    local = t.withColumn("rn", F.row_number().over(wloc).cast("long")).localCheckpoint(
+        eager=True
+    )
+    parts = sorted(
+        local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"), F.sum("cents").alias("cents"))
+        .collect(),
+        key=lambda r: r["pid"],
+    )
+    bases: dict[int, int] = {}
+    acc = 0
+    tot = 0
+    for r in parts:
+        bases[r["pid"]] = acc
+        acc += r["cnt"]
+        tot += r["cents"] or 0
+    n = acc
+    base_map = (
+        F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
+        if bases
+        else F.create_map()
+    )
+    q, rem = divmod(n, 10)
+    ranked = local.select(
+        "cents",
+        (
+            F.coalesce(F.element_at(base_map, F.col("pid")), F.lit(0)).cast("long")
+            + F.col("rn")
+        ).alias("rnk"),
+    )
+    # ntile(10): first `rem` buckets hold q+1 rows, the rest hold q.
+    # Integer ceil ((a + b - 1) div b) — no double division anywhere
+    # (rank/(q+1) as a double could round an exact multiple up).
+    big = rem * (q + 1)
+    qq = max(q, 1)  # n < 10: rem == n, the otherwise-branch never fires
+    decile = F.when(
+        F.col("rnk") <= F.lit(big),
+        F.expr(f"(rnk + {q}) div {q + 1}"),
+    ).otherwise(F.expr(f"{rem} + (rnk - {big} + {qq - 1}) div {qq}"))
+    d = ranked.select("cents", decile.cast("long").alias("decile"))
     return (
         d.groupBy("decile")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
             F.sum("cents").cast("long").alias("cents"),
         )
-        .crossJoin(F.broadcast(t))
         .select(
             "decile",
             "n_customers",
             "cents",
-            F.expr("(10000 * cents) div tot").cast("long").alias("share_bp"),
+            F.expr(f"(10000 * cents) div {tot}").cast("long").alias("share_bp"),
         )
     )
 

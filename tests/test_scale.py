@@ -246,3 +246,82 @@ def test_wire_serde_consumers_probe_the_envelope_spill(spark):
         # consumer's plan — it belongs to the spill build only
         plan = qs[key](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
         assert "to_json" not in plan, f"{key} rebuilds the envelope in-plan"
+
+
+# --- global-window lint (round 7) ------------------------------------------
+
+# Queries allowed to plan an UNPARTITIONED ordered Window, each with the
+# reason its input grain is bounded (constant or near-constant row count
+# regardless of corpus size).  Everything else must partition its windows:
+# an unpartitioned ordered WindowExec funnels the whole input through ONE
+# task — the shape that killed q_lorenz_gini's original global ntile.
+ALLOWED_GLOBAL_WINDOWS = {
+    "q_zipf_slope": "rank over a LIMIT-100 head (TakeOrderedAndProject)",
+    "q_coverage_curve": "rank over a LIMIT-30 head (TakeOrderedAndProject)",
+    "q_interleave_order": "row_number over DISTINCT sources (single digits)",
+    "q_source_league": "rank over source grain (single digits)",
+    "q_monthly_growth": "lag over month grain (bounded by calendar)",
+    "q_running_distinct": "running sum over day grain (bounded by calendar)",
+}
+
+
+def _top_bracket_groups(s: str) -> list[str]:
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _unpartitioned_ordered_windows(plan: str) -> list[str]:
+    """WindowExec lines with an empty partition spec and a non-empty
+    ordering.  Physical rendering is ``Window [exprs], [part], [order]``;
+    with two groups the second is the partition spec iff it carries no
+    sort direction."""
+    out = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-*: ").strip()
+        if not s.startswith("Window "):
+            continue
+        g = _top_bracket_groups(s)
+        if len(g) >= 3:
+            continue
+        if len(g) == 2 and not (" ASC" in g[1] or " DESC" in g[1]):
+            continue
+        out.append(s[:150])
+    return out
+
+
+def test_no_unbounded_global_windows_in_any_plan(spark):
+    """No registry query may plan an unpartitioned ordered WindowExec
+    unless its window input is provably bounded (ALLOWED_GLOBAL_WINDOWS,
+    reason required).  Pins the q_lorenz_gini fix for all future keys."""
+    from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (
+        load_all_queries,
+    )
+
+    offenders = []
+    for name, spec in load_all_queries().items():
+        if name in ALLOWED_GLOBAL_WINDOWS:
+            continue
+        try:
+            plan = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 - surfaced by the execute test
+            offenders.append(f"{name}: plan failed: {exc}")
+            continue
+        hits = _unpartitioned_ordered_windows(plan)
+        if hits:
+            offenders.append(f"{name}: {hits[0]}")
+    assert not offenders, f"unpartitioned ordered windows: {offenders}"
