@@ -59,14 +59,29 @@ def main() -> None:
         jobs[name](spark, sf_dir).count()
         return time.time() - t0
 
-    # Billing protocol (r6): every line whose FIRST run exceeds 1 s is
-    # re-measured twice and billed at the MEDIAN of the 3 runs —
-    # first-run times carry one-shot warmup noise (observed ±0.5 s
-    # swings on identical code), which made the summed headline drift
-    # round-over-round for reasons unrelated to the code.  The first
-    # run stays visible as runs[0] in the stability block; sub-second
-    # lines are billed from their single run (their noise is bounded
-    # by their size).
+    # Billing protocol (r6, hysteresis r7): slow lines are re-measured
+    # twice and billed at the MEDIAN of the 3 runs — first-run times
+    # carry one-shot warmup noise (observed ±0.5 s swings on identical
+    # code), which made the summed headline drift round-over-round for
+    # reasons unrelated to the code.  The re-measure decision is
+    # max(first run, last committed billed time) > 0.8 s, NOT the
+    # noisy first run against a 1.0 s knife-edge: a query whose true
+    # time sits near the threshold would otherwise flip billing
+    # methodology round-over-round, reintroducing exactly the drift
+    # the medians remove.  The committed BENCH_FULL.json anchors the
+    # decision (a line billed from medians last round keeps median
+    # billing), and the 0.8 s band means any line that could plausibly
+    # wander past 1 s is always median-billed.
+    prev_billed: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+        ) as f:
+            prev_billed = {
+                k: float(v) for k, v in json.load(f).get("queries", {}).items()
+            }
+    except (OSError, ValueError):
+        pass
     stability: dict[str, dict] = {}
     for name in jobs:
         # Session-materialized intermediates (analytics_queries
@@ -78,7 +93,7 @@ def main() -> None:
         # is kept — it existed before the first run too).
         pre_keys = set(_MATERIALIZED)
         runs = [round(run_once(name), 4)]
-        if runs[0] > 1.0:
+        if max(runs[0], prev_billed.get(name, 0.0)) > 0.8:
             for _ in range(2):
                 for k in list(_MATERIALIZED):
                     if k not in pre_keys:

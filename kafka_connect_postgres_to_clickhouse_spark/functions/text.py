@@ -72,6 +72,39 @@ def shingle_digests(col: Column, k: int = 8) -> Column:
     return F.transform(z, lambda s: F.xxhash64(*[s[f"c{j}"] for j in range(k)]))
 
 
+def shingle_digest_pairs(col: Column, k: int = 8) -> Column:
+    """(h, h2) 128-bit digest pair per k-token window — the
+    collision-hardened variant of ``shingle_digests``: h chains the
+    unsalted per-token xxhash64s, h2 chains per-token hashes salted
+    with an independent seed column, so two windows collide only if
+    BOTH 64-bit digests collide (~2^-128 for distinct token
+    sequences; a single-token xxhash64 collision cannot alias the
+    pair because the salted token hashes differ).  Returns an array
+    of structs {h: long, h2: long}, position-aligned with
+    ``shingles()``.
+
+    Used by the exact-substring window index and the cross-source
+    gram-leak audit, whose DuckDB oracles digest the literal window
+    STRINGS — a Spark-side collision would silently diverge from the
+    oracle, so the exactness contract needs the 128-bit key (the
+    64-bit variant documented this as its residual risk)."""
+    t = tokens(col)
+    th = F.transform(t, lambda x: F.xxhash64(x))
+    th2 = F.transform(t, lambda x: F.xxhash64(x, F.lit("kcptc-g2")))
+    win = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(th, j + 1, win).alias(f"c{j}") for j in range(k)],
+        *[F.slice(th2, j + 1, win).alias(f"d{j}") for j in range(k)],
+    )
+    return F.transform(
+        z,
+        lambda s: F.struct(
+            F.xxhash64(*[s[f"c{j}"] for j in range(k)]).alias("h"),
+            F.xxhash64(*[s[f"d{j}"] for j in range(k)]).alias("h2"),
+        ),
+    )
+
+
 def shingles_sql(col: str, k: int = 3) -> str:
     """DuckDB rendering of shingles() (1-based list indexing)."""
     t = f"string_split(lower({col}), ' ')"

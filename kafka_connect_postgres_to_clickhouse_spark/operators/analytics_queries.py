@@ -59,20 +59,19 @@ def _materialize_root() -> str:
     the shared-filesystem / object-store temp-table prefix every
     executor can reach; also the knob for hosts whose tmpfiles reaper
     ages /tmp out from under long-lived sessions); the default is a
-    genuinely PER-USER tmp directory — uid-suffixed so concurrent
-    users on a shared host never contend over one world-visible /tmp
-    path — and never anywhere under the installed package or source
-    tree, which must stay read-only at runtime.
+    PRIVATE per-process ``mkdtemp`` root, removed at interpreter exit.
 
-    The default name is PREDICTABLE, so a pre-existing entry is never
-    trusted: another local user could plant a directory or symlink at
-    the name before our first use and then read or poison the spills
-    this session round-trips through ``spark.read.parquet``.  The root
-    is claimed with mode 0700 and verified via ``lstat`` to be a real
-    directory owned by this uid; anything else falls back to a private
-    ``mkdtemp`` whose path is cached for the life of the process."""
+    mkdtemp on purpose, not a predictable shared path: spills are
+    keyed by Spark application id, so nothing is ever reused across
+    processes anyway, and a predictable /tmp name is a symlink-plant /
+    TOCTOU surface (another local user swaps the directory between the
+    ownership check and a later ``spark.read.parquet`` round-trip).
+    An unpredictable 0700 root owned by this process closes that
+    class entirely and needs no idle-reaper for other sessions'
+    leftovers — each process cleans up after itself."""
+    import atexit
     import os
-    import stat
+    import shutil
     import tempfile
 
     env = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
@@ -81,25 +80,6 @@ def _materialize_root() -> str:
     global _SPILL_ROOT
     if _SPILL_ROOT is not None:
         return _SPILL_ROOT
-    uid = os.getuid() if hasattr(os, "getuid") else None
-    cand = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_materialized-{uid if uid is not None else 'win'}"
-    )
-    try:
-        os.makedirs(cand, mode=0o700, exist_ok=True)
-        st = os.lstat(cand)  # lstat: a symlink planted at the name fails S_ISDIR
-        if stat.S_ISDIR(st.st_mode) and (uid is None or st.st_uid == uid):
-            os.chmod(cand, 0o700)
-            _SPILL_ROOT = cand
-            return cand
-    except OSError:
-        pass
-    # Fallback root is unique per process, so no future session's
-    # idle-reaper would ever find it — remove it ourselves at exit or
-    # the spill set would accumulate in /tmp once per session.
-    import atexit
-    import shutil
-
     _SPILL_ROOT = tempfile.mkdtemp(prefix="spark_graft_materialized-")
     atexit.register(shutil.rmtree, _SPILL_ROOT, ignore_errors=True)
     return _SPILL_ROOT
@@ -128,41 +108,13 @@ def _materialize(spark, sf_dir: str, name: str, build) -> DataFrame:
     """
     import os
     import re
-    import time
 
     app = spark.sparkContext.applicationId
     root = _materialize_root()
-    # Liveness heartbeat on EVERY call, cache hits included: a dir's
-    # own mtime only advances when a NEW spill lands, so a long-lived
-    # session that materialized early and then only re-reads cached
-    # handles would look idle and get reaped mid-session by a younger
-    # concurrent session.  The heartbeat file is what the reaper keys
-    # its idle check on.
-    try:
-        os.makedirs(os.path.join(root, app), exist_ok=True)
-        hb = os.path.join(root, app, "_HEARTBEAT")
-        with open(hb, "w") as f:
-            f.write(str(int(time.time())))
-    except OSError:
-        pass
     key = (app, sf_dir, name)
     df = _MATERIALIZED.get(key)
     if df is None:
-        # spills are keyed by application id; other sessions' dirs are
-        # unreachable from this one, but a CONCURRENT session may still
-        # be reading its own — only reap dirs whose heartbeat has been
-        # silent long enough that the owning session is certainly gone
-        try:
-            import shutil
-
-            for stale in os.listdir(root):
-                p = os.path.join(root, stale)
-                beat = os.path.join(p, "_HEARTBEAT")
-                last = os.path.getmtime(beat if os.path.exists(beat) else p)
-                if stale != app and time.time() - last > 6 * 3600:
-                    shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
+        os.makedirs(os.path.join(root, app), exist_ok=True)
         sf_tag = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
         path = os.path.join(root, app, f"{sf_tag}__{name}")
         build().write.mode("overwrite").parquet(path)

@@ -4525,26 +4525,27 @@ def _dup_window_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics_queries import _materialize  # noqa: PLC0415
 
     def build() -> DataFrame:
-        from ..functions.text import shingle_digests  # noqa: PLC0415
+        from ..functions.text import shingle_digest_pairs  # noqa: PLC0415
 
         c = _corpus(spark, sf_dir)
-        # long digests straight from token hashes (shingle_digests):
-        # h is only ever compared for equality (cross-doc window
-        # match), so the window STRINGS never materialize and the
-        # 8-byte key quarters the spill + partition-by-h shuffle vs
-        # a 32-char hex string.  Collision note: the oracle digests
-        # the literal window strings, so a 64-bit collision would
-        # fabricate a cross-doc hit; fixture-scale risk is n^2/2^65
-        # (<1e-6), and a 100 TB corpus widens to a salted
-        # (2 x xxhash64) digest pair — same plan, 16-byte keys.
-        t = c.select("doc_id", shingle_digests(F.col("text"), 8).alias("h8")).filter(
-            F.size("h8") > 0
-        )
-        return t.select("doc_id", F.posexplode("h8").alias("p0", "h")).select(
+        # (h, h2) long digest pairs straight from token hashes
+        # (shingle_digest_pairs): the keys are only ever compared for
+        # equality (cross-doc window match), so the window STRINGS
+        # never materialize and the 16-byte pair halves the spill +
+        # shuffle vs a 32-char hex string.  Collision note: the
+        # oracle digests the literal window strings, so a Spark-side
+        # collision would fabricate a cross-doc hit — the salted
+        # 128-bit pair bounds that at ~n^2/2^129, negligible even at
+        # 100 TB (1e10+ distinct windows).
+        t = c.select(
+            "doc_id", shingle_digest_pairs(F.col("text"), 8).alias("h8")
+        ).filter(F.size("h8") > 0)
+        return t.select("doc_id", F.posexplode("h8").alias("p0", "hp")).select(
             "doc_id",
             (F.col("p0") + 1).alias("i"),
             (F.col("p0") + 8).alias("endpos"),
-            "h",
+            F.col("hp.h").alias("h"),
+            F.col("hp.h2").alias("h2"),
         )
 
     return _materialize(spark, sf_dir, "dup_windows", build)
@@ -4607,8 +4608,8 @@ def q_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     to merge overlaps.
 
     100 TB plan: the stride-1 explode is 1 row/token (the same cost
-    class as the shingle pipelines, shuffled as 8-byte token-hash
-    digests — see _dup_window_table's collision note);
+    class as the shingle pipelines, shuffled as 16-byte salted
+    128-bit digest pairs — see _dup_window_table's collision note);
     the digest table is a STORED index (_dup_window_table — exact-
     substring dedup builds its suffix/digest index once and reuses
     it); islands-merging windows partition BY DOC — thousands of
@@ -4616,7 +4617,7 @@ def q_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     wins = _dup_window_table(spark, sf_dir)
-    wh = W.partitionBy("h")
+    wh = W.partitionBy("h", "h2")
     hits = (
         wins.withColumn(
             "crossdoc", F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
@@ -8675,7 +8676,7 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination-audit companion to q_decontaminate (which gates a
     designated eval set; this audits every pair symmetrically).
 
-    100 TB plan: grams digest to 8-byte token-hash xxhash64 longs at
+    100 TB plan: grams digest to 16-byte salted 128-bit pairs at
     the EXPLODE (the q_dup_ranges pattern — ~50-char span strings
     never materialize, long keys shuffle) and dedup to (source,
     digest) grain in the spilled ``source_grams`` table, which both
@@ -8685,15 +8686,15 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits), so pair expansion is linear in distinct grams.
 
     Digest honesty: the oracle counts over the literal gram strings,
-    so a Spark-side 64-bit collision WOULD perturb a count; at fixture
-    scale the birthday bound is ~n^2/2^65 < 1e-6, and a true 100 TB
-    corpus (1e10+ distinct grams) widens the digest to a salted
-    (2 x xxhash64) 128-bit pair — same plan shape, 16-byte keys."""
+    so a Spark-side collision WOULD perturb a count; the grams carry
+    the salted (2 x xxhash64) 128-bit pair (g, g2) from the window
+    index, bounding the birthday risk at ~n^2/2^129 — negligible even
+    at 1e10+ distinct grams."""
     g = _source_gram_table(spark, sf_dir)
     a = g.alias("a")
     b = g.alias("b")
     return (
-        a.join(b, "g")
+        a.join(b, ["g", "g2"])
         .filter(F.col("a.source") < F.col("b.source"))
         .groupBy(
             F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
@@ -8703,7 +8704,7 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _source_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (source, xxhash64(8-gram)) table, parquet-spilled once
+    """Distinct (source, 128-bit 8-gram digest pair) table, parquet-spilled once
     per session: the self-join of the leakage audit needs it on BOTH
     sides.
 
@@ -8726,7 +8727,7 @@ def _source_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             wins.filter(F.col("doc_id") < 1_000_000)
             .join(d, "doc_id")
-            .select("source", F.col("h").alias("g"))
+            .select("source", F.col("h").alias("g"), F.col("h2").alias("g2"))
             .distinct()
         )
 
@@ -10475,3 +10476,156 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_bin"),
         F.array_max("feature").alias("top_frac"),
     )
+
+
+# --- wave 25 (round 7): LZW-compressed multi-frame container -----------------
+
+
+@register(
+    "q_media_decode_gif",
+    oracle="""
+    SELECT doc_id,
+           CAST(floor((0.299*c + 0.587*c + 0.114*c) / 32) AS INTEGER) AS top_bin,
+           CAST(1.0 AS FLOAT) AS top_frac
+    FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c FROM documents)
+    """,
+)
+def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image decode end-to-end: per doc, encode a
+    TWO-frame 5x5 GIF89a (frame 0 solid doc_id % 256, frame 1 solid
+    (31*doc_id + 7) % 256 — two palette entries, so the code stream
+    exercises real dictionary growth), then decode it — container
+    walk, global color table, graphic-control extensions,
+    variable-length-code LZW decompression — inside the same
+    mapInPandas feature path as the other codecs, and emit frame 0's
+    dominant luminance bin.
+
+    This is the second compressed format with zero external codec
+    deps, and an algorithmically DIFFERENT one: PNG proved DEFLATE
+    (Huffman+LZ77) inflate via zlib; GIF's LZW is decoded from first
+    principles (streaming/multimodal.py:_lzw_decode — growing code
+    width, clear/EOI semantics, the one-behind dictionary).
+    Exactness matches q_media_decode_png: all 25 pixels of frame 0
+    share one luma, so the L1 histogram is exactly 1.0 in one bin and
+    the oracle replays the identical IEEE luma expression.
+
+    Scale: payload synthesis + LZW decode are narrow Arrow-batched
+    passes; payload bytes never shuffle."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import encode_gif, extract_features  # noqa: PLC0415
+
+    def mk(batches):
+        for pdf in batches:
+            payloads = [
+                encode_gif(
+                    [
+                        np.full((5, 5, 3), int(i) % 256, dtype=np.uint8),
+                        np.full((5, 5, 3), (31 * int(i) + 7) % 256, dtype=np.uint8),
+                    ]
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    feats = extract_features(media, backend="gif")
+    return feats.select(
+        "doc_id",
+        (F.array_position(F.col("feature"), F.array_max("feature")) - 1)
+        .cast("int")
+        .alias("top_bin"),
+        F.array_max("feature").alias("top_frac"),
+    )
+
+
+@register(
+    "q_media_frames_gif",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(1 + doc_id % 4 AS INTEGER), 2)) AS fn
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(fn AS INTEGER) AS frame_no,
+           CAST(floor((0.299*c + 0.587*c + 0.114*c) / 32) AS INTEGER) AS top_bin
+    FROM (SELECT doc_id, fn, CAST((doc_id + 17 * fn) % 256 AS DOUBLE) AS c FROM f)
+    """,
+)
+def q_media_frames_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame GIF demux + decode through the driver gate:
+    per doc, encode an n-frame GIF89a animation (n = 2 + doc_id % 4,
+    frame f solid (doc_id + 17*f) % 256), demux it with the REAL
+    container splitter (sample_frames backend='gif' — LZW-decodes and
+    composites every frame, re-encodes each as a standalone
+    single-frame GIF), keep every 2nd frame, decode each sampled
+    frame again with the full GIF reader, and emit its dominant
+    luminance bin.
+
+    Unlike q_media_frame_scan's BMP-strip (frames are byte-sliced at
+    header boundaries), GIF frames CANNOT be byte-sliced — they share
+    one global palette and one logical screen, so demux requires the
+    actual decoder; this key proves that chain.  Exactness: one full
+    histogram bin per solid frame; the oracle replays the identical
+    IEEE luma expression over the sampled frame indices.
+
+    Scale: synthesis, demux, and decode are narrow Arrow-batched
+    passes; the row expansion (frames per animation) happens
+    map-side, frames of one doc never leave their partition."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import (  # noqa: PLC0415
+        _gif_features,
+        encode_gif,
+        sample_frames,
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            payloads = [
+                encode_gif(
+                    [
+                        np.full(
+                            (4, 4, 3), (int(i) + 17 * f) % 256, dtype=np.uint8
+                        )
+                        for f in range(2 + int(i) % 4)
+                    ]
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    def feat(batches):
+        for pdf in batches:
+            frames = [bytes(p) for p in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"],
+                    "top_bin": pd.array(
+                        [int(np.argmax(_gif_features(p))) for p in frames],
+                        dtype="int32",
+                    ),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    frames = sample_frames(media, every_nth=2, backend="gif")
+    return frames.mapInPandas(feat, "doc_id long, frame_no int, top_bin int")

@@ -15,6 +15,13 @@ Decode backends, selected per call:
   PNG via stdlib ``zlib`` inflate, CRC-verified chunk walk, and all
   five scanline un-filters (None/Sub/Up/Average/Paeth).  Same
   luminance-histogram feature as BMP.
+- ``"gif"`` — REAL COMPRESSED multi-frame decode: GIF87a/89a via a
+  from-scratch LZW decompressor (variable-length codes growing 3..12
+  bits, clear/EOI, the one-behind dictionary — a different algorithm
+  family from PNG's DEFLATE), full container walk (global/local color
+  tables, graphic-control extensions, sub-rect frame compositing with
+  transparency).  Feature = luminance histogram of frame 0;
+  ``sample_frames(backend="gif")`` is a REAL animation demux.
 - ``"fake"`` — deterministic byte-domain stand-in (raw-byte histogram)
   for media types whose codecs aren't in this container (JPEG, MP3,
   MP4, ...).  The Spark-side plumbing is identical for all backends.
@@ -147,7 +154,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
+def decode_png(payload: bytes, max_pixels: int = 1 << 20) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB — pure-stdlib COMPRESSED decode.
 
     The one real compressed image format this container can decode with
@@ -160,10 +167,21 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     Hostile-payload posture (this runs inside executors over opaque
     bytes): every structural defect — bad magic, truncated chunk, CRC
-    mismatch, absurd IHDR dims, over- or under-long pixel stream —
+    mismatch, over-cap IHDR dims, over- or under-long pixel stream —
     raises ValueError, never a raw struct/zlib error, and the inflate
-    is CAPPED at the expected pixel-stream length so a DEFLATE bomb or
-    a 2^30 x 2^30 IHDR is rejected before any large allocation."""
+    is CAPPED at the expected pixel-stream length so a DEFLATE bomb
+    stops at the cap instead of materializing.
+
+    Amplification bound, stated honestly: a tiny payload with a LEGIT
+    IHDR inside the cap still forces up to ``max_pixels`` of inflate
+    plus — for Average/Paeth rows, which stay per-byte Python — up to
+    4*max_pixels loop iterations.  At the default 1<<20 cap that is a
+    ~4 MB buffer and ~4M iterations (sub-second), a bounded unit of
+    work per record, not a DoS lever; deployments decoding genuinely
+    larger assets raise ``max_pixels`` knowingly and budget executors
+    for cap*batch_size.  (Sub rows are vectorized per-lane cumsum; Up
+    rows a vectorized add; only Average/Paeth pay the Python loop —
+    their x-recurrence is nonlinear, no cumsum form exists.)"""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -199,11 +217,13 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
         )
     ch = 3 if color == 2 else 4
-    # refuse absurd dims BEFORE sizing any buffer from them (64M px
-    # ~ a 8192x8192 RGBA frame; real corpora route bigger assets to a
-    # tiled decoder, they don't inflate them in one executor batch)
-    if not (0 < w and 0 < h and w * h <= 1 << 26):
-        raise ValueError(f"PNG dimensions {w}x{h} out of range")
+    # refuse over-cap dims BEFORE sizing any buffer from them; the
+    # default 1M-pixel cap bounds both the inflate target and the
+    # worst-case per-byte filter loops (see docstring) — real corpora
+    # route bigger assets to a tiled decoder with an explicit budget,
+    # they don't inflate them in one executor batch
+    if not (0 < w and 0 < h and w * h <= max_pixels):
+        raise ValueError(f"PNG dimensions {w}x{h} out of range (cap {max_pixels}px)")
     stride = w * ch
     expected = h * (stride + 1)
     try:
@@ -221,9 +241,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
         pos += stride + 1
-        if ftype == 1:  # Sub: sequential in x, per-byte
-            for i in range(ch, stride):
-                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+        if ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-ch] — per
+            # channel lane that is a running sum, so each lane is one
+            # vectorized cumsum (uint64 wide: no overflow at any
+            # permissible cap) masked back to uint8
+            for o in range(ch):
+                lane = line[o::ch]
+                lane[:] = np.cumsum(lane, dtype=np.uint64) & 0xFF
         elif ftype == 2:  # Up: vectorized, uint8 add wraps mod 256
             line += prev
         elif ftype == 3:  # Average
@@ -295,6 +319,292 @@ def encode_png(pixels: np.ndarray, filter_mode: str = "none") -> bytes:
         + chunk(b"IEND", b"")
     )
 
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> bytes:
+    """GIF LZW decompression (variable-length codes, LSB-first bit
+    packing) — a genuinely different algorithm family from PNG's
+    DEFLATE: the code width grows 3..12 bits as the dictionary fills,
+    CLEAR resets it, and the dictionary is rebuilt from the stream
+    itself (no Huffman tables in the payload).
+
+    Hostile-payload posture: output is CAPPED at ``max_out`` (the
+    declared frame pixel count) so a crafted code stream cannot
+    amplify past the caller's dimension check; any code outside the
+    live dictionary, or a stream that ends without EOI, raises
+    ValueError."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF LZW min code size {min_code_size} invalid")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("GIF LZW: first code not in table")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError("GIF LZW: code out of range")
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+            out += entry
+            if len(out) > max_out:
+                raise ValueError("GIF LZW output exceeds declared frame size")
+            prev = entry
+    raise ValueError("GIF LZW: stream ended without EOI")
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF LZW compression — the encoder twin of ``_lzw_decode``
+    (identical width-growth schedule, deferred-clear when the
+    dictionary fills), so synthesized fixtures exercise the real
+    variable-length-code path end to end."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for b in data:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wb] = next_code
+            next_code += 1
+            # late change (GIF semantics): the decoder's table lags the
+            # encoder by one code, so width grows when the code JUST
+            # assigned no longer fits — one step later than next_code
+            # reaching 2^width
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(payload: bytes, off: int) -> tuple[bytes, int]:
+    """Concatenate GIF data sub-blocks starting at ``off``; returns
+    (data, offset past the 0x00 terminator).  Truncation raises."""
+    chunks = []
+    while True:
+        if off >= len(payload):
+            raise ValueError(f"GIF truncated in sub-blocks at offset {off}")
+        n = payload[off]
+        off += 1
+        if n == 0:
+            return b"".join(chunks), off
+        if off + n > len(payload):
+            raise ValueError(f"GIF truncated in sub-blocks at offset {off}")
+        chunks.append(payload[off : off + n])
+        off += n
+
+
+def decode_gif(
+    payload: bytes, max_pixels: int = 1 << 20, max_frames: int = 256
+) -> list[np.ndarray]:
+    """GIF87a/89a bytes -> list of (h, w, 3) uint8 RGB frames — pure
+    stdlib COMPRESSED decode of a REAL multi-frame container.
+
+    Implements the full container walk (logical screen descriptor,
+    global/local color tables, graphic-control and generic extensions,
+    image descriptors with sub-rect placement) and LZW decompression
+    (``_lzw_decode``).  Frames composite onto the logical screen in
+    order ("do not dispose" semantics — each frame persists under the
+    next, matching how the synthesized fixtures and most animation
+    GIFs behave); a graphic-control transparent index leaves the
+    underlying canvas visible.  Interlaced images are out of scope and
+    refused.
+
+    Hostile-payload posture: bad magic / truncation / over-cap dims /
+    out-of-palette indices / LZW defects all raise ValueError; total
+    work is bounded by ``max_pixels`` per frame x ``max_frames``."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated in logical screen descriptor")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if not (0 < sw and 0 < sh and sw * sh <= max_pixels):
+        raise ValueError(f"GIF dimensions {sw}x{sh} out of range (cap {max_pixels}px)")
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if off + 3 * n > len(payload):
+            raise ValueError("GIF truncated in global color table")
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=off).reshape(
+            n, 3
+        )
+        off += 3 * n
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    while True:
+        if off >= len(payload):
+            raise ValueError("GIF truncated: no trailer")
+        block = payload[off]
+        off += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if off >= len(payload):
+                raise ValueError("GIF truncated in extension")
+            label = payload[off]
+            off += 1
+            data, off = _gif_subblocks(payload, off)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                transparent = data[3] if data[0] & 0x01 else None
+            continue
+        if block != 0x2C:  # image descriptor is the only other block
+            raise ValueError(f"GIF unknown block 0x{block:02x} at offset {off - 1}")
+        if off + 9 > len(payload):
+            raise ValueError("GIF truncated in image descriptor")
+        left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, off)
+        off += 9
+        if ipacked & 0x40:
+            raise ValueError("unsupported GIF (interlaced)")
+        if fw == 0 or fh == 0 or left + fw > sw or top + fh > sh:
+            raise ValueError(f"GIF frame rect {fw}x{fh}+{left}+{top} out of screen")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if off + 3 * n > len(payload):
+                raise ValueError("GIF truncated in local color table")
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * n, offset=off
+            ).reshape(n, 3)
+            off += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        if off >= len(payload):
+            raise ValueError("GIF truncated before LZW min code size")
+        mcs = payload[off]
+        off += 1
+        data, off = _gif_subblocks(payload, off)
+        idx_bytes = _lzw_decode(data, mcs, fw * fh)
+        if len(idx_bytes) != fw * fh:
+            raise ValueError(
+                f"GIF frame pixel stream is {len(idx_bytes)} bytes, want {fw * fh}"
+            )
+        idx = np.frombuffer(idx_bytes, dtype=np.uint8).reshape(fh, fw)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF pixel index outside color table")
+        rgb = pal[idx]
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        transparent = None
+        if len(frames) > max_frames:
+            raise ValueError(f"GIF frame count exceeds cap ({max_frames})")
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return frames
+
+
+def encode_gif(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> GIF89a bytes with one
+    global color table built from the distinct colors across all
+    frames (<= 256 required — synthesized fixtures, not photographic
+    quantization).  Each frame is written full-screen with a
+    graphic-control extension (delay only), LZW-compressed through
+    the real variable-length-code encoder."""
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    px = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = px[0].shape
+    if any(f.shape != (h, w, 3) for f in px):
+        raise ValueError("encode_gif frames must share one shape")
+    colors = np.unique(np.concatenate([f.reshape(-1, 3) for f in px], axis=0), axis=0)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif palette overflow ({len(colors)} colors)")
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    bits = max(2, int(len(colors) - 1).bit_length())  # GIF min table = 4
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    for f in px:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        idx = bytes(lut[tuple(c)] for c in f.reshape(-1, 3))
+        mcs = max(2, bits)
+        comp = _lzw_encode(idx, mcs)
+        out.append(mcs)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def split_gif_frames(payload: bytes) -> list[bytes]:
+    """REAL multi-frame GIF demux: decode the container once and
+    re-encode each composited frame as a standalone single-frame GIF,
+    so every emitted chunk is independently decodable downstream —
+    the GIF twin of ``split_bmp_stream``."""
+    return [encode_gif([f]) for f in decode_gif(payload)]
+
+
+def _gif_features(payload: bytes) -> np.ndarray:
+    """REAL LZW-compressed image decode -> FEATURE_DIM-bin luminance
+    histogram (L1) of the FIRST frame."""
+    return _luma_hist(decode_gif(payload)[0])
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -358,6 +668,7 @@ _FEATURE_BACKENDS = {
     "wav": _wav_features,
     "bmp": _bmp_features,
     "png": _png_features,
+    "gif": _gif_features,
 }
 
 
@@ -499,9 +810,11 @@ def sample_frames(
     UDTF-shaped (rows expand).  ``backend="bmp_strip"`` REALLY demuxes
     a concatenated-BMP container (each emitted frame is a decodable
     BMP; ``frame_bytes`` is ignored — frame boundaries come from the
-    headers); ``backend="fake"`` treats the payload as fixed-size
-    chunks; an av/ffmpeg backend for real codecs would plug in at the
-    marked point.
+    headers); ``backend="gif"`` REALLY demuxes a multi-frame GIF89a
+    (LZW decode + frame compositing, each emitted frame re-encoded as
+    a standalone single-frame GIF); ``backend="fake"`` treats the
+    payload as fixed-size chunks; an av/ffmpeg backend for real
+    codecs would plug in at the marked point.
 
     Scale: expansion happens map-side inside mapInPandas — frames of
     one video stay on the partition that read it, and downstream
@@ -511,15 +824,17 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if backend not in ("fake", "bmp_strip"):
+            if backend not in ("fake", "bmp_strip", "gif"):
                 raise NotImplementedError(
                     f"frame-sampling backend {backend!r} not available; "
-                    "use 'fake' or 'bmp_strip'"
+                    "use 'fake', 'bmp_strip' or 'gif'"
                 )
             ids, nos, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 if backend == "bmp_strip":
                     chunks = split_bmp_stream(bytes(p))
+                elif backend == "gif":
+                    chunks = split_gif_frames(bytes(p))
                 else:
                     n_frames = max(len(p) // frame_bytes, 1)
                     chunks = [

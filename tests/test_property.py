@@ -613,3 +613,196 @@ def test_png_decode_drops_alpha():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(payload), rgba[:, :, :3])
+
+
+def test_png_default_pixel_cap_bounds_amplification():
+    """A tiny hostile payload with a LEGIT IHDR declaring dims just
+    over the default 1<<20-pixel cap (e.g. 2048x1024+1 would pass a
+    lax cap) must be refused BEFORE any inflate or filter loop — the
+    CPU/memory amplification bound is the cap, and it is enforced on
+    declared dims, not payload size.  Raising max_pixels explicitly
+    admits the same image (the knob is the documented budget)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    def _chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    # 2048 x 1025 RGB = 2,099,200 px > 1<<20: refused at the IHDR,
+    # so the (zlib-compressed-zeros) IDAT never inflates
+    w, h = 2048, 1025
+    raw = zlib.compress(b"\x00" * (h * (w * 3 + 1)), 9)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(payload)
+    out = decode_png(payload, max_pixels=w * h)
+    assert out.shape == (h, w, 3) and not out.any()
+    # and a maximal in-cap image still round-trips (the cap is not
+    # accidentally off by a row)
+    px = np.full((1, 1 << 20, 3), 7, dtype=np.uint8)
+    assert decode_png(encode_png(px)).shape == (1, 1 << 20, 3)
+
+
+def test_gif_roundtrip_all_dictionary_phases():
+    """encode_gif -> decode_gif is exact through every LZW phase:
+    small-palette multi-frame (code width growth from 3 bits), a
+    256-color 60k-px frame (growth to 12 bits + deferred clear once
+    the dictionary saturates at 4096), and the raw codec on
+    repetitive data long enough to saturate the table."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+        split_gif_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 4, (13, 17, 1), dtype=np.uint8).repeat(3, axis=2) * 60
+        for _ in range(5)
+    ]
+    gif = encode_gif(frames)
+    out = decode_gif(gif)
+    assert len(out) == 5 and all((a == b).all() for a, b in zip(frames, out))
+
+    palette = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 256, (200, 300), dtype=np.uint8)]
+    assert (decode_gif(encode_gif([img]))[0] == img).all()
+
+    data = bytes((i * 7) % 5 for i in range(100000))
+    assert _lzw_decode(_lzw_encode(data, 3), 3, len(data)) == data
+
+    parts = split_gif_frames(gif)
+    assert len(parts) == 5
+    assert all((decode_gif(p)[0] == f).all() for p, f in zip(parts, frames))
+
+
+def test_gif_subrect_compositing_and_transparency():
+    """Hand-built GIF with a sub-rect second frame and a transparent
+    index: frame 2 must composite onto frame 1's canvas at its
+    (left, top) offset, and transparent pixels must leave the
+    underlying canvas visible — the do-not-dispose semantics the
+    decoder documents."""
+    import struct
+    import zlib  # noqa: F401 - parity with the PNG tests' imports
+
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    def img_block(left, top, w, h, indices, mcs=2):
+        comp = _lzw_encode(bytes(indices), mcs)
+        blocks = b""
+        for i in range(0, len(comp), 255):
+            c = comp[i : i + 255]
+            blocks += bytes([len(c)]) + c
+        return (
+            b"\x2c"
+            + struct.pack("<HHHHB", left, top, w, h, 0)
+            + bytes([mcs])
+            + blocks
+            + b"\x00"
+        )
+
+    # 4x4 screen, palette: 0=black, 1=red, 2=green
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 0])
+    head = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 0, 0) + pal
+    f1 = img_block(0, 0, 4, 4, [1] * 16)  # all red
+    # GCE: transparent index 0
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    # 2x2 sub-rect at (1,1): green / transparent checker
+    f2 = img_block(1, 1, 2, 2, [2, 0, 0, 2])
+    frames = decode_gif(head + f1 + gce + f2 + b"\x3b")
+    assert len(frames) == 2
+    assert (frames[0] == [255, 0, 0]).all()
+    exp = np.tile(np.array([255, 0, 0], np.uint8), (4, 4, 1))
+    exp[1, 1] = [0, 255, 0]
+    exp[2, 2] = [0, 255, 0]  # transparent cells keep red
+    assert (frames[1] == exp).all()
+
+
+def test_gif_hostile_payloads_bounded():
+    """Mirror of the PNG hostile set: bad magic, truncation anywhere,
+    over-cap dims rejected BEFORE inflate, over-long LZW stream capped
+    at the declared frame size, out-of-palette index refused,
+    interlace refused — all ValueError, never a raw struct error."""
+    import struct
+
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    gif = encode_gif([np.full((6, 6, 3), 9, dtype=np.uint8)] * 2)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BM" + gif)
+    for cut in (4, 11, 14, len(gif) // 2, len(gif) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(gif[:cut])
+    # dims over the cap are refused at the header, before any decode
+    bomb = b"GIF89a" + struct.pack("<HHBBB", 60000, 60000, 0, 0, 0)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_gif(bomb)
+    # a legit header admits the same image when the budget is raised
+    big = encode_gif([np.zeros((1025, 1024, 3), dtype=np.uint8)])
+    with pytest.raises(ValueError, match="out of range"):
+        decode_gif(big)
+    assert decode_gif(big, max_pixels=1025 * 1024)[0].shape == (1025, 1024, 3)
+
+    pal = bytes([0, 0, 0, 255, 255, 255] * 2)
+    head = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0) + pal
+
+    def img(indices, w=2, h=2, packed=0):
+        comp = _lzw_encode(bytes(indices), 2)
+        blocks = b""
+        for i in range(0, len(comp), 255):
+            c = comp[i : i + 255]
+            blocks += bytes([len(c)]) + c
+        return (
+            b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, packed)
+            + b"\x02"
+            + blocks
+            + b"\x00"
+        )
+
+    # LZW emitting MORE pixels than the frame declares is capped
+    with pytest.raises(ValueError, match="exceeds declared|pixel stream"):
+        decode_gif(head + img([1, 0, 1, 0, 1, 0, 1]) + b"\x3b")
+    # pixel index outside a 2-entry palette (GCT size bits 0)
+    head2 = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+        + bytes([0, 0, 0, 255, 255, 255])
+    )
+    with pytest.raises(ValueError, match="outside color table"):
+        decode_gif(head2 + img([3, 0, 0, 0]) + b"\x3b")
+    # interlace flag refused
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(head + img([1, 0, 0, 1], packed=0x40) + b"\x3b")

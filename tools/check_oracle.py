@@ -77,12 +77,17 @@ def compare(name: str, spark_df, con) -> tuple[bool, str, float, dict]:
     spark_sec = time.time() - t0
     rec["spark_rows"] = len(sp)
     if spec.oracle is None:
-        # rows-only key that executed: record the pass, not all-False —
-        # a consumer reading this artifact in the driver's shape would
-        # otherwise count a passing key as a failure.  The inapplicable
-        # oracle-compare fields stay null rather than False.
+        # rows-only key that executed: NO oracle comparison occurred,
+        # so every *_match field stays null — "match" is reserved for
+        # actual comparisons (a consumer summing rows_match must not
+        # count an unverified key as a verified pass).  `executed`
+        # plus err="no_oracle" carry the rows-only outcome.
         rec.update(
-            rows_match=True, schema_match=None, hash_match=None, err="no_oracle"
+            rows_match=None,
+            schema_match=None,
+            hash_match=None,
+            executed=True,
+            err="no_oracle",
         )
         return len(sp) >= 0, f"rows-only: {len(sp)} rows", spark_sec, rec
     du = con.sql(spec.oracle).df()
