@@ -42,6 +42,11 @@ def tune(spark: SparkSession) -> SparkSession:
     for key, value in [
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # runtime split of skewed shuffle partitions: the CDC hot path
+        # (LWW dedup + upsert join) keys by table PK, and a hot key —
+        # one entity receiving a large share of the changelog — would
+        # otherwise pin its whole partition on one task
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ]:
         try:

@@ -1710,3 +1710,107 @@ def test_multimodal_real_png_decode_and_resize(spark):
         yi = (np.arange(5) * h // 5).clip(0, h - 1)
         xi = (np.arange(3) * w // 3).clip(0, w - 1)
         assert np.array_equal(out, px0[yi][:, xi])
+
+
+def test_bucketed_hot_key_storm_bounded_and_correct(spark, tmp_path, users_schema):
+    """Skew-resilience of the CDC hot path: ONE key receives 50% of
+    the changelog (a single-entity update storm — the canonical CDC
+    skew shape), interleaved with cold single-insert keys.  The LWW
+    upsert must stay correct (hot key resolves to its highest-_seq
+    update, every cold key keeps its single row), and under bucketed
+    copy-on-write a follow-up all-hot micro-batch must rewrite ONLY
+    the hot key's bucket — per-batch merge work is bounded by touched
+    buckets, not by how many events pile onto one key.  tune() must
+    pin AQE skew-join splitting for the driver-owned session so the
+    shuffle side of the merge also splits a hot partition at runtime."""
+    import os as _os
+    import random
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.envelope import (
+        build_envelope_json,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.session import tune
+
+    tuned = tune(spark)
+    assert tuned.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    t0 = "2025-08-02 17:30:42.030174"
+    HOT = 777
+    rng = random.Random(41)
+    rows = []
+    cold = 10_000
+    for seq in range(1, 401):  # batch A: 50% hot-key storm, 50% cold
+        if rng.random() < 0.5:
+            rows.append((seq, "u", HOT, f"hot_v{seq}", "Gold", t0, t0))
+        else:
+            cold += 1
+            rows.append((seq, "c", cold, f"user{cold}", "Bronze", t0, t0))
+    for seq in range(401, 601):  # batch B: pure storm, hot key only
+        rows.append((seq, "u", HOT, f"hot_v{seq}", "Gold", t0, t0))
+
+    schema = T.StructType(
+        [
+            T.StructField("_seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("username", T.StringType()),
+            T.StructField("account_type", T.StringType()),
+            T.StructField("updated_at", T.StringType()),
+            T.StructField("created_at", T.StringType()),
+        ]
+    )
+    log = spark.createDataFrame(rows, schema).select(
+        "_seq",
+        F.lit("postgres_cdc.iman.users").alias("topic"),
+        "op",
+        "user_id",
+        "username",
+        "account_type",
+        F.to_timestamp("updated_at").alias("updated_at"),
+        F.to_timestamp("created_at").alias("created_at"),
+    )
+    payload = log.select("user_id", "username", "account_type", "updated_at")
+    wire = sorted(
+        log.select(
+            "_seq", "topic", "op",
+            build_envelope_json(payload.schema, "postgres_cdc.iman.users.Value")
+            .alias("value"),
+        ).collect(),
+        key=lambda r: r._seq,
+    )
+    src = tmp_path / "wire"
+    src.mkdir()
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    _write_batch_file(src, "batch_a.json", [r for r in wire if r._seq <= 400])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, state_dir, ckpt,
+        KEYS, VERSION, retain_versions=1, n_buckets=8,
+    )
+    _write_batch_file(src, "batch_b.json", [r for r in wire if r._seq > 400])
+    run_cdc_pipeline(
+        changelog_file_stream(spark, str(src)), users_schema, state_dir, ckpt,
+        KEYS, VERSION, retain_versions=1, n_buckets=8,
+    )
+
+    # bounded rewrite: the pure-storm batch touched one key -> one bucket
+    versions = sorted(
+        (d for d in _os.listdir(state_dir) if _re.fullmatch(r"v\d+", d)),
+        key=lambda d: int(d[1:]),
+    )
+    storm_buckets = {
+        d for d in _os.listdir(_os.path.join(state_dir, versions[-1]))
+        if d.startswith("bkt=")
+    }
+    assert len(storm_buckets) == 1, (
+        f"hot-key storm rewrote {len(storm_buckets)} buckets: {storm_buckets}"
+    )
+
+    # correctness: the engine state equals a per-key highest-_seq fold
+    expected = {}
+    for seq, _op, uid, uname, acct, *_ in rows:
+        expected[uid] = (uname, acct)  # rows are _seq-ordered
+    assert _state_map(read_state(spark, state_dir)) == expected
