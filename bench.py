@@ -59,29 +59,15 @@ def main() -> None:
         jobs[name](spark, sf_dir).count()
         return time.time() - t0
 
-    # Billing protocol (r6, hysteresis r7): slow lines are re-measured
-    # twice and billed at the MEDIAN of the 3 runs — first-run times
-    # carry one-shot warmup noise (observed ±0.5 s swings on identical
-    # code), which made the summed headline drift round-over-round for
-    # reasons unrelated to the code.  The re-measure decision is
-    # max(first run, last committed billed time) > 0.8 s, NOT the
-    # noisy first run against a 1.0 s knife-edge: a query whose true
-    # time sits near the threshold would otherwise flip billing
-    # methodology round-over-round, reintroducing exactly the drift
-    # the medians remove.  The committed BENCH_FULL.json anchors the
-    # decision (a line billed from medians last round keeps median
-    # billing), and the 0.8 s band means any line that could plausibly
-    # wander past 1 s is always median-billed.
-    prev_billed: dict[str, float] = {}
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-        ) as f:
-            prev_billed = {
-                k: float(v) for k, v in json.load(f).get("queries", {}).items()
-            }
-    except (OSError, ValueError):
-        pass
+    # Billing protocol (r6 medians, r7 fixed set = ALL lines): EVERY
+    # line is billed at the MEDIAN of 3 runs.  r6 gated the re-measure
+    # on the noisy first run crossing 1.0 s, which flipped billing
+    # methodology for lines near the threshold round-over-round; the
+    # r7 receipt run showed the residual drift actually lives in the
+    # ~240 single-run sub-second lines (±30-80 ms ambient noise each
+    # sums to ~3-5 s, over the ±2% reproducibility budget).  Billing
+    # the whole set from medians removes both effects for ~2x wall
+    # time — the feedback loop's job is stable numbers, not speed.
     stability: dict[str, dict] = {}
     for name in jobs:
         # Session-materialized intermediates (analytics_queries
@@ -93,19 +79,18 @@ def main() -> None:
         # is kept — it existed before the first run too).
         pre_keys = set(_MATERIALIZED)
         runs = [round(run_once(name), 4)]
-        if max(runs[0], prev_billed.get(name, 0.0)) > 0.8:
-            for _ in range(2):
-                for k in list(_MATERIALIZED):
-                    if k not in pre_keys:
-                        del _MATERIALIZED[k]
-                runs.append(round(run_once(name), 4))
-                gc.collect()
-            mean = sum(runs) / len(runs)
-            sd = (sum((x - mean) ** 2 for x in runs) / (len(runs) - 1)) ** 0.5
-            stability[name] = {
-                "runs": runs, "mean": round(mean, 4), "sd": round(sd, 4),
-            }
-        times[name] = sorted(runs)[len(runs) // 2]  # median (n=1 or 3)
+        for _ in range(2):
+            for k in list(_MATERIALIZED):
+                if k not in pre_keys:
+                    del _MATERIALIZED[k]
+            runs.append(round(run_once(name), 4))
+            gc.collect()
+        mean = sum(runs) / len(runs)
+        sd = (sum((x - mean) ** 2 for x in runs) / (len(runs) - 1)) ** 0.5
+        stability[name] = {
+            "runs": runs, "mean": round(mean, 4), "sd": round(sd, 4),
+        }
+        times[name] = sorted(runs)[len(runs) // 2]  # median of 3
         # drop py4j refs so the ContextCleaner can free localCheckpoint
         # blocks before the next query instead of accumulating over 96
         gc.collect()

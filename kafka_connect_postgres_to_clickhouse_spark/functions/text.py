@@ -87,20 +87,33 @@ def shingle_digest_pairs(col: Column, k: int = 8) -> Column:
     gram-leak audit, whose DuckDB oracles digest the literal window
     STRINGS — a Spark-side collision would silently diverge from the
     oracle, so the exactness contract needs the 128-bit key (the
-    64-bit variant documented this as its residual risk)."""
+    64-bit variant documented this as its residual risk).
+
+    Formulation note (measured at sf0.1, warm): BOTH per-token hashes
+    are computed in ONE transform pass emitting a 2-long struct —
+    a second ``transform(t, ...)`` pass re-inlines the tokenization
+    per element (the CollapseProject trap documented on shingles())
+    and costs ~2x; zipping 16 separate long-slices instead of 8
+    struct-slices costs ~1.3x.  The fully-independent pair is ~1.4x
+    the single-lane digest — the price of the 2^-128 bound (deriving
+    lane 2 from lane 1's LONGS would be ~1.07x but lets a single
+    token-level xxhash64 collision alias both lanes, and at 1e9+
+    distinct tokens that birthday is no longer negligible)."""
     t = tokens(col)
-    th = F.transform(t, lambda x: F.xxhash64(x))
-    th2 = F.transform(t, lambda x: F.xxhash64(x, F.lit("kcptc-g2")))
-    win = F.greatest(F.size(t) - (k - 1), F.lit(0))
-    z = F.arrays_zip(
-        *[F.slice(th, j + 1, win).alias(f"c{j}") for j in range(k)],
-        *[F.slice(th2, j + 1, win).alias(f"d{j}") for j in range(k)],
+    pairs = F.transform(
+        t,
+        lambda x: F.struct(
+            F.xxhash64(x).alias("a"),
+            F.xxhash64(x, F.lit("kcptc-g2")).alias("b"),
+        ),
     )
+    win = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(pairs, j + 1, win).alias(f"c{j}") for j in range(k)])
     return F.transform(
         z,
         lambda s: F.struct(
-            F.xxhash64(*[s[f"c{j}"] for j in range(k)]).alias("h"),
-            F.xxhash64(*[s[f"d{j}"] for j in range(k)]).alias("h2"),
+            F.xxhash64(*[s[f"c{j}"]["a"] for j in range(k)]).alias("h"),
+            F.xxhash64(*[s[f"c{j}"]["b"] for j in range(k)]).alias("h2"),
         ),
     )
 

@@ -3774,27 +3774,33 @@ def _basket_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lift statistic) both consume the identical pair table, and the
     distinct + self-join + pair agg is the expensive half of both.
 
-    100 TB plan: distinct (order, part) first (one partial agg —
-    dedups multi-line items BEFORE pairing), then a self equi-join on
-    orderkey whose output is bounded by sum(basket_size^2) per order —
-    baskets are small and bounded, never corpus-sized (a hot basket
-    would salt-split); the a<b canonicalization halves the pair space
-    and makes rows unique."""
+    100 TB plan: ONE shuffle, not three.  collect_set per orderkey
+    dedups multi-line items inside the aggregate (map-side partial),
+    then pairs expand MAP-SIDE from each sorted basket array — output
+    bounded by sum(basket_size^2) per order, baskets are small and
+    bounded, never corpus-sized (a hot basket would salt-split).  The
+    old shape (distinct + orderkey self-join) shuffled the (order,
+    part) projection three times for the same bound; the a<b
+    canonicalization via sorted-array suffix slices halves the pair
+    space and makes rows unique."""
     from .analytics_queries import _materialize  # noqa: PLC0415
 
     def build() -> DataFrame:
         l = _t(spark, sf_dir, "lineitem")
-        op = l.select("l_orderkey", "l_partkey").distinct()
-        a = op.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+        baskets = l.groupBy(F.col("l_orderkey").alias("ok")).agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("parts")
         )
-        b = op.select(
-            F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+        pairs = baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
         return (
-            a.join(
-                b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b"))
-            )
+            pairs.select("p.part_a", "p.part_b")
             .groupBy("part_a", "part_b")
             .agg(F.count("*").alias("n_ab"))
         )
