@@ -10635,3 +10635,76 @@ def q_media_frames_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
     frames = sample_frames(media, every_nth=2, backend="gif")
     return frames.mapInPandas(feat, "doc_id long, frame_no int, top_bin int")
+
+
+@register(
+    "q_media_decode_jpeg",
+    oracle="""
+    SELECT doc_id,
+           CAST(floor((0.299*c + 0.587*c + 0.114*c) / 32) AS INTEGER) AS top_bin,
+           CAST(1.0 AS FLOAT) AS top_frac
+    FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c FROM documents)
+    """,
+)
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Huffman+DCT image decode end-to-end: per doc, encode a
+    solid-gray 5x5 baseline JFIF (level = doc_id % 256, flat quant
+    table q=4, Annex-K canonical Huffman tables), then decode it —
+    marker/segment walk, canonical Huffman entropy decoding from
+    first principles, zigzag, dequantize, orthonormal 8x8 IDCT, level
+    shift — inside the same mapInPandas feature path as the other
+    codecs, and emit the dominant luminance bin.
+
+    Third compressed family through the driver gate: PNG proved
+    DEFLATE (stdlib zlib inflate), GIF proved from-scratch LZW, and
+    this proves from-scratch HUFFMAN coding plus the DCT transform
+    pipeline (streaming/multimodal.py:decode_jpeg).  Exactness: a
+    solid block's DCT is DC-only and q=4 divides the DC scale factor
+    8, so quantization never rounds — the decoded pixel equals the
+    input level EXACTLY despite JPEG being lossy in general, and the
+    oracle replays the identical IEEE luma expression.  The 5x5 dims
+    force edge-replication padding inside one MCU; multi-block DC
+    prediction, run-lengths, ZRL and byte stuffing are pinned by the
+    pytest round-trips (gradient/noise images, tests/test_property).
+
+    Scale: payload synthesis (memoized — 256 distinct levels) +
+    Huffman decode + IDCT are narrow Arrow-batched passes; payload
+    bytes never shuffle.  The decode is Python-loop-bound (~0.4 ms
+    per payload); at corpus scale the cost is embarrassingly
+    parallel map work, no shuffle, no skew."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import encode_jpeg, extract_features  # noqa: PLC0415
+
+    def mk(batches):
+        memo: dict = {}
+
+        def enc(level: int) -> bytes:
+            p = memo.get(level)
+            if p is None:
+                p = memo[level] = encode_jpeg(
+                    np.full((5, 5), level, dtype=np.uint8), quant=4
+                )
+            return p
+
+        for pdf in batches:
+            payloads = [enc(int(i) % 256) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    feats = extract_features(media, backend="jpeg")
+    return feats.select(
+        "doc_id",
+        (F.array_position(F.col("feature"), F.array_max("feature")) - 1)
+        .cast("int")
+        .alias("top_bin"),
+        F.array_max("feature").alias("top_frac"),
+    )

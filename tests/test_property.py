@@ -806,3 +806,81 @@ def test_gif_hostile_payloads_bounded():
     # interlace flag refused
     with pytest.raises(ValueError, match="interlaced"):
         decode_gif(head + img([1, 0, 0, 1], packed=0x40) + b"\x3b")
+
+
+def test_jpeg_roundtrip_and_exact_solids():
+    """Baseline JPEG codec: solid levels decode EXACTLY for every
+    gray level (flat q=4 divides the DC scale factor 8 — no rounding
+    anywhere despite JPEG being lossy in general); arbitrary images
+    round-trip within the quantization bound (<=1 at q=1, <=quant at
+    q=4), through multi-block scans that exercise DC prediction,
+    AC run-lengths, EOB and byte stuffing; non-multiple-of-8 dims
+    survive via edge-replication padding + crop."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for c in (0, 1, 63, 64, 127, 128, 129, 200, 255):
+        out = decode_jpeg(encode_jpeg(np.full((9, 13), c, np.uint8), quant=4))
+        assert out.shape == (9, 13, 3) and (out == c).all()
+
+    x = np.linspace(0, 255, 40)
+    grad = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quant=1))[:, :, 0]
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 1
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    out1 = decode_jpeg(encode_jpeg(noise, quant=1))[:, :, 0]
+    assert out1.shape == (24, 31)
+    assert int(np.abs(out1.astype(int) - noise.astype(int)).max()) <= 1
+    out4 = decode_jpeg(encode_jpeg(noise, quant=4))[:, :, 0]
+    assert int(np.abs(out4.astype(int) - noise.astype(int)).max()) <= 4
+
+
+def test_jpeg_hostile_payloads_bounded():
+    """Mirror of the PNG/GIF hostile sets: bad magic, truncation
+    anywhere (including mid-entropy-stream), over-cap SOF dims
+    rejected before any block decodes, progressive/multi-component/
+    restart streams refused, zero quant entries refused — all
+    ValueError, never a raw struct/KeyError."""
+    import struct
+
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    good = encode_jpeg(rng.integers(0, 256, (17, 9), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM" + good)
+    for cut in (1, 3, 10, 30, len(good) // 2, len(good) - 1):
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(good[:cut]))
+    bomb = (
+        b"\xff\xd8\xff\xc0"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 60000, 60000, 1)
+        + b"\x01\x11\x00"
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_jpeg(bomb)
+    with pytest.raises(ValueError, match="baseline only"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # a legit SOF admits the same image when the budget is raised
+    big = encode_jpeg(np.zeros((1032, 1024), dtype=np.uint8))
+    with pytest.raises(ValueError, match="out of range"):
+        decode_jpeg(big)
+    assert decode_jpeg(big, max_pixels=1032 * 1024).shape == (1032, 1024, 3)
+    # zero quantization entry must be refused (divide-free contract)
+    zq = bytearray(good)
+    dqt = zq.find(b"\xff\xdb")
+    zq[dqt + 5] = 0  # first table entry
+    with pytest.raises(ValueError, match="zero entry"):
+        decode_jpeg(bytes(zq))
