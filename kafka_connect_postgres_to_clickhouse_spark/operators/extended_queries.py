@@ -10708,3 +10708,84 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_bin"),
         F.array_max("feature").alias("top_frac"),
     )
+
+
+@register(
+    "q_media_decode_jpeg_color",
+    oracle="""
+    WITH rgb AS (
+      SELECT doc_id,
+             CAST(doc_id % 256 AS DOUBLE) AS r,
+             CAST((7*doc_id + 31) % 256 AS DOUBLE) AS g,
+             CAST((13*doc_id + 67) % 256 AS DOUBLE) AS b
+      FROM documents
+    ),
+    ycc AS (
+      SELECT doc_id,
+        LEAST(GREATEST(round(0.299*r + 0.587*g + 0.114*b), 0), 255) AS y,
+        LEAST(GREATEST(round(128.0 - 0.168736*r - 0.331264*g + 0.5*b), 0), 255)
+          AS cb,
+        LEAST(GREATEST(round(128.0 + 0.5*r - 0.418688*g - 0.081312*b), 0), 255)
+          AS cr
+      FROM rgb
+    )
+    SELECT doc_id,
+      CAST(LEAST(GREATEST(round(y + 1.402*(cr-128)), 0), 255) AS INTEGER)
+        AS r_out,
+      CAST(LEAST(GREATEST(round(y - 0.344136*(cb-128) - 0.714136*(cr-128)),
+                          0), 255) AS INTEGER) AS g_out,
+      CAST(LEAST(GREATEST(round(y + 1.772*(cb-128)), 0), 255) AS INTEGER)
+        AS b_out
+    FROM ycc
+    """,
+)
+def q_media_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR JPEG decode end-to-end with a bit-exact per-channel
+    oracle: per doc, encode a solid-color 5x5 baseline JFIF (RGB =
+    (doc_id, 7*doc_id+31, 13*doc_id+67) mod 256; three interleaved
+    4:4:4 components, per-component DC predictors), decode it, and
+    emit the decoded (r, g, b) — three exact integers per row.
+
+    The oracle replays the ENTIRE lossy chain in SQL: JFIF RGB ->
+    YCbCr with half-away rounding (the encoder uses
+    np_round_half_away, matching SQL round()), DC-only quantization
+    at flat q=4 (exact — q divides the DC scale factor 8), and the
+    inverse YCbCr -> RGB conversion with the identical literal
+    constants.  Verified bit-equal across all 256 palette values
+    against DuckDB before registration.  This is the strongest
+    exactness statement in the media family: not a histogram bin but
+    the decoded channel values themselves.
+
+    Scale: memoized synthesis (256 distinct colors), narrow
+    Arrow-batched decode, payloads never shuffle."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import decode_jpeg, encode_jpeg  # noqa: PLC0415
+
+    def run(batches):
+        memo: dict = {}
+
+        def enc(i: int) -> bytes:
+            key = i % 256
+            p = memo.get(key)
+            if p is None:
+                rgb = (key, (7 * key + 31) % 256, (13 * key + 67) % 256)
+                p = memo[key] = encode_jpeg(
+                    np.full((5, 5, 3), rgb, dtype=np.uint8), quant=4
+                )
+            return p
+
+        for pdf in batches:
+            px = [decode_jpeg(enc(int(i)))[0, 0] for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "r_out": pd.array([int(p[0]) for p in px], dtype="int32"),
+                    "g_out": pd.array([int(p[1]) for p in px], dtype="int32"),
+                    "b_out": pd.array([int(p[2]) for p in px], dtype="int32"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(run, "doc_id long, r_out int, g_out int, b_out int")

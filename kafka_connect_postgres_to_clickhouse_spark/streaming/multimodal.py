@@ -24,13 +24,14 @@ Decode backends, selected per call:
   ``sample_frames(backend="gif")`` is a REAL animation demux.
 - ``"jpeg"`` — REAL COMPRESSED image decode: baseline sequential
   JFIF via from-scratch canonical HUFFMAN entropy decoding (Annex-K
-  tables, DC prediction, AC run-lengths/ZRL/EOB, byte stuffing) then
-  zigzag -> dequantize -> orthonormal 8x8 IDCT -> level shift.
-  Grayscale scope — chroma adds plumbing, not a new algorithm family.
+  tables, per-component DC prediction, AC run-lengths/ZRL/EOB, byte
+  stuffing) then zigzag -> dequantize -> orthonormal 8x8 IDCT ->
+  level shift; grayscale AND 3-component 4:4:4 color (JFIF YCbCr <->
+  RGB with half-away rounding, SQL-replayable).  Subsampled chroma is
+  out of scope — plumbing, not a new algorithm family.
 - ``"fake"`` — deterministic byte-domain stand-in (raw-byte histogram)
-  for media types whose codecs aren't in this container (color JPEG,
-  MP3, MP4, ...).  The Spark-side plumbing is identical for all
-  backends.
+  for media types whose codecs aren't in this container (MP3, MP4,
+  ...).  The Spark-side plumbing is identical for all backends.
 - anything else (``"pil"``, ``"ffmpeg"``) — NotImplementedError at the
   exact point the library call would go: the pluggable seam for real
   codec libs.
@@ -746,18 +747,21 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes, max_pixels: int = 1 << 20) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale Y
-    replicated) — pure-stdlib COMPRESSED decode, third family after
-    DEFLATE (PNG) and LZW (GIF): canonical HUFFMAN entropy decoding
-    from first principles, then zigzag -> dequantize -> orthonormal
-    8x8 IDCT -> level shift.
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB — pure-stdlib
+    COMPRESSED decode, third family after DEFLATE (PNG) and LZW
+    (GIF): canonical HUFFMAN entropy decoding from first principles,
+    then zigzag -> dequantize -> orthonormal 8x8 IDCT -> level shift,
+    and for 3-component scans the JFIF YCbCr -> RGB conversion
+    (half-AWAY rounding — the repo-wide discipline, so the conversion
+    is replayable in SQL round()).
 
-    Scope: baseline sequential (SOF0), 8-bit, one component; color /
-    progressive / restart-interval streams raise ValueError (the
-    documented seam).  Hostile-payload posture: bad magic, truncated
-    segments, over-cap dims, invalid Huffman codes, coefficient
-    overruns, and streams ending mid-block all raise ValueError;
-    work is bounded by ``max_pixels``."""
+    Scope: baseline sequential (SOF0), 8-bit, 1 component (grayscale,
+    Y replicated) or 3 components at 4:4:4 (no chroma subsampling);
+    progressive / subsampled / restart-interval streams raise
+    ValueError (the documented seam).  Hostile-payload posture: bad
+    magic, truncated segments, over-cap dims, invalid Huffman codes,
+    coefficient overruns, and streams ending mid-block all raise
+    ValueError; work is bounded by ``max_pixels``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -765,7 +769,7 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 20) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     dims = None
-    comp_qt = None
+    comps: list[tuple[int, int]] | None = None  # (component id, qt id)
     sos = None
     while True:
         if pos + 4 > len(payload):
@@ -806,17 +810,22 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 20) -> np.ndarray:
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    f"unsupported JPEG ({ncomp} components; grayscale only)"
+                    f"unsupported JPEG ({ncomp} components; 1 or 3 only)"
                 )
             if not (0 < w and 0 < h and w * h <= max_pixels):
                 raise ValueError(
                     f"JPEG dimensions {w}x{h} out of range (cap {max_pixels}px)"
                 )
-            sampling, comp_qt = seg[7], seg[8]
-            if sampling != 0x11:
-                raise ValueError("unsupported JPEG sampling (4:4:4 grayscale only)")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF0 truncated")
+            comps = []
+            for ci in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("unsupported JPEG sampling (4:4:4 only)")
+                comps.append((cid, tq))
             dims = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported JPEG SOF type 0x{marker:02x} (baseline only)")
@@ -840,62 +849,91 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 20) -> np.ndarray:
         elif marker == 0xDD:
             raise ValueError("JPEG restart intervals not supported")
         elif marker == 0xDA:  # SOS
-            if len(seg) < 6 or seg[0] != 1:
-                raise ValueError("JPEG SOS must reference exactly one component")
-            sos = (seg[2] >> 4, seg[2] & 0x0F)  # (dc table id, ac table id)
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF0")
+            if len(seg) < 4 + 2 * len(comps) or seg[0] != len(comps):
+                raise ValueError("JPEG SOS must reference every SOF component")
+            by_id = {cid: i for i, (cid, _tq) in enumerate(comps)}
+            sos = [None] * len(comps)
+            for ci in range(len(comps)):
+                cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                if cid not in by_id:
+                    raise ValueError("JPEG SOS references unknown component id")
+                sos[by_id[cid]] = (tt >> 4, tt & 0x0F)  # (dc id, ac id)
+            if any(t is None for t in sos):
+                raise ValueError("JPEG SOS leaves a component without tables")
             pos = seg_end
             break
         # APPn / COM / others: skip
         pos = seg_end
-    if dims is None or sos is None:
+    if dims is None or sos is None or comps is None:
         raise ValueError("JPEG missing SOF0 before SOS")
-    if comp_qt not in qt:
-        raise ValueError("JPEG scan references missing quantization table")
-    if sos[0] not in dc_tables or sos[1] not in ac_tables:
-        raise ValueError("JPEG scan references missing Huffman table")
+    for _cid, tq in comps:
+        if tq not in qt:
+            raise ValueError("JPEG scan references missing quantization table")
+    for dci, aci in sos:
+        if dci not in dc_tables or aci not in ac_tables:
+            raise ValueError("JPEG scan references missing Huffman table")
     h, w = dims
-    q = qt[comp_qt]
-    dc_map, ac_map = dc_tables[sos[0]], ac_tables[sos[1]]
+    ncomp = len(comps)
+    qs = [qt[tq] for _cid, tq in comps]
+    maps = [(dc_tables[dci], ac_tables[aci]) for dci, aci in sos]
     by, bx = (h + 7) // 8, (w + 7) // 8
     reader = _BitReader(payload, pos)
-    out = np.empty((by * 8, bx * 8), dtype=np.uint8)
-    pred = 0
+    planes = [np.empty((by * 8, bx * 8), dtype=np.uint8) for _ in range(ncomp)]
+    preds = [0] * ncomp
     for myy in range(by):
         for mxx in range(bx):
-            zz = np.zeros(64)
-            s = reader.read_symbol(dc_map)
-            if s > 11:
-                raise ValueError("JPEG DC category out of range")
-            pred += _jpeg_extend(reader.read_bits(s), s)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = reader.read_symbol(ac_map)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL: sixteen zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient index overrun")
-                zz[k] = _jpeg_extend(reader.read_bits(s), s)
-                k += 1
-            block = np.zeros((8, 8))
-            for z, (r, c) in enumerate(_JPEG_ZIGZAG):
-                block[r, c] = zz[z]
-            pix = _JPEG_C.T @ (block * q) @ _JPEG_C + 128.0
-            out[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] = np.clip(
-                np.rint(pix), 0, 255
-            ).astype(np.uint8)
+            # 4:4:4 interleave: one block per component per MCU
+            for ci in range(ncomp):
+                dc_map, ac_map = maps[ci]
+                zz = np.zeros(64)
+                s = reader.read_symbol(dc_map)
+                if s > 11:
+                    raise ValueError("JPEG DC category out of range")
+                preds[ci] += _jpeg_extend(reader.read_bits(s), s)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(ac_map)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient index overrun")
+                    zz[k] = _jpeg_extend(reader.read_bits(s), s)
+                    k += 1
+                block = np.zeros((8, 8))
+                for z, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    block[r, c] = zz[z]
+                pix = _JPEG_C.T @ (block * qs[ci]) @ _JPEG_C + 128.0
+                planes[ci][myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] = np.clip(
+                    np.rint(pix), 0, 255
+                ).astype(np.uint8)
     # require the EOI marker right after the scan (fill bits may end
     # the last entropy byte; stuffed FF 00 may precede the marker)
     idx = payload.find(b"\xff\xd9", reader.pos)
     if idx < 0 or idx > reader.pos + 2:
         raise ValueError("JPEG truncated: no EOI after scan")
-    y = out[:h, :w]
-    return np.repeat(y[:, :, None], 3, axis=2)
+    if ncomp == 1:
+        y = planes[0][:h, :w]
+        return np.repeat(y[:, :, None], 3, axis=2)
+    from ..functions.vectors import np_round_half_away  # noqa: PLC0415
+
+    y = planes[0][:h, :w].astype(np.float64)
+    cb = planes[1][:h, :w].astype(np.float64) - 128.0
+    cr = planes[2][:h, :w].astype(np.float64) - 128.0
+    # JFIF YCbCr -> RGB, literal spec constants; rounding is half-AWAY
+    # (np_round_half_away) so the exact same expression replays in SQL
+    # round() — the q_media_decode_jpeg_color oracle depends on it
+    r = np.clip(np_round_half_away(y + 1.402 * cr), 0, 255)
+    g = np.clip(np_round_half_away(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b = np.clip(np_round_half_away(y + 1.772 * cb), 0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
 
 
 class _BitWriter:
@@ -928,63 +966,94 @@ def _jpeg_category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg(gray: np.ndarray, quant: int = 4) -> bytes:
-    """(h, w) uint8 grayscale -> baseline JFIF bytes through the real
-    pipeline: level shift, orthonormal 8x8 FDCT, flat quantization
-    table (all entries = ``quant``), zigzag run-length, canonical
-    Annex-K Huffman coding, byte stuffing.
+def encode_jpeg(pixels: np.ndarray, quant: int = 4) -> bytes:
+    """(h, w) uint8 grayscale OR (h, w, 3) uint8 RGB -> baseline JFIF
+    bytes through the real pipeline: (RGB -> JFIF YCbCr with
+    half-away rounding), level shift, orthonormal 8x8 FDCT, flat
+    quantization table (all entries = ``quant``), zigzag run-length,
+    canonical Annex-K Huffman coding, byte stuffing; color scans
+    interleave one block per component per MCU at 4:4:4.
 
     ``quant`` in {1, 2, 4, 8} makes a SOLID block's DC quantization
     exact (8*(c-128)/quant is an integer — no rounding tie), which is
-    what gives q_media_decode_jpeg a bit-exact SQL oracle; arbitrary
-    images round-trip within ~quant per pixel (lossy, as JPEG is)."""
-    px = np.asarray(gray, dtype=np.uint8)
-    if px.ndim != 2:
-        raise ValueError("encode_jpeg takes a single-channel (h, w) array")
-    h, w = px.shape
+    what gives the q_media_decode_jpeg keys bit-exact SQL oracles;
+    arbitrary images round-trip within ~quant per pixel per channel
+    (lossy, as JPEG is; color adds the two rounded conversions)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        planes = [px.astype(np.float64)]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        from ..functions.vectors import np_round_half_away  # noqa: PLC0415
+
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        # JFIF RGB -> YCbCr, literal spec constants, half-AWAY rounding
+        # (matches SQL round(); see decode_jpeg's inverse)
+        planes = [
+            np.clip(np_round_half_away(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
+            np.clip(
+                np_round_half_away(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+                0,
+                255,
+            ),
+            np.clip(
+                np_round_half_away(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+                0,
+                255,
+            ),
+        ]
+    else:
+        raise ValueError("encode_jpeg takes (h, w) gray or (h, w, 3) RGB")
+    h, w = planes[0].shape
     by, bx = (h + 7) // 8, (w + 7) // 8
-    padded = np.empty((by * 8, bx * 8), dtype=np.float64)
-    padded[:h, :w] = px
-    padded[h:, :w] = px[h - 1 : h, :]  # edge replication
-    padded[:, w:] = padded[:, w - 1 : w]
+    padded_planes = []
+    for pl in planes:
+        padded = np.empty((by * 8, bx * 8), dtype=np.float64)
+        padded[:h, :w] = pl
+        padded[h:, :w] = pl[h - 1 : h, :]  # edge replication
+        padded[:, w:] = padded[:, w - 1 : w]
+        padded_planes.append(padded)
     q = np.full((8, 8), float(quant))
     dc_enc = _huffman_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_enc = _huffman_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
     writer = _BitWriter()
-    pred = 0
+    ncomp = len(padded_planes)
+    preds = [0] * ncomp
     for myy in range(by):
         for mxx in range(bx):
-            blk = padded[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] - 128.0
-            coef = _JPEG_C @ blk @ _JPEG_C.T
-            zz = np.zeros(64, dtype=np.int64)
-            for z, (r, c) in enumerate(_JPEG_ZIGZAG):
-                zz[z] = int(np.rint(coef[r, c] / q[r, c]))
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            s = _jpeg_category(diff)
-            length, code = dc_enc[s]
-            writer.write(code, length)
-            if s:
-                writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((z for z in range(1, 64) if zz[z]), default=0)
-            for z in range(1, last_nz + 1):
-                if zz[z] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_enc[0xF0]  # ZRL
-                    writer.write(code, length)
-                    run -= 16
-                v = int(zz[z])
-                s = _jpeg_category(v)
-                length, code = ac_enc[(run << 4) | s]
+            for ci, padded in enumerate(padded_planes):
+                blk = padded[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] - 128.0
+                coef = _JPEG_C @ blk @ _JPEG_C.T
+                zz = np.zeros(64, dtype=np.int64)
+                for z, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    zz[z] = int(np.rint(coef[r, c] / q[r, c]))
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s = _jpeg_category(diff)
+                length, code = dc_enc[s]
                 writer.write(code, length)
-                writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                if s:
+                    writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
                 run = 0
-            if last_nz < 63:
-                length, code = ac_enc[0x00]  # EOB
-                writer.write(code, length)
+                last_nz = max((z for z in range(1, 64) if zz[z]), default=0)
+                for z in range(1, last_nz + 1):
+                    if zz[z] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_enc[0xF0]  # ZRL
+                        writer.write(code, length)
+                        run -= 16
+                    v = int(zz[z])
+                    s = _jpeg_category(v)
+                    length, code = ac_enc[(run << 4) | s]
+                    writer.write(code, length)
+                    writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    length, code = ac_enc[0x00]  # EOB
+                    writer.write(code, length)
     scan = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -992,15 +1061,13 @@ def encode_jpeg(gray: np.ndarray, quant: int = 4) -> bytes:
 
     zz_q = bytes(int(quant) for _ in range(64))
     dqt = seg(0xDB, b"\x00" + zz_q)
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    sof_comps = b"".join(bytes([ci + 1, 0x11, 0x00]) for ci in range(ncomp))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
     dht = seg(
-        0xC4,
-        b"\x00"
-        + bytes(_JPEG_DC_BITS[1:])
-        + bytes(_JPEG_DC_VALS)
-        + b""
+        0xC4, b"\x00" + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
     ) + seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS))
-    sos = seg(0xDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+    sos = seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 

@@ -884,3 +884,44 @@ def test_jpeg_hostile_payloads_bounded():
     zq[dqt + 5] = 0  # first table entry
     with pytest.raises(ValueError, match="zero entry"):
         decode_jpeg(bytes(zq))
+
+
+def test_jpeg_color_roundtrip_and_exact_chain():
+    """3-component 4:4:4 color JPEG: arbitrary RGB images round-trip
+    within the quantization + two-rounded-conversions bound (<=3 at
+    q=1), and solid colors decode to EXACTLY the deterministic
+    RGB -> YCbCr -> RGB chain (half-away rounding both directions,
+    DC-only blocks at q=4) — the contract q_media_decode_jpeg_color's
+    SQL oracle replays."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (
+        np_round_half_away as rha,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert out.shape == (24, 17, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+    def chain(r, g, b):
+        cl = lambda v: min(max(v, 0.0), 255.0)  # noqa: E731
+        y = cl(rha(np.float64(0.299 * r + 0.587 * g + 0.114 * b)))
+        cb = cl(rha(np.float64(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)))
+        cr = cl(rha(np.float64(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)))
+        return (
+            cl(rha(np.float64(y + 1.402 * (cr - 128)))),
+            cl(rha(np.float64(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))),
+            cl(rha(np.float64(y + 1.772 * (cb - 128)))),
+        )
+
+    for i in range(0, 256, 17):
+        rgb = (i, (7 * i + 31) % 256, (13 * i + 67) % 256)
+        got = decode_jpeg(encode_jpeg(np.full((5, 5, 3), rgb, np.uint8), quant=4))
+        assert (got == got[0, 0]).all()  # solid stays solid
+        assert tuple(got[0, 0]) == chain(*rgb), (rgb, got[0, 0])
