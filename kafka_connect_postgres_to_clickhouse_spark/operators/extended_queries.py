@@ -10789,3 +10789,83 @@ def q_media_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(run, "doc_id long, r_out int, g_out int, b_out int")
+
+
+@register(
+    "q_media_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS INTEGER) AS out_w,
+           CAST(3 AS INTEGER) AS out_h,
+           CAST(doc_id % 256 AS INTEGER) AS level
+    FROM documents
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the driver gate: per doc, encode a
+    solid-color 8x6 GIF (level = doc_id % 256 on all channels),
+    resize it to 4x3 with the real backend (decode -> true
+    nearest-neighbor resample -> re-encode through the LZW coder),
+    then decode the RESIZED payload and emit its dims + level — the
+    round-trip proves the emitted bytes are a valid image of the
+    declared size, not just a truncated buffer.
+
+    GIF chosen because it is lossless here (one palette entry): the
+    resized solid must decode to exactly the input level.  Exercises
+    resize_images' decode/resample/re-encode chain, which previously
+    had only pytest coverage.  Scale: memoized synthesis (256
+    payloads), two narrow Arrow-batched passes, payloads never
+    shuffle."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import (  # noqa: PLC0415
+        decode_gif,
+        encode_gif,
+        resize_images,
+    )
+
+    def mk(batches):
+        memo: dict = {}
+
+        def enc(level: int) -> bytes:
+            p = memo.get(level)
+            if p is None:
+                p = memo[level] = encode_gif(
+                    [np.full((6, 8, 3), level, dtype=np.uint8)]
+                )
+            return p
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": [enc(int(i) % 256) for i in pdf["doc_id"]],
+                }
+            )
+
+    def verify(batches):
+        for pdf in batches:
+            frames = [decode_gif(bytes(p))[0] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": pd.array(
+                        [f.shape[1] for f in frames], dtype="int32"
+                    ),
+                    "out_h": pd.array(
+                        [f.shape[0] for f in frames], dtype="int32"
+                    ),
+                    "level": pd.array(
+                        [int(f[0, 0, 0]) for f in frames], dtype="int32"
+                    ),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    resized = resize_images(media, out_w=4, out_h=3, backend="gif")
+    return resized.select("doc_id", "payload").mapInPandas(
+        verify, "doc_id long, out_w int, out_h int, level int"
+    )

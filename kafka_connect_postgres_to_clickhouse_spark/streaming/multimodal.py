@@ -1207,10 +1207,12 @@ def resize_images(
     """Image resize over opaque binary payloads, Arrow-batched.
 
     Input columns: doc_id, media_type, width, height, payload.
-    ``backend="bmp"`` and ``backend="png"`` are REAL image resizes:
-    decode the payload, true nearest-neighbor pixel resampling to
-    (out_w, out_h), re-encode a valid image of the same format (the
-    PNG path round-trips through zlib DEFLATE both ways).
+    ``backend="bmp"``, ``"png"``, ``"gif"`` and ``"jpeg"`` are REAL
+    image resizes: decode the payload, true nearest-neighbor pixel
+    resampling to (out_w, out_h), re-encode a valid image of the same
+    format (PNG round-trips zlib DEFLATE both ways, GIF the LZW
+    coder, JPEG the Huffman+DCT pipeline; GIF resizes frame 0, JPEG
+    re-encodes color).
     ``backend="fake"`` performs a deterministic byte-domain
     "resample" — nearest-neighbor index selection over the raw bytes
     to out_w*out_h length — for payloads whose codec isn't available;
@@ -1227,6 +1229,8 @@ def resize_images(
     _codecs = {
         "bmp": (decode_bmp, encode_bmp),
         "png": (decode_png, encode_png),
+        "gif": (lambda p: decode_gif(p)[0], lambda px: encode_gif([px])),
+        "jpeg": (decode_jpeg, encode_jpeg),
     }
     decode, encode = _codecs.get(backend, (None, None))
 
@@ -1236,7 +1240,7 @@ def resize_images(
             if backend != "fake" and decode is None:
                 raise NotImplementedError(
                     f"resize backend {backend!r} not available; "
-                    "use 'fake', 'bmp', or 'png'"
+                    "use 'fake', 'bmp', 'png', 'gif' or 'jpeg'"
                 )
             out = []
             for p in pdf["payload"]:
