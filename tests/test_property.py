@@ -925,3 +925,46 @@ def test_jpeg_color_roundtrip_and_exact_chain():
         got = decode_jpeg(encode_jpeg(np.full((5, 5, 3), rgb, np.uint8), quant=4))
         assert (got == got[0, 0]).all()  # solid stays solid
         assert tuple(got[0, 0]) == chain(*rgb), (rgb, got[0, 0])
+
+
+def test_mp4_demux_roundtrip_and_hostile():
+    """ISO BMFF demux: encode_mp4 -> split_mp4_samples returns the
+    exact sample payloads (box-tree walk + stsz/stsc/stco
+    arithmetic); truncations, non-MP4 bytes, over-cap sample counts
+    and inconsistent sample tables all raise ValueError.  A chained
+    container is also real: MP4 samples that are single-frame GIFs
+    demux then DECODE end-to-end."""
+    import struct
+
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_gif,
+        encode_gif,
+        encode_mp4,
+        split_mp4_samples,
+    )
+
+    samples = [bytes([i]) * (10 + i) for i in range(5)]
+    mp4 = encode_mp4(samples)
+    assert split_mp4_samples(mp4) == samples
+
+    for cut in (3, 11, 40, len(mp4) // 2, len(mp4) - 4):
+        with pytest.raises(ValueError):
+            split_mp4_samples(mp4[:cut])
+    with pytest.raises(ValueError, match="not an MP4"):
+        split_mp4_samples(b"\x00\x00\x00\x08free" + mp4)
+    with pytest.raises(ValueError, match="exceeds cap"):
+        split_mp4_samples(mp4, max_samples=3)
+    # stsz count inflated without sizes -> table inconsistency raises
+    idx = mp4.find(b"stsz")
+    bad = bytearray(mp4)
+    struct.pack_into(">I", bad, idx + 4 + 8, 4000)
+    with pytest.raises(ValueError):
+        split_mp4_samples(bytes(bad))
+
+    # chained: MP4 of single-frame GIFs -> demux -> REAL decode
+    frames = [np.full((4, 4, 3), 40 * i, dtype=np.uint8) for i in range(4)]
+    chained = encode_mp4([encode_gif([f]) for f in frames])
+    got = [decode_gif(s)[0] for s in split_mp4_samples(chained)]
+    assert all((a == b).all() for a, b in zip(got, frames))
