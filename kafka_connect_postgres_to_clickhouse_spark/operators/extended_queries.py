@@ -10966,3 +10966,88 @@ def q_media_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.mapInPandas(
         stats, "doc_id long, sample_no int, n_bytes int, first_byte int"
     )
+
+
+@register(
+    "q_media_mp3_framing",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+               [CAST(1 + doc_id % 14 AS INTEGER)] AS kbps,
+             ([44100,48000,32000])[CAST(1 + doc_id % 3 AS INTEGER)] AS rate,
+             CAST(1 + doc_id % 3 AS INTEGER) AS n_frames
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, kbps, rate,
+             unnest(generate_series(0, n_frames - 1)) AS fn
+      FROM params
+    )
+    SELECT doc_id,
+           CAST(fn AS INTEGER) AS frame_no,
+           CAST(144 * kbps * 1000 // rate AS INTEGER) AS n_bytes
+    FROM f
+    """,
+)
+def q_media_mp3_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III frame demux through the driver gate: per
+    doc, synthesize an MP3 stream of n = 1 + doc_id % 3 frames at
+    bitrate index 1 + doc_id % 14 and sample-rate index doc_id % 3,
+    demux it by frame-header sync (sample_frames backend='mp3' — the
+    public 144*bitrate/samplerate length formula), and emit each
+    frame's byte length.
+
+    The audio-container twin of q_media_mp4_demux: framing is header
+    arithmetic a distributed pipeline runs to split/route audio
+    WITHOUT decoding; the codec bitstream inside each frame stays
+    opaque (the seam).  Exactness: frame lengths are the spec
+    formula, replayed by the oracle over the same (bitrate, rate)
+    tables.
+
+    Scale: memoized synthesis, narrow Arrow-batched demux; payload
+    bytes never shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import (  # noqa: PLC0415
+        encode_mp3_frames,
+        sample_frames,
+    )
+
+    def mk(batches):
+        memo: dict = {}
+
+        def enc(i: int) -> bytes:
+            key = (1 + i % 14, i % 3, i % 256)
+            p = memo.get(key)
+            if p is None:
+                p = memo[key] = encode_mp3_frames(
+                    1 + i % 3, bitrate_idx=key[0], rate_idx=key[1], fill=key[2]
+                )
+            return p
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": [enc(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def stats(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"],
+                    "n_bytes": pd.array(
+                        [len(bytes(p)) for p in pdf["frame"]], dtype="int32"
+                    ),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    frames = sample_frames(media, every_nth=1, backend="mp3")
+    return frames.mapInPandas(stats, "doc_id long, frame_no int, n_bytes int")

@@ -1249,6 +1249,71 @@ def split_mp4_samples(payload: bytes, max_samples: int = 4096) -> list[bytes]:
     return out
 
 
+# --- MP3 (MPEG-1 Layer III frame demux, no codec decode) --------------------
+
+# public MPEG-1 header tables: Layer III bitrates (kbps, index 1..14)
+# and sample rates (Hz, index 0..2)
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def _mp3_frame_len(bitrate_idx: int, rate_idx: int, padding: int) -> int:
+    return 144 * _MP3_BITRATES[bitrate_idx] * 1000 // _MP3_RATES[rate_idx] + padding
+
+
+def encode_mp3_frames(
+    n_frames: int, bitrate_idx: int = 9, rate_idx: int = 0, fill: int = 0
+) -> bytes:
+    """n synthetic MPEG-1 Layer III frames with spec-correct headers
+    (sync, version, layer, bitrate/samplerate indices) and a
+    deterministic fill payload — the demux fixture; the payload is
+    NOT a decodable bitstream (codec-frame decode is the seam)."""
+    if not (1 <= bitrate_idx <= 14) or not (0 <= rate_idx <= 2):
+        raise ValueError("encode_mp3_frames: index out of range")
+    # FF FB: sync(11) version=11(MPEG1) layer=01(III) protection=1
+    hdr23 = (bitrate_idx << 4) | (rate_idx << 2)  # padding=0 private=0
+    frame_len = _mp3_frame_len(bitrate_idx, rate_idx, 0)
+    frame = bytes([0xFF, 0xFB, hdr23, 0x00]) + bytes([fill & 0xFF]) * (frame_len - 4)
+    return frame * n_frames
+
+
+def split_mp3_frames(payload: bytes, max_frames: int = 4096) -> list[bytes]:
+    """REAL MPEG-1 Layer III frame demux: sync on the 11-bit frame
+    header, read the bitrate/samplerate/padding fields, compute each
+    frame's byte length from the public formula (144 * bitrate /
+    samplerate + padding) and slice the stream into frames — the
+    container half of audio processing, no codec decode.
+
+    Hostile-payload posture: lost sync, free-format or reserved
+    bitrate/samplerate indices, truncated final frame, and frame
+    counts over ``max_frames`` all raise ValueError."""
+    frames = []
+    off = 0
+    while off < len(payload):
+        if off + 4 > len(payload):
+            raise ValueError(f"MP3 truncated header at offset {off}")
+        b0, b1, b2, _b3 = payload[off : off + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"MP3 lost frame sync at offset {off}")
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise ValueError("unsupported MP3 (MPEG-1 Layer III only)")
+        bitrate_idx = b2 >> 4
+        rate_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if bitrate_idx in (0, 15) or rate_idx == 3:
+            raise ValueError("MP3 free-format/reserved header rejected")
+        frame_len = _mp3_frame_len(bitrate_idx, rate_idx, padding)
+        if off + frame_len > len(payload):
+            raise ValueError(f"MP3 frame at {off} overruns payload")
+        frames.append(payload[off : off + frame_len])
+        off += frame_len
+        if len(frames) > max_frames:
+            raise ValueError(f"MP3 frame count exceeds cap ({max_frames})")
+    if not frames:
+        raise ValueError("MP3 stream contains no frames")
+    return frames
+
+
 def split_gif_frames(payload: bytes) -> list[bytes]:
     """REAL multi-frame GIF demux: decode the container once and
     re-encode each composited frame as a standalone single-frame GIF,
@@ -1484,6 +1549,8 @@ def sample_frames(
     a standalone single-frame GIF); ``backend="mp4"`` REALLY demuxes
     an ISO BMFF container (box-tree walk to the stsz/stsc/stco sample
     tables, samples sliced out of mdat — codec payloads stay opaque);
+    ``backend="mp3"`` REALLY demuxes an MPEG-1 Layer III stream
+    (frame-header sync + bitrate/samplerate length arithmetic);
     ``backend="fake"`` treats the payload as fixed-size chunks; an
     av/ffmpeg backend for real codec DECODE would plug in at the
     marked point.
@@ -1496,10 +1563,10 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if backend not in ("fake", "bmp_strip", "gif", "mp4"):
+            if backend not in ("fake", "bmp_strip", "gif", "mp4", "mp3"):
                 raise NotImplementedError(
                     f"frame-sampling backend {backend!r} not available; "
-                    "use 'fake', 'bmp_strip', 'gif' or 'mp4'"
+                    "use 'fake', 'bmp_strip', 'gif', 'mp4' or 'mp3'"
                 )
             ids, nos, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
@@ -1509,6 +1576,8 @@ def sample_frames(
                     chunks = split_gif_frames(bytes(p))
                 elif backend == "mp4":
                     chunks = split_mp4_samples(bytes(p))
+                elif backend == "mp3":
+                    chunks = split_mp3_frames(bytes(p))
                 else:
                     n_frames = max(len(p) // frame_bytes, 1)
                     chunks = [

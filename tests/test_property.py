@@ -968,3 +968,42 @@ def test_mp4_demux_roundtrip_and_hostile():
     chained = encode_mp4([encode_gif([f]) for f in frames])
     got = [decode_gif(s)[0] for s in split_mp4_samples(chained)]
     assert all((a == b).all() for a, b in zip(got, frames))
+
+
+def test_mp3_frame_demux_and_hostile():
+    """MPEG-1 Layer III framing: synthesized streams split into
+    frames whose lengths match the public 144*bitrate/samplerate
+    formula, across mixed bitrate/rate frames in one stream; lost
+    sync, truncation, unsupported versions and free-format headers
+    raise ValueError."""
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        _mp3_frame_len,
+        encode_mp3_frames,
+        split_mp3_frames,
+    )
+
+    s = encode_mp3_frames(4, bitrate_idx=9, rate_idx=0, fill=7)
+    frames = split_mp3_frames(s)
+    assert len(frames) == 4
+    assert all(len(f) == _mp3_frame_len(9, 0, 0) == 417 for f in frames)
+
+    mixed = encode_mp3_frames(2, 3, 1) + encode_mp3_frames(1, 14, 2)
+    assert [len(f) for f in split_mp3_frames(mixed)] == [144, 144, 1440]
+
+    with pytest.raises(ValueError, match="lost frame sync"):
+        split_mp3_frames(b"ID3" + s)
+    for cut in (2, 10, len(s) - 5):
+        with pytest.raises(ValueError):
+            split_mp3_frames(s[:cut])
+    # MPEG-2 / other layers rejected (version bits cleared)
+    bad = bytearray(s)
+    bad[1] = 0xF2  # layer = 01 -> version bits 10 (MPEG-2)
+    with pytest.raises(ValueError, match="MPEG-1 Layer III only"):
+        split_mp3_frames(bytes(bad))
+    # free-format bitrate index rejected
+    bad = bytearray(s)
+    bad[2] = 0x00
+    with pytest.raises(ValueError, match="free-format"):
+        split_mp3_frames(bytes(bad))
+    with pytest.raises(ValueError, match="exceeds cap"):
+        split_mp3_frames(encode_mp3_frames(5, 1, 0), max_frames=4)
