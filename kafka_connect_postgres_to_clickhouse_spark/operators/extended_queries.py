@@ -11051,3 +11051,99 @@ def q_media_mp3_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
     frames = sample_frames(media, every_nth=1, backend="mp3")
     return frames.mapInPandas(stats, "doc_id long, frame_no int, n_bytes int")
+
+
+@register(
+    "q_media_video_mjpeg",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(1 + doc_id % 3 AS INTEGER))) AS fn
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(fn AS INTEGER) AS frame_no,
+           CAST((doc_id * 5 + 40 * fn) % 256 AS INTEGER) AS gray
+    FROM f
+    """,
+)
+def q_media_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end VIDEO decode through the driver gate: per doc,
+    encode an n-frame Motion-JPEG AVI (n = 2 + doc_id % 3; frame f a
+    solid-gray 5x5 JFIF at level (doc_id*5 + 40*f) % 256), demux the
+    RIFF container with the REAL AVI walker (sample_frames
+    backend='avi' — hdrl/movi/idx1 chunk tree, idx1 cross-check),
+    then decode EVERY frame with the from-scratch Huffman+DCT JPEG
+    decoder and emit its decoded gray level — container demux AND
+    per-frame codec decode in one pipeline, the first key where both
+    halves of video processing are real.
+
+    Contrast: q_media_mp4_demux / q_media_mp3_framing prove container
+    demux with opaque codec payloads; q_media_decode_jpeg proves the
+    codec on single images; this composes them (the reference treats
+    media as opaque bytes end-to-end — setup.sh pipes whatever bytea
+    columns hold).  Exactness: a solid block's DCT is DC-only and
+    q=4 divides the DC scale factor, so the decoded pixel equals the
+    input level EXACTLY; the oracle replays the frame-index and
+    level arithmetic.
+
+    Scale: memoized synthesis (768 distinct (level, n) AVIs), narrow
+    Arrow-batched demux + decode; frame expansion happens map-side
+    and payload bytes never shuffle."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import (  # noqa: PLC0415
+        decode_jpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        sample_frames,
+    )
+
+    def mk(batches):
+        memo: dict = {}
+
+        def enc(i: int) -> bytes:
+            # levels depend on doc_id % 256, frame count on doc_id % 3
+            key = (i % 256, i % 3)
+            p = memo.get(key)
+            if p is None:
+                p = memo[key] = encode_avi_mjpeg(
+                    [
+                        encode_jpeg(
+                            np.full((5, 5), (i * 5 + 40 * f) % 256, dtype=np.uint8),
+                            quant=4,
+                        )
+                        for f in range(2 + i % 3)
+                    ],
+                    width=5,
+                    height=5,
+                )
+            return p
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": [enc(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def gray(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"],
+                    "gray": pd.array(
+                        [int(decode_jpeg(bytes(p))[0, 0, 0]) for p in pdf["frame"]],
+                        dtype="int32",
+                    ),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
+    frames = sample_frames(media, every_nth=1, backend="avi")
+    return frames.mapInPandas(gray, "doc_id long, frame_no int, gray int")

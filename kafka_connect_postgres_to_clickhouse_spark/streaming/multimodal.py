@@ -1314,6 +1314,153 @@ def split_mp3_frames(payload: bytes, max_frames: int = 4096) -> list[bytes]:
     return frames
 
 
+# --- AVI (RIFF container, MJPEG video) --------------------------------------
+
+
+def _riff_chunk(ckid: bytes, payload: bytes) -> bytes:
+    """RIFF chunk: fourcc + LE size + payload, even-padded (the pad
+    byte is NOT counted in the size field — RIFF spec)."""
+    pad = b"\x00" if len(payload) % 2 else b""
+    return ckid + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def _riff_children(payload: bytes, start: int, end: int):
+    """Iterate (ckid, body_start, body_end) of RIFF chunks in
+    payload[start:end] — the little-endian, even-padded twin of
+    ``_mp4_children``."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError(f"RIFF truncated chunk header at offset {off}")
+        ckid = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = off + 8
+        if body + size > end:
+            raise ValueError(f"RIFF chunk {ckid!r} overruns container at {off}")
+        yield ckid, body, body + size
+        off = body + size + (size & 1)  # skip the pad byte
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """List of JPEG frame payloads -> minimal valid AVI (RIFF) file:
+    hdrl LIST (avih main header + strl with a 'vids'/'MJPG' strh and
+    a BITMAPINFOHEADER strf), movi LIST of '00dc' compressed-video
+    chunks, and a spec-correct idx1 index.  This is Motion-JPEG: the
+    container carries one standalone JFIF image per frame, which the
+    from-scratch ``decode_jpeg`` can decode — a REAL video file whose
+    every byte this module can produce and consume."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    n = len(frames)
+    avih = _riff_chunk(
+        b"avih",
+        struct.pack(
+            "<IIIIIIIIII4I",
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            sum(len(f) for f in frames) * fps // max(n, 1),  # dwMaxBytesPerSec
+            0,  # dwPaddingGranularity
+            0x10,  # dwFlags = AVIF_HASINDEX
+            n,  # dwTotalFrames
+            0,  # dwInitialFrames
+            1,  # dwStreams
+            max(len(f) for f in frames),  # dwSuggestedBufferSize
+            width,
+            height,
+            0, 0, 0, 0,  # dwReserved
+        ),
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0,  # dwFlags
+            0, 0,  # priority, language
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate
+            0,  # dwStart
+            n,  # dwLength (frames)
+            max(len(f) for f in frames),  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality
+            0,  # dwSampleSize (0 = variable)
+            0, 0, width, height,  # rcFrame
+        ),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40, width, height, 1, 24, b"MJPG",
+            sum(len(f) for f in frames), 0, 0, 0, 0,
+        ),
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi_body = b""
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx_entries.append((4 + len(movi_body), len(f)))
+        movi_body += _riff_chunk(b"00dc", f)
+    movi = _riff_list(b"movi", movi_body)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
+            for off, size in idx_entries
+        ),
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def split_avi_frames(payload: bytes, max_frames: int = 4096) -> list[bytes]:
+    """REAL AVI (RIFF) demux: verify the RIFF/'AVI ' signature, walk
+    the chunk tree to the movi LIST, and slice out every compressed
+    ('..dc') / uncompressed ('..db') video chunk, cross-checking the
+    idx1 index when present — the container half of video processing;
+    for MJPEG files each returned chunk is a standalone JFIF image.
+
+    Hostile-payload posture: wrong signature, truncated or oversized
+    chunks, a missing movi list, idx1/movi frame-count disagreement,
+    and frame counts over ``max_frames`` all raise ValueError; work
+    is bounded by the frame cap and the payload length."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (no RIFF/'AVI ' signature)")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+    frames: list[bytes] = []
+    idx_count = None
+    for ckid, s, e in _riff_children(payload, 12, end):
+        if ckid == b"LIST" and payload[s : s + 4] == b"movi":
+            for sub, ss, se in _riff_children(payload, s + 4, e):
+                if sub[2:4] in (b"dc", b"db"):
+                    frames.append(payload[ss:se])
+                    if len(frames) > max_frames:
+                        raise ValueError(
+                            f"AVI frame count exceeds cap ({max_frames})"
+                        )
+        elif ckid == b"idx1":
+            idx_count = sum(
+                1
+                for i in range(s, e - 15, 16)
+                if payload[i + 2 : i + 4] in (b"dc", b"db")
+            )
+    if not frames:
+        raise ValueError("AVI contains no movi video chunks")
+    if idx_count is not None and idx_count != len(frames):
+        raise ValueError(
+            f"AVI idx1 lists {idx_count} video frames, movi holds {len(frames)}"
+        )
+    return frames
+
+
 def split_gif_frames(payload: bytes) -> list[bytes]:
     """REAL multi-frame GIF demux: decode the container once and
     re-encode each composited frame as a standalone single-frame GIF,
@@ -1551,6 +1698,9 @@ def sample_frames(
     tables, samples sliced out of mdat — codec payloads stay opaque);
     ``backend="mp3"`` REALLY demuxes an MPEG-1 Layer III stream
     (frame-header sync + bitrate/samplerate length arithmetic);
+    ``backend="avi"`` REALLY demuxes a RIFF/AVI file (chunk-tree walk
+    to the movi LIST, idx1 cross-check — for MJPEG each chunk is a
+    standalone JFIF decodable by ``decode_jpeg``);
     ``backend="fake"`` treats the payload as fixed-size chunks; an
     av/ffmpeg backend for real codec DECODE would plug in at the
     marked point.
@@ -1563,10 +1713,10 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if backend not in ("fake", "bmp_strip", "gif", "mp4", "mp3"):
+            if backend not in ("fake", "bmp_strip", "gif", "mp4", "mp3", "avi"):
                 raise NotImplementedError(
                     f"frame-sampling backend {backend!r} not available; "
-                    "use 'fake', 'bmp_strip', 'gif', 'mp4' or 'mp3'"
+                    "use 'fake', 'bmp_strip', 'gif', 'mp4', 'mp3' or 'avi'"
                 )
             ids, nos, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
@@ -1578,6 +1728,8 @@ def sample_frames(
                     chunks = split_mp4_samples(bytes(p))
                 elif backend == "mp3":
                     chunks = split_mp3_frames(bytes(p))
+                elif backend == "avi":
+                    chunks = split_avi_frames(bytes(p))
                 else:
                     n_frames = max(len(p) // frame_bytes, 1)
                     chunks = [

@@ -1007,3 +1007,58 @@ def test_mp3_frame_demux_and_hostile():
         split_mp3_frames(bytes(bad))
     with pytest.raises(ValueError, match="exceeds cap"):
         split_mp3_frames(encode_mp3_frames(5, 1, 0), max_frames=4)
+
+
+def test_avi_mjpeg_roundtrip_and_hostile():
+    """RIFF/AVI demux: encode_avi_mjpeg -> split_avi_frames returns
+    the exact frame payloads (chunk-tree walk to movi, even-pad
+    handling, idx1 cross-check); bad signatures, truncations,
+    chunk-size overruns, idx1/movi disagreement and over-cap frame
+    counts all raise ValueError.  The full video chain is real: AVI
+    frames that are solid JFIFs demux then DECODE bit-exactly with
+    the from-scratch JPEG decoder."""
+    import struct
+
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_jpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        split_avi_frames,
+    )
+
+    levels = [(13 * 5 + 40 * f) % 256 for f in range(3)]
+    frames = [
+        encode_jpeg(np.full((5, 5), lv, dtype=np.uint8), quant=4) for lv in levels
+    ]
+    avi = encode_avi_mjpeg(frames, width=5, height=5)
+    assert split_avi_frames(avi) == frames
+    decoded = [int(decode_jpeg(p)[0, 0, 0]) for p in split_avi_frames(avi)]
+    assert decoded == levels
+
+    # odd-length payloads exercise the RIFF even-pad rule
+    odd = [b"X" * 7, b"Y" * 8, b"Z" * 9]
+    assert split_avi_frames(encode_avi_mjpeg(odd, 1, 1)) == odd
+
+    with pytest.raises(ValueError, match="RIFF"):
+        split_avi_frames(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError, match="RIFF"):
+        split_avi_frames(avi[:8] + b"WAVE" + avi[12:])
+    for cut in (5, 20, len(avi) // 2, len(avi) - 3):
+        with pytest.raises(ValueError):
+            split_avi_frames(avi[:cut])
+    with pytest.raises(ValueError, match="exceeds cap"):
+        split_avi_frames(avi, max_frames=2)
+    # movi chunk size overrunning the container
+    i = avi.find(b"00dc")
+    with pytest.raises(ValueError, match="overruns"):
+        split_avi_frames(avi[: i + 4] + struct.pack("<I", 1 << 30) + avi[i + 8 :])
+    # idx1 listing fewer video frames than movi holds
+    j = avi.find(b"idx1")
+    (sz,) = struct.unpack_from("<I", avi, j + 4)
+    trimmed = avi[: j + 4] + struct.pack("<I", sz - 16) + avi[j + 8 : j + 8 + sz - 16]
+    with pytest.raises(ValueError, match="idx1"):
+        split_avi_frames(trimmed)
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg([], 1, 1)
