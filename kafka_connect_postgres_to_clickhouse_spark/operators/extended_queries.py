@@ -11147,3 +11147,521 @@ def q_media_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(mk, "doc_id long, media_type string, payload binary")
     frames = sample_frames(media, every_nth=1, backend="avi")
     return frames.mapInPandas(gray, "doc_id long, frame_no int, gray int")
+
+
+@register(
+    "q_embed_cov",
+    oracle="""
+    WITH s AS (
+      SELECT list_transform(
+               embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS x
+      FROM embeddings
+    ),
+    p AS (
+      SELECT ti.i AS i, tj.j AS j,
+             x[ti.i] * x[tj.j] AS xy, x[ti.i] AS xi, x[tj.j] AS xj
+      FROM s,
+           unnest(generate_series(1, len(x))) ti(i),
+           unnest(generate_series(1, len(x))) tj(j)
+      WHERE tj.j >= ti.i
+    )
+    SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+           COUNT(*) AS n,
+           CAST(SUM(xy) AS BIGINT) AS sum_xy,
+           CAST(SUM(xi) AS BIGINT) AS sum_x,
+           CAST(SUM(xj) AS BIGINT) AS sum_y,
+           CAST(COUNT(*) * SUM(xy) - SUM(xi) * SUM(xj) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                * 1000000000000.0) AS cov
+    FROM p GROUP BY i, j
+    """,
+)
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full covariance matrix of the embedding dimensions (upper
+    triangle, 64x65/2 = 2080 cells) — the input to PCA/whitening in
+    an embedding-curation pipeline.  Exactness discipline: per-element
+    values are scaled to BIGINT at 1e6 (the per-element double product
+    is bit-identical across engines), all moments are integer sums
+    (order-independent), and the covariance double is derived from
+    those exact integers by one identical IEEE expression.
+
+    100 TB plan: each row expands map-side to its d(d+1)/2 scaled
+    products via a codegen'd nested transform + explode; the hash
+    aggregate combines partially per partition, so the shuffle is
+    #partitions x 2080 rows regardless of corpus size — never the
+    data.  At extreme row counts the int64 product sums would need
+    128-bit accumulation (Spark DECIMAL(38) / hierarchical combine);
+    at fixture scale (<= 1e7 rows) int64 holds with 20+ bits of
+    headroom."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.transform(
+            "embedding", lambda v: F.round(v.cast("double") * 1000000).cast("long")
+        ).alias("x")
+    )
+    pairs = x.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(sequence(1, size(x)), i -> "
+                    "transform(sequence(i, size(x)), j -> "
+                    "struct(i AS i, j AS j, x[i-1]*x[j-1] AS xy, "
+                    "x[i-1] AS xi, x[j-1] AS xj)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    g = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xy").alias("sum_xy"),
+        F.sum("xi").alias("sum_x"),
+        F.sum("xj").alias("sum_y"),
+    )
+    return g.select(
+        (F.col("i") - 1).cast("int").alias("i"),
+        (F.col("j") - 1).cast("int").alias("j"),
+        "n",
+        "sum_xy",
+        "sum_x",
+        "sum_y",
+        (
+            (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).cast(
+                "double"
+            )
+            / (
+                F.col("n").cast("double")
+                * F.col("n").cast("double")
+                * F.lit(1000000000000.0)
+            )
+        ).alias("cov"),
+    )
+
+
+@register(
+    "q_snapshot_chunks",
+    oracle="""
+    SELECT CAST(o_orderkey // 4096 AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS lo_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS hi_key,
+           'o_orderkey >= ' || CAST(CAST(o_orderkey // 4096 AS BIGINT) * 4096
+                                    AS VARCHAR)
+             || ' AND o_orderkey < '
+             || CAST((CAST(o_orderkey // 4096 AS BIGINT) + 1) * 4096 AS VARCHAR)
+             AS chunk_predicate
+    FROM orders
+    GROUP BY chunk_id
+    """,
+)
+def q_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-snapshot chunk planning, the DBLog/Debezium
+    watermark algorithm's first half: split the source table into
+    fixed PK RANGES (never row-number pages — range predicates use
+    the PK index and are stable under concurrent writes), emitting
+    each chunk's row count, actual key bounds, and the WHERE
+    predicate a snapshot worker would run.  The reference's connector
+    snapshots tables exactly this way before streaming the WAL
+    (SURVEY section 3; Debezium incremental snapshot / DBLog,
+    arXiv:2010.12597).
+
+    100 TB plan: one map-side projection + hash aggregate on the
+    derived chunk id — chunk stats combine partially per partition;
+    no window, no sort, no single-task funnel (contrast a global
+    row_number pager, which the registry lint forbids).  Skewed key
+    density shows up as per-chunk n_rows variance — exactly the
+    signal a snapshot scheduler needs to rebalance."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.floor(F.col("o_orderkey") / 4096).cast("long").alias("chunk_id"),
+                 "o_orderkey")
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("lo_key"),
+            F.max("o_orderkey").cast("long").alias("hi_key"),
+        )
+        .select(
+            "chunk_id",
+            "n_rows",
+            "lo_key",
+            "hi_key",
+            F.concat(
+                F.lit("o_orderkey >= "),
+                (F.col("chunk_id") * 4096).cast("string"),
+                F.lit(" AND o_orderkey < "),
+                ((F.col("chunk_id") + 1) * 4096).cast("string"),
+            ).alias("chunk_predicate"),
+        )
+    )
+
+
+@register(
+    "q_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, day
+    )
+    SELECT a.event_type, a.day,
+           COUNT(*) AS n_days,
+           SUM(CAST(b.cents AS DOUBLE) / CAST(1 << date_diff('day', b.day, a.day)
+                                              AS DOUBLE)) AS wsum,
+           SUM(1.0 / CAST(1 << date_diff('day', b.day, a.day) AS DOUBLE)) AS wtot,
+           SUM(CAST(b.cents AS DOUBLE) / CAST(1 << date_diff('day', b.day, a.day)
+                                              AS DOUBLE))
+             / SUM(1.0 / CAST(1 << date_diff('day', b.day, a.day) AS DOUBLE))
+             AS ewma_cents
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.day <= a.day
+     AND b.day >= a.day - INTERVAL 14 DAY
+    GROUP BY a.event_type, a.day
+    """,
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per
+    event type (half-life 1 day, 14-day horizon) — the classic
+    smoothing for anomaly baselines.  Exactness discipline: daily
+    totals are integer cents (floor(value*100), identical in both
+    engines); weights are EXACT dyadic rationals 2^-lag built from an
+    integer shift (never pow(), whose libm rounding is
+    engine-specific); every weighted term is an exact multiple of
+    2^-14 with < 40 significant bits, so the double SUM is exact and
+    order-independent, and the final division is one deterministic
+    IEEE op.
+
+    100 TB plan: the corpus-sized scan collapses to day-grain in one
+    partial-agg groupBy; the weighted pass is a range self-join on
+    the tiny daily table (calendar x event-type grain, broadcast-able
+    at any corpus size).  The 14-day horizon bounds fan-out at 15
+    rows per output row."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") <= F.col("a.day"))
+        & (F.col("b.day") >= F.date_sub(F.col("a.day"), 14)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day"),
+        # 2^lag via an integer shift — exact, never pow()
+        F.expr(
+            "cast(shiftleft(1, datediff(a.day, b.day)) as double)"
+        ).alias("two_lag"),
+        F.col("b.cents").alias("cents"),
+    )
+    w = F.lit(1.0) / F.col("two_lag")
+    wv = F.col("cents").cast("double") / F.col("two_lag")
+    return joined.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(wv).alias("wsum"),
+        F.sum(w).alias("wtot"),
+        (F.sum(wv) / F.sum(w)).alias("ewma_cents"),
+    )
+
+
+@register(
+    "q_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS a,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS b
+      FROM events GROUP BY event_type, day
+    ),
+    w AS (
+      SELECT event_type, day,
+             COUNT(*) OVER win AS n,
+             SUM(a) OVER win AS sa, SUM(b) OVER win AS sb,
+             SUM(a * a) OVER win AS saa, SUM(b * b) OVER win AS sbb,
+             SUM(a * b) OVER win AS sab
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                THEN CAST(n * sab - sa * sb AS DOUBLE)
+                     / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                        * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+           END AS corr7
+    FROM w
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily event count
+    and daily revenue, per event type — drift diagnostics for a
+    metrics pipeline.  Exactness discipline: both series are exact
+    integers (count; floor-cents), all five windowed moments are
+    integer sums, and the correlation double is derived from those
+    exact integers by one identical IEEE expression (sqrt IS
+    correctly rounded per IEEE-754, unlike pow); degenerate windows
+    (zero variance) yield NULL via an exact integer predicate.
+
+    100 TB plan: corpus scan collapses to day-grain via partial-agg
+    groupBy; the rolling window runs partitioned by event_type over
+    calendar-bounded partitions (rows = days observed), so no
+    unpartitioned window funnel exists."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("a"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("b"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("a").over(win).alias("sa"),
+        F.sum("b").over(win).alias("sb"),
+        F.sum(F.col("a") * F.col("a")).over(win).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).over(win).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).over(win).alias("sab"),
+    )
+    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    cov = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    return w.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (va > 0) & (vb > 0),
+            cov.cast("double")
+            / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+        ).alias("corr7"),
+    )
+
+
+@register(
+    "q_mojibake_audit",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' cafÃ©' ELSE text END
+               || CASE WHEN doc_id % 5 = 0 THEN ' �' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN position('Ã' IN t) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_latin1_moji,
+           CAST(SUM(CASE WHEN position('�' IN t) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_replacement,
+           CAST(SUM(CASE WHEN position('Ã' IN t) = 0
+                          AND position('�' IN t) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM c GROUP BY source
+    """,
+)
+def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption (mojibake) audit with a built-in proof:
+    deterministically corrupt a known subset of the corpus (doc_id %
+    3 gets a classic UTF-8-read-as-Latin-1 artifact 'cafÃ©';
+    doc_id % 5 gets a U+FFFD replacement character — the two
+    signatures of double-encoding and lossy transcoding in scraped
+    training data), then detect both per source.  The oracle replays
+    the corruption AND the detector, so the detector's hit set is
+    value-checked, not just counted.
+
+    100 TB plan: per-row string expressions in one codegen'd scan +
+    a source-grain partial aggregate; nothing shuffles but the
+    20-row source table of counters."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" cafÃ©")))
+        .otherwise(F.col("text")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" �")).otherwise(F.lit("")),
+    )
+    c = d.select("source", t.alias("t"))
+    latin1 = F.instr(F.col("t"), "Ã") > 0
+    repl = F.instr(F.col("t"), "�") > 0
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(latin1, 1).otherwise(0)).alias("n_latin1_moji"),
+        F.sum(F.when(repl, 1).otherwise(0)).alias("n_replacement"),
+        F.sum(F.when(~latin1 & ~repl, 1).otherwise(0)).alias("n_clean"),
+    )
+
+
+@register(
+    "q_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) - length(replace(text, ' ', '')) + 1 AS words,
+             greatest(length(text) - length(replace(text, '.', '')), 1)
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           206.835
+             - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+             - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+             AS flesch
+    FROM m
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document — the readability
+    band filter in a text-quality funnel (Gopher/C4 both gate on
+    word/sentence statistics).  Word count via delimiter counting,
+    sentence count via terminator counting (floored at 1), and the
+    standard vowel-group syllable proxy via a regex both engines'
+    regex dialects treat identically ('[aeiouy]+' has no
+    dialect-sensitive construct).  The Flesch double derives from
+    exact integers by one identical IEEE expression.
+
+    100 TB plan: per-row string/regex expressions in one codegen'd
+    scan — no shuffle at all; the output is row-parallel."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("long")
+    sentences = F.greatest(
+        F.length("text") - F.length(F.regexp_replace("text", "\\.", "")),
+        F.lit(1),
+    ).cast("long")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+        ).alias("flesch"),
+    )
+
+
+@register(
+    "q_norm_text_dedup",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT h) AS n_norm_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_norm_dups
+    FROM n GROUP BY source
+    """,
+)
+def q_norm_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup per source: lowercase, strip
+    non-alphanumerics, collapse whitespace, THEN hash — catching the
+    near-duplicates that raw-byte dedup (q_dedup_exact) misses
+    because of case/punctuation jitter, the standard first pass
+    before MinHash in a curation pipeline.
+
+    Exactness: the normalization chain uses only dialect-neutral
+    regex ('[^a-z0-9 ]', ' +'); both engines hash the identical
+    normalized string with md5.
+
+    100 TB plan: normalize + hash map-side in one codegen'd scan;
+    only 32-byte digests shuffle for the distinct count, partially
+    aggregated per partition within the source-grain groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    n = d.select("source", F.md5(norm).alias("h"))
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_norm_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("long").alias("n_norm_dups"),
+    )
+
+
+@register(
+    "q_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT date_trunc('month', o_orderdate) AS month, o_orderdate AS day,
+             COUNT(*) * 150 AS bytes
+      FROM orders GROUP BY month, day
+    ),
+    placed AS (
+      SELECT month, day, bytes,
+             CAST((SUM(bytes) OVER (PARTITION BY month ORDER BY day) - bytes)
+                  // 4096 AS BIGINT) AS group_id
+      FROM files
+    )
+    SELECT month, group_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+           MIN(day) AS first_day, MAX(day) AS last_day
+    FROM placed GROUP BY month, group_id
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance op
+    a 100 TB table needs continuously: treat each (partition-day)'s
+    bytes as one small file, then bin consecutive days of a month
+    into merge groups by cumulative-size threshold (4 KB at fixture
+    scale, standing in for the 128 MB-target bin packing of a real
+    OPTIMIZE job).  Group assignment = floor(bytes-before / target):
+    a group closes once it crosses the target — the greedy
+    first-fit-by-order packing compactors actually use.
+
+    100 TB plan: corpus scan collapses to day-grain partial-agg; the
+    running sum is windowed PER MONTH (<= 31 rows a partition, never
+    a global funnel); output is month x group grain."""
+    o = _t(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.col("o_orderdate").alias("day"),
+    ).agg((F.count(F.lit(1)) * 150).alias("bytes"))
+    win = (
+        Window.partitionBy("month")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = files.select(
+        "month",
+        "day",
+        "bytes",
+        F.floor((F.sum("bytes").over(win) - F.col("bytes")) / 4096)
+        .cast("long")
+        .alias("group_id"),
+    )
+    return placed.groupBy("month", "group_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("long").alias("group_bytes"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
