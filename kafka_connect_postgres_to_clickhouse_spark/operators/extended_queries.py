@@ -11665,3 +11665,378 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("first_day"),
         F.max("day").alias("last_day"),
     )
+
+
+@register(
+    "q_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, day
+    ),
+    w AS (
+      SELECT event_type, day, cents,
+             list_sort(list(cents) OVER win) AS s,
+             COUNT(*) OVER win AS n
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
+           CAST(n AS BIGINT) AS n,
+           CAST(s[CAST((n + 1) // 2 AS INTEGER)]
+                + s[CAST(n // 2 + 1 AS INTEGER)] AS DOUBLE) / 2.0 AS median7
+    FROM w
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily revenue per event type — the
+    robust-baseline twin of q_ewma_daily (medians shrug off the
+    single-day spikes that drag a mean).  Exact: the window holds at
+    most 7 integer-cents values, sorted in-engine (array_sort /
+    list_sort are identical total orders on BIGINT), and the median
+    of two BIGINTs divides by 2.0 exactly (dyadic).
+
+    100 TB plan: corpus scan collapses to day-grain partial-agg
+    first; the collect-sort window runs per event_type over
+    calendar-bounded partitions with a 7-row frame — constant-size
+    state per row, never a global sort."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.array_sort(F.collect_list("cents").over(win)).alias("s"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    lo = F.element_at("s", F.expr("cast((n + 1) div 2 as int)"))
+    hi = F.element_at("s", F.expr("cast(n div 2 + 1 as int)"))
+    return w.select(
+        "event_type",
+        "day",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("n").cast("long").alias("n"),
+        ((lo + hi).cast("double") / F.lit(2.0)).alias("median7"),
+    )
+
+
+@register(
+    "q_percent_change_wow",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS week,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, week
+    )
+    SELECT event_type, week, CAST(cents AS BIGINT) AS cents,
+           CAST(lag(cents) OVER (PARTITION BY event_type ORDER BY week)
+                AS BIGINT) AS prev_cents,
+           CASE WHEN lag(cents) OVER (PARTITION BY event_type ORDER BY week) > 0
+                THEN CAST((cents - lag(cents) OVER (PARTITION BY event_type
+                                                    ORDER BY week)) * 100
+                     AS DOUBLE)
+                     / CAST(lag(cents) OVER (PARTITION BY event_type
+                                             ORDER BY week) AS DOUBLE)
+           END AS pct_change
+    FROM weekly
+    """,
+)
+def q_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue percent change per event type — the
+    dashboard delta metric.  date_trunc('week') is ISO-Monday in
+    both engines; integers throughout, one IEEE division at the end,
+    first-week rows NULL via an exact integer guard.
+
+    100 TB plan: corpus scan collapses to week-grain partial-agg;
+    the lag window is per event_type over calendar-bounded
+    partitions."""
+    e = _t(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    win = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cents").over(win)
+    return weekly.select(
+        "event_type",
+        "week",
+        F.col("cents").cast("long").alias("cents"),
+        prev.cast("long").alias("prev_cents"),
+        F.when(
+            prev > 0,
+            ((F.col("cents") - prev) * 100).cast("double") / prev.cast("double"),
+        ).alias("pct_change"),
+    )
+
+
+@register(
+    "q_partition_prune_stats",
+    oracle="""
+    WITH ranges(range_name, lo, hi) AS (
+      VALUES ('q1_1995', DATE '1995-01-01', DATE '1995-03-31'),
+             ('y_1995',  DATE '1995-01-01', DATE '1995-12-31'),
+             ('jun_1996', DATE '1996-06-01', DATE '1996-06-30')
+    ),
+    tot AS (SELECT COUNT(*) AS total_rows FROM orders)
+    SELECT r.range_name,
+           COUNT(o.o_orderkey) AS n_rows,
+           COUNT(DISTINCT o.o_orderdate) AS n_partitions,
+           CAST(COUNT(o.o_orderkey) AS DOUBLE) / CAST(t.total_rows AS DOUBLE)
+             AS scan_frac
+    FROM ranges r
+    CROSS JOIN tot t
+    LEFT JOIN orders o ON o.o_orderdate BETWEEN r.lo AND r.hi
+    GROUP BY r.range_name, t.total_rows
+    """,
+)
+def q_partition_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning planner: for each candidate predicate range,
+    how many date partitions a pruned scan touches, how many rows
+    survive, and the scanned fraction of the table — the numbers a
+    cost-based reader uses to choose between partition-pruned scan
+    and full scan + filter.  On a date-partitioned 100 TB table these
+    stats come from partition metadata alone; here they are derived
+    from the data and checked exactly.
+
+    100 TB plan: ONE pass over orders (the 3-row range table is
+    broadcast; each order row joins to the ranges covering it),
+    partial-agg per range; no per-range rescans."""
+    o = _t(spark, sf_dir, "orders")
+    ranges = spark.createDataFrame(
+        [
+            ("q1_1995", "1995-01-01", "1995-03-31"),
+            ("y_1995", "1995-01-01", "1995-12-31"),
+            ("jun_1996", "1996-06-01", "1996-06-30"),
+        ],
+        "range_name string, lo string, hi string",
+    ).select(
+        "range_name", F.col("lo").cast("date"), F.col("hi").cast("date")
+    )
+    total = o.agg(F.count(F.lit(1)).alias("total_rows"))
+    joined = F.broadcast(ranges.crossJoin(F.broadcast(total))).join(
+        o,
+        (F.col("o_orderdate") >= F.col("lo")) & (F.col("o_orderdate") <= F.col("hi")),
+        "left",
+    )
+    return joined.groupBy("range_name", "total_rows").agg(
+        F.count("o_orderkey").alias("n_rows"),
+        F.countDistinct("o_orderdate").alias("n_partitions"),
+    ).select(
+        "range_name",
+        "n_rows",
+        "n_partitions",
+        (F.col("n_rows").cast("double") / F.col("total_rows").cast("double")).alias(
+            "scan_frac"
+        ),
+    )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 AS dow,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, day, dow
+    ),
+    t AS (
+      SELECT event_type, day, dow, cents,
+             CAST(SUM(cents) OVER win AS DOUBLE)
+               / CAST(COUNT(*) OVER win AS DOUBLE) AS trend
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dw AS (
+      SELECT event_type, dow,
+             CAST(SUM(cents) AS BIGINT) AS dsum, COUNT(*) AS dn
+      FROM daily GROUP BY event_type, dow
+    ),
+    al AS (
+      SELECT event_type,
+             CAST(SUM(cents) AS BIGINT) AS asum, COUNT(*) AS an
+      FROM daily GROUP BY event_type
+    )
+    SELECT t.event_type, t.day, CAST(t.cents AS BIGINT) AS cents, t.trend,
+           CAST(dw.dsum AS DOUBLE) / CAST(dw.dn AS DOUBLE)
+             - CAST(al.asum AS DOUBLE) / CAST(al.an AS DOUBLE) AS dow_effect,
+           (CAST(t.cents AS DOUBLE) - t.trend)
+             - (CAST(dw.dsum AS DOUBLE) / CAST(dw.dn AS DOUBLE)
+                - CAST(al.asum AS DOUBLE) / CAST(al.an AS DOUBLE)) AS residual
+    FROM t
+    JOIN dw ON t.event_type = dw.event_type AND t.dow = dw.dow
+    JOIN al ON t.event_type = al.event_type
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue per
+    event type: trend = 7-day CENTERED moving average, day-of-week
+    effect = (dow mean - overall mean), residual = value - trend -
+    effect.  Day-of-week is computed dialect-neutrally as days-since-
+    a-known-Monday mod 7 (engines disagree on dayofweek()'s origin).
+    Every aggregate is an integer sum; every double derives from
+    exact integers through the identical IEEE expression tree
+    (subtraction order pinned by parentheses).
+
+    100 TB plan: corpus scan collapses to day-grain partial-agg; the
+    centered window is per event_type over calendar-bounded
+    partitions; the dow/overall effect tables are tiny broadcast
+    joins."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) % 7).alias(
+            "dow"
+        ),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    t = daily.select(
+        "event_type",
+        "day",
+        "dow",
+        "cents",
+        (
+            F.sum("cents").over(win).cast("double")
+            / F.count(F.lit(1)).over(win).cast("double")
+        ).alias("trend"),
+    )
+    dw = daily.groupBy("event_type", "dow").agg(
+        F.sum("cents").cast("long").alias("dsum"), F.count(F.lit(1)).alias("dn")
+    )
+    al = daily.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("asum"), F.count(F.lit(1)).alias("an")
+    )
+    effect = F.col("dsum").cast("double") / F.col("dn").cast("double") - F.col(
+        "asum"
+    ).cast("double") / F.col("an").cast("double")
+    return (
+        t.join(F.broadcast(dw), ["event_type", "dow"])
+        .join(F.broadcast(al), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("cents").cast("long").alias("cents"),
+            "trend",
+            effect.alias("dow_effect"),
+            ((F.col("cents").cast("double") - F.col("trend")) - effect).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+@register(
+    "q_chain_overlap",
+    oracle="""
+    WITH chained AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 7 = 0 AND p.text IS NOT NULL
+                  THEN right(p.text, 40) || ' ' || d.text
+                  ELSE d.text END AS t
+      FROM documents d
+      LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(40 AS INTEGER) AS overlap_chars
+    FROM chained a JOIN chained b
+      ON right(a.t, 40) = left(b.t, 40) AND a.doc_id <> b.doc_id
+    """,
+)
+def q_chain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix/prefix chaining detector with a built-in proof: plant
+    boilerplate chaining (every 7th doc gets its predecessor's last
+    40 chars prepended — the scrape artifact where pagination bleeds
+    one page's tail into the next page's head), then detect all
+    (a, b) pairs where a's 40-char suffix equals b's 40-char prefix.
+    The oracle replays both the planting and the detector, so the
+    detected pair set is value-checked.
+
+    100 TB plan: detection is an equi-join on fixed-width affix keys
+    (hash-partitioned, never all-pairs); the planting self-join is
+    key-adjacent and co-partitioned.  At corpus scale the affix keys
+    would be md5'd to bound shuffle width — 40-char literals keep
+    the fixture oracle readable."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("prev_text")
+    )
+    chained = d.join(p, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7 == 0) & F.col("prev_text").isNotNull(),
+            F.concat(F.expr("right(prev_text, 40)"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    a = chained.select(
+        F.col("doc_id").alias("a_id"), F.expr("right(t, 40)").alias("suffix")
+    )
+    b = chained.select(
+        F.col("doc_id").alias("b_id"), F.expr("left(t, 40)").alias("prefix")
+    )
+    return (
+        a.join(b, a["suffix"] == b["prefix"])
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", F.lit(40).cast("int").alias("overlap_chars"))
+    )
+
+
+@register(
+    "q_class_balance_sample",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+    m AS (SELECT MIN(cnt) AS mn FROM c),
+    t AS (
+      SELECT c.label, c.cnt, CAST(65536 * m.mn // c.cnt AS BIGINT) AS quota16
+      FROM c CROSS JOIN m
+    )
+    SELECT t.label, CAST(t.cnt AS BIGINT) AS n_before,
+           t.quota16,
+           CAST(SUM(CASE WHEN substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 4)
+                              < printf('%04x', t.quota16)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM embeddings e JOIN t ON e.label = t.label
+    GROUP BY t.label, t.cnt, t.quota16
+    """,
+)
+def q_class_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: compute each label's keep
+    probability min_count/count, convert it to a 16-bit hash
+    threshold, and keep rows whose md5(vec_id) prefix falls under it
+    — the deterministic, coordination-free way to balance classes
+    (every worker makes the same keep/drop decision from the row key
+    alone; no per-label sort, no row_number funnel through one task
+    per label).  Expected kept ~= min label count per label; exact
+    kept counts are value-checked.
+
+    100 TB plan: label-count table is tiny (broadcast); the keep
+    decision is a per-row hash compare in one codegen'd scan; the
+    output is label-grain counters via partial agg."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.agg(F.min("cnt").alias("mn"))
+    t = c.crossJoin(F.broadcast(m)).select(
+        "label", "cnt", F.expr("65536 * mn div cnt").cast("long").alias("quota16")
+    )
+    keep = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) < F.format_string(
+        "%04x", F.col("quota16")
+    )
+    return (
+        e.join(F.broadcast(t), "label")
+        .groupBy("label", F.col("cnt").cast("long").alias("n_before"), "quota16")
+        .agg(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"))
+        .select("label", "n_before", "quota16", "n_kept")
+    )
