@@ -12086,3 +12086,394 @@ def q_class_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"))
         .select("label", "n_before", "quota16", "n_kept")
     )
+
+
+@register(
+    "q_zorder_layout",
+    oracle="""
+    WITH xy AS (
+      SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 256
+                  AS BIGINT) AS y
+      FROM orders
+    ),
+    z AS (
+      SELECT x, y,
+             ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2
+           + ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8
+           + ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32
+           + ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128
+           + ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512
+           + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048
+           + ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192
+           + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zval
+      FROM xy
+    )
+    SELECT CAST(zval >> 8 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_lo, CAST(MAX(x) AS BIGINT) AS x_hi,
+           CAST(MIN(y) AS BIGINT) AS y_lo, CAST(MAX(y) AS BIGINT) AS y_hi,
+           CAST(MAX(x) - MIN(x) + MAX(y) - MIN(y) AS BIGINT) AS bbox_extent
+    FROM z GROUP BY zbucket
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton curve) clustering layout: interleave the bits
+    of two skipping dimensions (customer bucket, day-since-epoch
+    bucket) into one sort key, then report each coarse Z-bucket's row
+    count and per-dimension bounding box — the layout an OPTIMIZE
+    ZORDER BY writes so that min/max file stats prune BOTH dimensions
+    at once.  Small bbox_extent per bucket is exactly the property
+    that makes multi-dimensional data skipping work; a linear sort
+    key would give one tight dimension and one full-range dimension.
+
+    Exactness: bit interleaving is integer shifts/masks, identical in
+    both engines; everything aggregated is an integer.
+
+    100 TB plan: zval is a per-row codegen'd expression; the bucket
+    aggregate partial-combines map-side — the shuffle carries 256
+    bucket rows per partition, never the data."""
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) % 256
+    ).cast("long")
+    zval = None
+    for k in range(8):
+        xbit = F.shiftright(F.col("x"), k).bitwiseAND(F.lit(1)) * (1 << (2 * k))
+        ybit = F.shiftright(F.col("y"), k).bitwiseAND(F.lit(1)) * (1 << (2 * k + 1))
+        zval = xbit + ybit if zval is None else zval + xbit + ybit
+    return (
+        o.select(x.alias("x"), y.alias("y"))
+        .select("x", "y", zval.alias("zval"))
+        .groupBy(F.shiftright("zval", 8).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").cast("long").alias("x_lo"),
+            F.max("x").cast("long").alias("x_hi"),
+            F.min("y").cast("long").alias("y_lo"),
+            F.max("y").cast("long").alias("y_hi"),
+            (F.max("x") - F.min("x") + F.max("y") - F.min("y"))
+            .cast("long")
+            .alias("bbox_extent"),
+        )
+    )
+
+
+@register(
+    "q_column_stats_skipping",
+    oracle="""
+    WITH part_stats AS (
+      SELECT date_trunc('month', o_orderdate) AS month, o_orderdate AS day,
+             COUNT(*) AS n_rows,
+             MIN(o_orderkey) AS key_lo, MAX(o_orderkey) AS key_hi,
+             MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS price_hi_cents
+      FROM orders GROUP BY month, day
+    )
+    SELECT month,
+           COUNT(*) AS n_partitions,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(MIN(key_lo) AS BIGINT) AS key_lo,
+           CAST(MAX(key_hi) AS BIGINT) AS key_hi,
+           CAST(SUM(CASE WHEN price_hi_cents > 50000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unskippable_price_gt_500k,
+           CAST(SUM(CASE WHEN price_hi_cents > 50000000 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_scanned_price_gt_500k
+    FROM part_stats GROUP BY month
+    """,
+)
+def q_column_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping statistics index (the parquet footer / Iceberg
+    manifest min-max story): build per-day-partition column stats
+    (row count, key bounds, max price), then evaluate how a
+    `o_totalprice > 5000` predicate prunes — per month, how many
+    partitions survive the max-stat test and how many rows a
+    stats-pruned scan must read.  This is the planner arithmetic
+    data-skipping readers run from metadata alone before touching a
+    single data page.
+
+    Exactness: prices become integer cents via floor(x*100); all
+    stats and the predicate threshold are integers.
+
+    100 TB plan: two stacked partial aggregates (day grain, then
+    month grain) — both combine map-side; no window, no data
+    shuffle beyond day-grain stat rows."""
+    o = _t(spark, sf_dir, "orders")
+    day_stats = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("key_lo"),
+        F.max("o_orderkey").alias("key_hi"),
+        F.max(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "price_hi_cents"
+        ),
+    )
+    unskippable = F.col("price_hi_cents") > 50000000
+    return day_stats.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("key_lo").cast("long").alias("key_lo"),
+        F.max("key_hi").cast("long").alias("key_hi"),
+        F.sum(F.when(unskippable, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unskippable_price_gt_500k"),
+        F.sum(F.when(unskippable, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned_price_gt_500k"),
+    )
+
+
+@register(
+    "q_window_pmi_pairs",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, t.k AS pos, l[t.k] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, len(l))) t(k)
+    ),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_pair
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+      GROUP BY tok_a, tok_b
+    ),
+    marg AS (SELECT tok, COUNT(*) AS n_tok FROM pos GROUP BY tok),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM pos) AS n_pos,
+             (SELECT SUM(n_pair) FROM pairs) AS n_pairs
+    )
+    SELECT p.tok_a, p.tok_b, CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(ma.n_tok AS BIGINT) AS n_a, CAST(mb.n_tok AS BIGINT) AS n_b,
+           CAST(p.n_pair * t.n_pos * t.n_pos AS DOUBLE)
+             / (CAST(t.n_pairs AS DOUBLE) * CAST(ma.n_tok * mb.n_tok AS DOUBLE))
+             AS pmi_ratio
+    FROM pairs p
+    JOIN marg ma ON p.tok_a = ma.tok
+    JOIN marg mb ON p.tok_b = mb.tok
+    CROSS JOIN tot t
+    WHERE p.n_pair >= 10
+    """,
+)
+def q_window_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PMI (ratio form) — the count-based
+    association score under word2vec-era distributional embeddings:
+    token pairs co-occurring within a ±2 forward window, scored by
+    observed/expected ratio p(a,b)/(p(a)p(b)).  Kept in RATIO form
+    from exact integer counts (one IEEE expression) rather than log
+    space: ln() is libm-rounded differently across engines, a lesson
+    q_perplexity solved by quantizing — here the ratio is exact.
+
+    100 TB plan: positions explode map-side; the ±2 pairing is a
+    self-equi-join ON doc_id (co-partitioned, linear fan-out — never
+    token-key joins at position grain); pair/marginal tables partial-
+    agg; the two scalar totals broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    a = pos.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("tok_a"))
+    b = pos.select("doc_id", F.col("pos").alias("pb"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where((F.col("pb") - F.col("pa")).isin(1, 2))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    marg = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    n_pos = pos.agg(F.count(F.lit(1)).alias("n_pos"))
+    n_pairs = pairs.agg(F.sum("n_pair").alias("n_pairs"))
+    tot = F.broadcast(n_pos.crossJoin(F.broadcast(n_pairs)))
+    ma = marg.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    mb = marg.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    return (
+        pairs.where(F.col("n_pair") >= 10)
+        .join(F.broadcast(ma), "tok_a")
+        .join(F.broadcast(mb), "tok_b")
+        .crossJoin(tot)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                (F.col("n_pair") * F.col("n_pos") * F.col("n_pos")).cast("double")
+                / (
+                    F.col("n_pairs").cast("double")
+                    * (F.col("n_a") * F.col("n_b")).cast("double")
+                )
+            ).alias("pmi_ratio"),
+        )
+    )
+
+
+@register(
+    "q_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, day
+    ),
+    lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+    paired AS (
+      SELECT a.event_type, l.lag, a.cents AS x, b.cents AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON a.event_type = b.event_type
+                  AND b.day = a.day - CAST(l.lag AS INTEGER)
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           COUNT(*) AS n,
+           CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) > 0
+                 AND COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) > 0
+                THEN CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                     / (sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                                  AS DOUBLE))
+                        * sqrt(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)
+                                    AS DOUBLE)))
+           END AS acf
+    FROM paired GROUP BY event_type, lag
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..7 per
+    event type — the periodicity detector (a weekly cycle shows as a
+    lag-7 peak).  Same exact-integer-moments discipline as
+    q_rolling_corr: all five sums are over integer cents, the
+    Pearson value is one identical IEEE expression, degenerate lags
+    NULL out via exact integer predicates.
+
+    100 TB plan: corpus scan collapses to day-grain partial-agg; the
+    lag pairing is a 7-way broadcast of the lag table against the
+    tiny daily series, joined per event_type — bounded fan-out, no
+    window needed at all."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("cents").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("db"),
+        F.col("cents").alias("y"),
+    )
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("db") == F.expr("date_sub(da, lag)")),
+        )
+    )
+    g = paired.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    va = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vb = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return g.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.when(
+            (va > 0) & (vb > 0),
+            cov.cast("double")
+            / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+        ).alias("acf"),
+    )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, day
+    ),
+    c AS (
+      SELECT event_type, day,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(cents) OVER (PARTITION BY event_type) AS total,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS t
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, day, n * cum - t * total AS stat,
+             abs(n * cum - t * total) AS astat
+      FROM c
+    ),
+    mx AS (SELECT event_type, MAX(astat) AS max_astat FROM s GROUP BY event_type)
+    SELECT s.event_type,
+           MIN(s.day) AS change_day,
+           CAST(MIN(s.stat) AS BIGINT) AS stat_scaled,
+           CAST(mx.max_astat AS BIGINT) AS max_astat
+    FROM s JOIN mx ON s.event_type = mx.event_type AND s.astat = mx.max_astat
+    GROUP BY s.event_type, mx.max_astat
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue per event type:
+    the day maximizing |n*CumSum_t - t*Total| — the integer-scaled
+    form of the classic max|Σ(x_i - mean)| statistic (multiplied
+    through by n so every quantity stays an EXACT BIGINT; no mean,
+    no floats anywhere).  Ties resolve to the earliest day in both
+    engines via min-over-equal-max.
+
+    100 TB plan: corpus scan collapses to day-grain partial-agg; the
+    running sum is per event_type over calendar-bounded partitions;
+    the argmax is a two-row join of a 5-row max table — no global
+    sort, no window over raw data."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    part = Window.partitionBy("event_type")
+    ordered = part.orderBy("day")
+    c = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(part).alias("n"),
+        F.sum("cents").over(part).alias("total"),
+        F.sum("cents")
+        .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.row_number().over(ordered).cast("long").alias("t"),
+    )
+    s = c.select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias("stat"),
+        F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias(
+            "astat"
+        ),
+    )
+    mx = s.groupBy("event_type").agg(F.max("astat").alias("max_astat"))
+    return (
+        s.join(F.broadcast(mx), "event_type")
+        .where(F.col("astat") == F.col("max_astat"))
+        .groupBy("event_type", "max_astat")
+        .agg(
+            F.min("day").alias("change_day"),
+            F.min("stat").cast("long").alias("stat_scaled"),
+        )
+        .select(
+            "event_type",
+            "change_day",
+            "stat_scaled",
+            F.col("max_astat").cast("long").alias("max_astat"),
+        )
+    )
