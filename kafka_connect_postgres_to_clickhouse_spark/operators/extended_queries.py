@@ -11178,6 +11178,51 @@ def q_media_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.mapInPandas(gray, "doc_id long, frame_no int, gray int")
 
 
+def _embed_cov_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle scaled moment table (i, j 1-based, n, sum_xy,
+    sum_x, sum_y) of the embedding dims — each Arrow batch collapses
+    to ONE 2080-cell partial via an exact int64 Gram matmul, so only
+    #batches x 2080 rows reach the shuffle.  Shared by q_embed_cov
+    and q_power_iteration."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..functions.vectors import np_round_half_away  # noqa: PLC0415
+
+    e = _t(spark, sf_dir, "embeddings")
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            S = np_round_half_away(X * 1000000.0).astype(np.int64)
+            d = S.shape[1]
+            i_idx, j_idx = np.triu_indices(d)
+            gram = S.T @ S  # exact int64 Gram matrix of the batch
+            col = S.sum(axis=0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "i": (i_idx + 1).astype(np.int32),
+                    "j": (j_idx + 1).astype(np.int32),
+                    "pn": np.int64(S.shape[0]),
+                    "pxy": gram[i_idx, j_idx],
+                    "pxi": col[i_idx],
+                    "pxj": col[j_idx],
+                }
+            )
+
+    parts = e.select("embedding").mapInPandas(
+        partial, "i int, j int, pn long, pxy long, pxi long, pxj long"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pxy").alias("sum_xy"),
+        F.sum("pxi").alias("sum_x"),
+        F.sum("pxj").alias("sum_y"),
+    )
+
+
 @register(
     "q_embed_cov",
     oracle="""
@@ -11228,43 +11273,7 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums would need 128-bit accumulation (Spark DECIMAL(38) /
     hierarchical combine); at fixture scale (<= 1e7 rows) int64
     holds with 20+ bits of headroom."""
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-
-    from ..functions.vectors import np_round_half_away  # noqa: PLC0415
-
-    e = _t(spark, sf_dir, "embeddings")
-
-    def partial(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            S = np_round_half_away(X * 1000000.0).astype(np.int64)
-            d = S.shape[1]
-            i_idx, j_idx = np.triu_indices(d)
-            gram = S.T @ S  # exact int64 Gram matrix of the batch
-            col = S.sum(axis=0, dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "i": (i_idx + 1).astype(np.int32),
-                    "j": (j_idx + 1).astype(np.int32),
-                    "pn": np.int64(S.shape[0]),
-                    "pxy": gram[i_idx, j_idx],
-                    "pxi": col[i_idx],
-                    "pxj": col[j_idx],
-                }
-            )
-
-    parts = e.select("embedding").mapInPandas(
-        partial, "i int, j int, pn long, pxy long, pxi long, pxj long"
-    )
-    g = parts.groupBy("i", "j").agg(
-        F.sum("pn").alias("n"),
-        F.sum("pxy").alias("sum_xy"),
-        F.sum("pxi").alias("sum_x"),
-        F.sum("pxj").alias("sum_y"),
-    )
+    g = _embed_cov_moments(spark, sf_dir)
     return g.select(
         (F.col("i") - 1).cast("int").alias("i"),
         (F.col("j") - 1).cast("int").alias("j"),
@@ -12477,3 +12486,519 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_astat").cast("long").alias("max_astat"),
         )
     )
+
+
+@register(
+    "q_collapsing_merge",
+    oracle="""
+    WITH signed AS (
+      SELECT o_orderkey, o_orderstatus, 1 AS sign FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, -1 AS sign FROM orders
+      WHERE o_orderkey % 10 = 0
+    ),
+    collapsed AS (
+      SELECT o_orderkey, o_orderstatus, SUM(sign) AS net
+      FROM signed GROUP BY o_orderkey, o_orderstatus
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN net > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alive,
+           CAST(SUM(CASE WHEN net = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collapsed,
+           CAST(SUM(net) AS BIGINT) AS net_rows
+    FROM collapsed GROUP BY o_orderstatus
+    """,
+)
+def q_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse CollapsingMergeTree semantics — the sink engine
+    family the reference's pipeline feeds (setup.sh creates
+    MergeTree-family tables; Collapsing is its delete-capable
+    sibling): every state row carries sign=+1, cancellations carry
+    sign=-1, and a background merge collapses pairs so SUM(sign)>0
+    means the row is live.  Here every 10th order is cancelled and
+    the collapse is replayed as one aggregation, reporting
+    live/collapsed/net counts per status — exactly the arithmetic a
+    `SELECT ... FINAL` answers.
+
+    100 TB plan: the signed changelog is a union of two pushed-down
+    scans; the collapse is a key-grain partial-agg groupBy, then a
+    3-row status rollup — both combine map-side."""
+    o = _t(spark, sf_dir, "orders")
+    plus = o.select("o_orderkey", "o_orderstatus", F.lit(1).alias("sign"))
+    minus = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", F.lit(-1).alias("sign"))
+    )
+    collapsed = (
+        plus.unionByName(minus)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.sum("sign").alias("net"))
+    )
+    return collapsed.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("net") > 0, 1).otherwise(0)).cast("long").alias("n_alive"),
+        F.sum(F.when(F.col("net") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_collapsed"),
+        F.sum("net").cast("long").alias("net_rows"),
+    )
+
+
+@register(
+    "q_rouge_overlap",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id AS cand_id, doc_id + 1 AS ref_id FROM documents
+      WHERE doc_id % 5 = 0
+        AND EXISTS (SELECT 1 FROM documents r WHERE r.doc_id = documents.doc_id + 1)
+    ),
+    cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    lens AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len FROM cnt GROUP BY doc_id),
+    ov AS (
+      SELECT p.cand_id, p.ref_id,
+             CAST(SUM(least(a.c, b.c)) AS BIGINT) AS overlap
+      FROM pairs p
+      JOIN cnt a ON a.doc_id = p.cand_id
+      JOIN cnt b ON b.doc_id = p.ref_id AND b.tok = a.tok
+      GROUP BY p.cand_id, p.ref_id
+    )
+    SELECT p.cand_id, p.ref_id,
+           COALESCE(ov.overlap, 0) AS overlap,
+           lc.len AS cand_len, lr.len AS ref_len,
+           CASE WHEN COALESCE(ov.overlap, 0) > 0
+                THEN 2.0 * (CAST(ov.overlap AS DOUBLE) / CAST(lc.len AS DOUBLE))
+                         * (CAST(ov.overlap AS DOUBLE) / CAST(lr.len AS DOUBLE))
+                     / (CAST(ov.overlap AS DOUBLE) / CAST(lc.len AS DOUBLE)
+                        + CAST(ov.overlap AS DOUBLE) / CAST(lr.len AS DOUBLE))
+                ELSE 0.0 END AS rouge1_f1
+    FROM pairs p
+    LEFT JOIN ov ON ov.cand_id = p.cand_id
+    JOIN lens lc ON lc.doc_id = p.cand_id
+    JOIN lens lr ON lr.doc_id = p.ref_id
+    """,
+)
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 F1 between candidate/reference document pairs (every
+    5th doc against its successor) — the n-gram-overlap metric an
+    eval pipeline computes at fleet scale (Lin 2004).  Token MULTISET
+    overlap (sum of per-token min counts), precision/recall as exact
+    integer ratios, F1 by one identical IEEE expression; zero-overlap
+    pairs pinned to 0.0 via integer predicate.
+
+    100 TB plan: per-doc token counts partial-agg map-side; the
+    overlap join is keyed (doc_id, tok) between two id-shifted
+    projections of the SAME counts table (co-partitioned); pair
+    grain bounds the output."""
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    pairs = (
+        ids.where(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("cand_id"), (F.col("doc_id") + 1).alias("ref_id"))
+        .join(ids.select(F.col("doc_id").alias("ref_id")), "ref_id", "left_semi")
+    )
+    cnt = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = cnt.groupBy("doc_id").agg(F.sum("c").cast("long").alias("len"))
+    a = cnt.select(
+        F.col("doc_id").alias("cand_id"), "tok", F.col("c").alias("ca")
+    )
+    b = cnt.select(F.col("doc_id").alias("ref_id"), "tok", F.col("c").alias("cb"))
+    ov = (
+        pairs.join(a, "cand_id")
+        .join(b, ["ref_id", "tok"])
+        .groupBy("cand_id", "ref_id")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("overlap"))
+    )
+    lc = lens.select(F.col("doc_id").alias("cand_id"), F.col("len").alias("cand_len"))
+    lr = lens.select(F.col("doc_id").alias("ref_id"), F.col("len").alias("ref_len"))
+    out = (
+        pairs.join(ov, ["cand_id", "ref_id"], "left")
+        .join(lc, "cand_id")
+        .join(lr, "ref_id")
+        .select(
+            "cand_id",
+            "ref_id",
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+            "cand_len",
+            "ref_len",
+        )
+    )
+    p = F.col("overlap").cast("double") / F.col("cand_len").cast("double")
+    r = F.col("overlap").cast("double") / F.col("ref_len").cast("double")
+    return out.select(
+        "cand_id",
+        "ref_id",
+        "overlap",
+        "cand_len",
+        "ref_len",
+        F.when(F.col("overlap") > 0, F.lit(2.0) * p * r / (p + r))
+        .otherwise(F.lit(0.0))
+        .alias("rouge1_f1"),
+    )
+
+
+@register(
+    "q_queue_backlog",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS arrivals
+      FROM events GROUP BY event_type, hour
+    ),
+    d AS (
+      SELECT event_type, hour, arrivals,
+             SUM(arrivals) OVER w
+               - 15 * CAST(row_number() OVER w AS BIGINT) AS drift
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    ),
+    c AS (
+      SELECT event_type, hour, arrivals, drift,
+             MIN(drift) OVER (PARTITION BY event_type ORDER BY hour)
+               AS drift_min
+      FROM d
+    )
+    SELECT event_type, hour, CAST(arrivals AS BIGINT) AS arrivals,
+           CAST(drift - least(drift_min, 0) AS BIGINT) AS backlog
+    FROM c
+    """,
+)
+def q_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink backpressure model: queue depth over time for a consumer
+    draining 15 events/hour per type, via the LINDLEY RECURSION in
+    closed form — Q_t = max(0, Q_{t-1} + a_t - c) unrolls to
+    (CumIn_t - c*t) - min(0, min_{s<=t}(CumIn_s - c*s)), turning a
+    sequential recurrence into two prefix windows a distributed
+    engine can run.  This is the capacity-planning curve for the
+    reference's connect->sink path (how far the consumer falls
+    behind, and when it catches up).
+
+    Exactness: all quantities are integers (counts, a constant
+    drain rate, running sums).
+
+    100 TB plan: corpus scan collapses to hour-grain partial-agg;
+    both prefix windows run per event_type over calendar-bounded
+    partitions."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("arrivals"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    cum = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    drift = F.sum("arrivals").over(cum) - 15 * F.row_number().over(w).cast("long")
+    c = hourly.select(
+        "event_type",
+        "hour",
+        "arrivals",
+        drift.alias("drift"),
+    ).select(
+        "event_type",
+        "hour",
+        "arrivals",
+        "drift",
+        F.min("drift").over(cum).alias("drift_min"),
+    )
+    return c.select(
+        "event_type",
+        "hour",
+        F.col("arrivals").cast("long").alias("arrivals"),
+        (F.col("drift") - F.least(F.col("drift_min"), F.lit(0)))
+        .cast("long")
+        .alias("backlog"),
+    )
+
+
+@register(
+    "q_wal_segment_budget",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_changes,
+           CAST(COUNT(*) * 180 + SUM(length(props)) AS BIGINT) AS est_bytes,
+           CAST((COUNT(*) * 180 + SUM(length(props)) + 16777215) // 16777216
+                AS BIGINT) AS n_segments_16mb
+    FROM events GROUP BY hour
+    """,
+)
+def q_wal_segment_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL volume budgeting for the capture side: per hour, change
+    count, estimated WAL bytes (fixed per-record overhead + payload
+    length — the logical-decoding envelope the reference's connector
+    reads), and how many 16 MB WAL segments that fills — the number
+    that sizes `max_wal_size`, replication-slot retention, and the
+    catch-up window after connector downtime.  Integer arithmetic
+    only; ceil spelled as (x + 16MB-1) // 16MB in both engines.
+
+    100 TB plan: single partial-agg groupBy at hour grain; length()
+    is a per-row codegen'd expression."""
+    e = _t(spark, sf_dir, "events")
+    bytes_ = F.count(F.lit(1)) * 180 + F.sum(F.length("props"))
+    return e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        bytes_.cast("long").alias("est_bytes"),
+        F.floor((bytes_ + 16777215) / 16777216).cast("long").alias(
+            "n_segments_16mb"
+        ),
+    )
+
+
+@register(
+    "q_runtime_filter_effect",
+    oracle="""
+    WITH build AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST(floor(c_acctbal * 100) AS BIGINT) > 500000
+    ),
+    stats AS (SELECT COUNT(*) AS n_build FROM build)
+    SELECT o.o_orderpriority,
+           s.n_build,
+           COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving,
+           CAST(SUM(CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS selectivity
+    FROM orders o
+    LEFT JOIN build b ON o.o_custkey = b.c_custkey
+    CROSS JOIN stats s
+    GROUP BY o.o_orderpriority, s.n_build
+    """,
+)
+def q_runtime_filter_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (dynamic partition/bloom pruning) effectiveness
+    audit: for a selective build side (customers with balance >
+    $5000), what fraction of the probe side survives per priority —
+    the selectivity number that decides whether Spark's runtime
+    bloom filter / DPP is worth injecting on this join.  Exact
+    (bloom-free) counting; integer cents for the predicate.
+
+    100 TB plan: the build side reduces to a broadcast key set; the
+    probe scan joins against it map-side (no shuffle of orders);
+    counters partial-agg at priority grain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    build = c.where(
+        F.floor(F.col("c_acctbal") * 100).cast("long") > 500000
+    ).select("c_custkey")
+    stats = build.agg(F.count(F.lit(1)).alias("n_build"))
+    survived = F.col("c_custkey").isNotNull()
+    return (
+        o.join(F.broadcast(build), o["o_custkey"] == build["c_custkey"], "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("o_orderpriority", "n_build")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.when(survived, 1).otherwise(0)).cast("long").alias("n_surviving"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_build",
+            "n_probe",
+            "n_surviving",
+            (
+                F.col("n_surviving").cast("double") / F.col("n_probe").cast("double")
+            ).alias("selectivity"),
+        )
+    )
+
+
+@register(
+    "q_power_iteration",
+    oracle="""
+    WITH s AS (
+      SELECT list_transform(
+               embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS x
+      FROM embeddings
+    ),
+    p AS (
+      SELECT ti.i AS i, tj.j AS j,
+             x[ti.i] * x[tj.j] AS xy, x[ti.i] AS xi, x[tj.j] AS xj
+      FROM s,
+           unnest(generate_series(1, len(x))) ti(i),
+           unnest(generate_series(1, len(x))) tj(j)
+      WHERE tj.j >= ti.i
+    ),
+    g AS (
+      SELECT i, j, COUNT(*) * SUM(xy) - SUM(xi) * SUM(xj) AS m
+      FROM p GROUP BY i, j
+    ),
+    full_m AS (
+      SELECT i, j, m // 67108864 AS ms FROM g
+      UNION ALL
+      SELECT j AS i, i AS j, m // 67108864 AS ms FROM g WHERE i <> j
+    ),
+    v1 AS (SELECT i, CAST(SUM(ms) AS BIGINT) AS v1 FROM full_m GROUP BY i),
+    v1n AS (SELECT i, v1 // 67108864 AS v1s FROM v1),
+    v2 AS (
+      SELECT fm.i AS i, CAST(SUM(fm.ms * v.v1s) AS BIGINT) AS v2
+      FROM full_m fm JOIN v1n v ON fm.j = v.i
+      GROUP BY fm.i
+    )
+    SELECT CAST(v2.i - 1 AS INTEGER) AS dim,
+           CAST(v1n.v1s AS BIGINT) AS v1_scaled,
+           CAST(v2.v2 AS BIGINT) AS v2_scaled
+    FROM v2 JOIN v1n ON v2.i = v1n.i
+    """,
+)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant covariance eigenvector by POWER ITERATION — the PCA
+    top component — in fully INTEGER fixed-point arithmetic: two
+    matvec steps (v0 = ones) against the scaled integer covariance
+    matrix, re-scaled between steps by truncating integer division
+    (both engines' `div`/`//` truncate toward zero identically).
+    Eigensolvers are the canonical 'not SQL-expressible' claim; a
+    fixed-iteration-count power method over exact integers IS
+    expressible and hash-checks — every intermediate fits int64 with
+    proven headroom (|M| <= 2^57-ish scaled down by 2^26 twice).
+
+    100 TB plan: the moment table comes from the shared per-batch
+    Gram partials (_embed_cov_moments — #batches x 2080 shuffle
+    rows); both matvecs are joins/aggregates over the 64x64 matrix,
+    i.e. constant-size work after the single data pass."""
+    g = _embed_cov_moments(spark, sf_dir)
+    m = g.select(
+        "i",
+        "j",
+        (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).alias("m"),
+    )
+    upper = m.select("i", "j", F.expr("m div 67108864").alias("ms"))
+    lower = m.where(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), F.expr("m div 67108864").alias("ms")
+    )
+    full_m = upper.unionByName(lower)
+    v1 = full_m.groupBy("i").agg(F.sum("ms").cast("long").alias("v1"))
+    v1n = v1.select("i", F.expr("v1 div 67108864").alias("v1s"))
+    v2 = (
+        full_m.join(
+            F.broadcast(v1n.select(F.col("i").alias("j"), "v1s")), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("ms") * F.col("v1s")).cast("long").alias("v2"))
+    )
+    return (
+        v2.join(v1n, "i")
+        .select(
+            (F.col("i") - 1).cast("int").alias("dim"),
+            F.col("v1s").cast("long").alias("v1_scaled"),
+            F.col("v2").cast("long").alias("v2_scaled"),
+        )
+    )
+
+
+@register(
+    "q_shuffle_plan_advisor",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey, COUNT(*) * 100 AS key_bytes
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(key_bytes) AS BIGINT) AS total_bytes,
+           CAST((SUM(key_bytes) + 1048575) // 1048576 AS BIGINT)
+             AS rec_partitions_1mb,
+           CAST(SUM(CASE WHEN key_bytes > 65536 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_heavy_keys,
+           CAST(SUM(CASE WHEN key_bytes > 65536 THEN key_bytes ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(key_bytes) AS DOUBLE) AS heavy_share
+    FROM per_key
+    """,
+)
+def q_shuffle_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition sizing advisor — the arithmetic behind
+    `spark.sql.shuffle.partitions` and AQE's coalescing/skew
+    decisions: per-key shuffle bytes for a join key, the partition
+    count that targets 1 MB partitions, and how many keys exceed a
+    single-partition budget (the salting candidates; one such key
+    forces AQE skew-split no matter the partition count).  Integer
+    bytes, ceil as (x + target-1) // target.
+
+    100 TB plan: key-grain partial-agg then a single global rollup
+    of counters — the advisor itself shuffles only key stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(
+        (F.count(F.lit(1)) * 100).alias("key_bytes")
+    )
+    heavy = F.col("key_bytes") > 65536
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_bytes").cast("long").alias("total_bytes"),
+        F.floor((F.sum("key_bytes") + 1048575) / 1048576)
+        .cast("long")
+        .alias("rec_partitions_1mb"),
+        F.sum(F.when(heavy, 1).otherwise(0)).cast("long").alias("n_heavy_keys"),
+        (
+            F.sum(F.when(heavy, F.col("key_bytes")).otherwise(0)).cast("double")
+            / F.sum("key_bytes").cast("double")
+        ).alias("heavy_share"),
+    )
+
+
+@register(
+    "q_broadcast_advisor",
+    oracle="""
+    SELECT 'region' AS tbl, COUNT(*) AS n_rows,
+           CAST(COUNT(*) * 32 + SUM(length(r_name)) AS BIGINT) AS est_bytes,
+           CAST(COUNT(*) * 32 + SUM(length(r_name)) <= 1000000 AS INTEGER)
+             AS broadcastable
+    FROM region
+    UNION ALL
+    SELECT 'nation', COUNT(*),
+           CAST(COUNT(*) * 32 + SUM(length(n_name)) AS BIGINT),
+           CAST(COUNT(*) * 32 + SUM(length(n_name)) <= 1000000 AS INTEGER)
+    FROM nation
+    UNION ALL
+    SELECT 'supplier', COUNT(*),
+           CAST(COUNT(*) * 32 + SUM(length(s_name)) AS BIGINT),
+           CAST(COUNT(*) * 32 + SUM(length(s_name)) <= 1000000 AS INTEGER)
+    FROM supplier
+    UNION ALL
+    SELECT 'customer', COUNT(*),
+           CAST(COUNT(*) * 32 + SUM(length(c_name)) AS BIGINT),
+           CAST(COUNT(*) * 32 + SUM(length(c_name)) <= 1000000 AS INTEGER)
+    FROM customer
+    UNION ALL
+    SELECT 'part', COUNT(*),
+           CAST(COUNT(*) * 32 + SUM(length(p_name)) AS BIGINT),
+           CAST(COUNT(*) * 32 + SUM(length(p_name)) <= 1000000 AS INTEGER)
+    FROM part
+    """,
+)
+def q_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join threshold advisor: estimated in-memory size per
+    dimension table (fixed per-row overhead + name-column payload)
+    against a 1 MB autoBroadcastJoinThreshold stand-in — the planner
+    arithmetic behind every `F.broadcast()` call this repo makes
+    (and the reason q_tpch_* plans broadcast nation/region but
+    shuffle customer at real scale).  Integer estimates, boolean as
+    0/1 int.
+
+    100 TB plan: five independent single-pass aggregates over the
+    dimension tables, unioned; each is metadata-sized."""
+
+    def est(tbl: str, name_col: str) -> DataFrame:
+        t = _t(spark, sf_dir, tbl)
+        bytes_ = F.count(F.lit(1)) * 32 + F.sum(F.length(name_col))
+        return t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            bytes_.cast("long").alias("est_bytes"),
+            (bytes_ <= 1000000).cast("int").alias("broadcastable"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "est_bytes", "broadcastable")
+
+    out = est("region", "r_name")
+    for tbl, col in [
+        ("nation", "n_name"),
+        ("supplier", "s_name"),
+        ("customer", "c_name"),
+        ("part", "p_name"),
+    ]:
+        out = out.unionByName(est(tbl, col))
+    return out
