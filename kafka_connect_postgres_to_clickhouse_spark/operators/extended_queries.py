@@ -13002,3 +13002,971 @@ def q_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(est(tbl, col))
     return out
+
+
+# --- round 7 wave: statistical-audit + lifecycle operators -----------------
+
+
+@register(
+    "q_benford_audit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM cents WHERE c >= 1
+    ),
+    counts AS (
+      SELECT first_digit, COUNT(*) AS n_orders FROM digits GROUP BY first_digit
+    ),
+    tot AS (SELECT SUM(n_orders) AS total FROM counts)
+    SELECT c.first_digit, c.n_orders,
+           CAST(c.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE) AS observed_share,
+           CASE c.first_digit
+             WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+             WHEN 3 THEN 0.12493873660829993 WHEN 4 THEN 0.09691001300805642
+             WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+             WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+             WHEN 9 THEN 0.04575749056067514 END AS benford_share,
+           CAST(c.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE)
+             - CASE c.first_digit
+                 WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+                 WHEN 3 THEN 0.12493873660829993 WHEN 4 THEN 0.09691001300805642
+                 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+                 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+                 WHEN 9 THEN 0.04575749056067514 END AS deviation
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic fraud /
+    data-quality screen for monetary columns.  Exactness discipline:
+    the first digit comes from the INTEGER cents rendered as a string
+    (integer-to-string is engine-identical; float formatting is not),
+    and the Benford expectations log10(1+1/d) are the same literal
+    doubles in both engines (never a runtime log, whose libm rounding
+    is engine-specific); share and deviation are then single IEEE ops
+    on exact integer inputs.
+
+    100 TB plan: map-side digit extraction collapses the corpus to a
+    9-row partial-agg groupBy; the total rides a broadcast of the
+    1-row aggregate.  Nothing but (digit, count) ever shuffles."""
+    _BENFORD = {
+        1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829993,
+        4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+        7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+    }
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("first_digit")
+    ).where(cents >= 1)
+    counts = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = counts.agg(F.sum("n_orders").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("first_digit")]
+    share = F.col("n_orders").cast("double") / F.col("total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n_orders",
+            share.alias("observed_share"),
+            expected.alias("benford_share"),
+            (share - expected).alias("deviation"),
+        )
+    )
+
+
+@register(
+    "q_ols_regression",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) - 25 AS u,
+             CAST(floor(l_extendedprice) AS BIGINT) - 52500 AS v
+      FROM lineitem
+    ),
+    moms AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(u) AS su, SUM(v) AS sv, SUM(u * v) AS suv, SUM(u * u) AS suu
+      FROM pts GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           n * suv - su * sv AS cov_num,
+           n * suu - su * su AS var_num,
+           CAST(n * suv - su * sv AS DOUBLE) / CAST(n * suu - su * su AS DOUBLE)
+             AS slope,
+           (CAST(sv AS DOUBLE) - CAST(n * suv - su * sv AS DOUBLE)
+              / CAST(n * suu - su * su AS DOUBLE) * CAST(su AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_centered
+    FROM moms
+    """,
+)
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS (extended price on quantity per
+    return flag) from one pass of integer moments — the feature-
+    engineering regression without any iterative solver.  Exactness
+    discipline: x and y are pre-centered by FIXED constants (25 resp.
+    52500 — slope is shift-invariant, so any constant works) to bound
+    the int64 combination products n*Suv and n*Suu at ~5e16 for
+    sf0.1-scale groups; slope and intercept are then a fixed IEEE
+    expression over exact integers.  At 100x group cardinality the
+    two products move to DECIMAL(38,0) (exact in both engines) — the
+    moments themselves stay int64 far longer.
+
+    100 TB plan: the whole regression is one map-side partial agg of
+    five integer moments per group; only (group, 5 longs) shuffles.
+    No window, no second pass, no driver math."""
+    li = _t(spark, sf_dir, "lineitem")
+    u = F.col("l_quantity").cast("long") - 25
+    v = F.floor(F.col("l_extendedprice")).cast("long") - 52500
+    moms = li.select(F.col("l_returnflag"), u.alias("u"), v.alias("v")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+    )
+    cov_num = F.col("n") * F.col("suv") - F.col("su") * F.col("sv")
+    var_num = F.col("n") * F.col("suu") - F.col("su") * F.col("su")
+    slope = cov_num.cast("double") / var_num.cast("double")
+    intercept = (
+        F.col("sv").cast("double") - slope * F.col("su").cast("double")
+    ) / F.col("n").cast("double")
+    return moms.select(
+        "l_returnflag",
+        "n",
+        cov_num.alias("cov_num"),
+        var_num.alias("var_num"),
+        slope.alias("slope"),
+        intercept.alias("intercept_centered"),
+    )
+
+
+@register(
+    "q_cohort_matrix",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT f.cohort_week, a.active_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+             AS week_index,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, a.active_week
+    """,
+)
+def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort x activity-week retention matrix — the product-
+    analytics staple.  Users are keyed to the ISO week of their first
+    event; every (cohort, active-week) cell counts the distinct users
+    from that cohort seen that week.  week_index is exact integer day
+    arithmetic (datediff // 7), never months_between.
+
+    100 TB plan: both inputs collapse at user grain before the join
+    (min-ts partial agg; DISTINCT user/week partial agg), so the join
+    is user-grain x ~weeks, co-partitioned on user_id; the final
+    groupBy is calendar-bounded (weeks x weeks)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "cohort_week",
+            "active_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_index"),
+            "n_users",
+        )
+    )
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH joint AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             COUNT(*) AS observed
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY segment, priority
+    ),
+    rt AS (SELECT segment, SUM(observed) AS row_tot FROM joint GROUP BY segment),
+    ct AS (SELECT priority, SUM(observed) AS col_tot FROM joint GROUP BY priority),
+    n AS (SELECT SUM(observed) AS total FROM joint)
+    SELECT j.segment, j.priority, j.observed,
+           CAST(r.row_tot * c.col_tot AS DOUBLE) / CAST(n.total AS DOUBLE)
+             AS expected,
+           (CAST(j.observed AS DOUBLE)
+              - CAST(r.row_tot * c.col_tot AS DOUBLE) / CAST(n.total AS DOUBLE))
+           * (CAST(j.observed AS DOUBLE)
+              - CAST(r.row_tot * c.col_tot AS DOUBLE) / CAST(n.total AS DOUBLE))
+           / (CAST(r.row_tot * c.col_tot AS DOUBLE) / CAST(n.total AS DOUBLE))
+             AS chi2_term
+    FROM joint j
+    JOIN rt r ON j.segment = r.segment
+    JOIN ct c ON j.priority = c.priority
+    CROSS JOIN n
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of market segment vs order
+    priority — the categorical-drift test behind "did the label mix
+    shift?".  Emits one row PER CONTINGENCY CELL (observed, expected,
+    chi2 term) so no cross-cell float summation order is ever in
+    play; every cell's value is a fixed IEEE expression over exact
+    integer marginals.
+
+    100 TB plan: the fact join collapses to a segment x priority
+    contingency (25 cells) via partial agg; marginals and the total
+    are tiny re-aggregations of those 25 rows, broadcast back.  Only
+    cell counts shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joint = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = joint.groupBy("segment").agg(F.sum("observed").alias("row_tot"))
+    ct = joint.groupBy("priority").agg(F.sum("observed").alias("col_tot"))
+    n = joint.agg(F.sum("observed").alias("total"))
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "total"
+    ).cast("double")
+    diff = F.col("observed").cast("double") - expected
+    return (
+        joint.join(F.broadcast(rt), "segment")
+        .join(F.broadcast(ct), "priority")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "segment",
+            "priority",
+            "observed",
+            expected.alias("expected"),
+            (diff * diff / expected).alias("chi2_term"),
+        )
+    )
+
+
+@register(
+    "q_trigram_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 2) OVER w AS t0,
+             LAG(event_type, 1) OVER w AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t0, t1, event_type AS t2, COUNT(*) AS n_paths
+    FROM ordered WHERE t0 IS NOT NULL
+    GROUP BY t0, t1, t2
+    """,
+)
+def q_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order user-journey paths: counts of (prev2, prev1, cur)
+    event-type trigrams per user session stream — the Markov-order-2
+    upgrade of q_event_transitions.  Ordering is made deterministic
+    with the (ts, event_id) tiebreak.
+
+    100 TB plan: ONE user-partitioned window (user grain is bounded;
+    a power user has thousands of events, not billions) producing
+    both lags, then a partial-agg groupBy on the ~|types|^3 trigram
+    space.  One shuffle for the window, one metadata-sized agg."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        F.lag("event_type", 2).over(w).alias("t0"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.col("event_type").alias("t2"),
+    )
+    return (
+        ordered.where(F.col("t0").isNotNull())
+        .groupBy("t0", "t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+@register(
+    "q_hazard_table",
+    oracle="""
+    WITH bounds AS (SELECT MAX(ts) AS horizon FROM events),
+    users AS (
+      SELECT user_id,
+             CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS lifetime_days,
+             CAST(MAX(ts) >= (SELECT horizon FROM bounds) - INTERVAL 3 DAY
+                  AS INT) AS censored
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT lifetime_days AS day_idx,
+             COUNT(*) FILTER (WHERE censored = 0) AS d_churn,
+             COUNT(*) AS n_ending
+      FROM users GROUP BY lifetime_days
+    )
+    SELECT day_idx, d_churn,
+           SUM(n_ending) OVER (ORDER BY day_idx DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS n_at_risk,
+           CAST(d_churn AS DOUBLE)
+             / CAST(SUM(n_ending) OVER (ORDER BY day_idx DESC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS DOUBLE)
+             AS hazard
+    FROM per_day
+    """,
+)
+def q_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style discrete hazard table over user lifetimes:
+    per observed-lifetime day, how many users are still at risk and
+    what fraction churn that day.  Users whose last activity falls in
+    the final 3 days of the corpus are right-censored (they leave the
+    risk set without a churn event).  Hazard is the single IEEE
+    division d/n over exact integer counts; the survival curve is the
+    running product downstream tooling takes from these rows.
+
+    100 TB plan: the corpus collapses to user grain in one partial
+    agg (min/max ts); the reverse-cumulative risk-set window then
+    runs over the ~observation-window-days grain — bounded by the
+    calendar, not the corpus — so the single-partition window is
+    metadata-sized by construction."""
+    e = _t(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("horizon"))
+    users = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.col("last_ts"), F.col("first_ts"))
+            .cast("long")
+            .alias("lifetime_days"),
+            (
+                F.col("last_ts") >= F.col("horizon") - F.expr("INTERVAL 3 DAYS")
+            ).cast("int").alias("censored"),
+        )
+    )
+    per_day = users.groupBy(F.col("lifetime_days").alias("day_idx")).agg(
+        F.sum(F.when(F.col("censored") == 0, 1).otherwise(0)).alias("d_churn"),
+        F.count(F.lit(1)).alias("n_ending"),
+    )
+    # reverse cumulative over the day grain (calendar-bounded; see docstring)
+    w = Window.orderBy(F.col("day_idx").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_at_risk = F.sum("n_ending").over(w)
+    return per_day.select(
+        "day_idx",
+        "d_churn",
+        n_at_risk.alias("n_at_risk"),
+        (F.col("d_churn").cast("double") / n_at_risk.cast("double")).alias(
+            "hazard"
+        ),
+    )
+
+
+@register(
+    "q_temperature_mix",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(length(text) - length(replace(text, ' ', '')) + 1)
+               AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_docs, total_tokens,
+             CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w_int
+      FROM per_source
+    ),
+    tot AS (SELECT SUM(w_int) AS w_sum, SUM(total_tokens) AS tok_sum
+            FROM weighted)
+    SELECT w.source, w.n_docs, w.total_tokens,
+           CAST(w.total_tokens AS DOUBLE) / CAST(t.tok_sum AS DOUBLE)
+             AS natural_share,
+           CAST(w.w_int AS DOUBLE) / CAST(t.w_sum AS DOUBLE) AS sampled_share,
+           CAST(floor(CAST(w.w_int AS DOUBLE) / CAST(t.w_sum AS DOUBLE)
+                      * 1000000) AS BIGINT) AS docs_per_million
+    FROM weighted w CROSS JOIN tot t
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling weights (the multilingual-LM
+    alpha-sampling recipe, alpha=0.5): each source's sampling share is
+    proportional to tokens^alpha, flattening the head and boosting the
+    tail versus natural frequency.  Exactness discipline: sqrt is
+    IEEE-754 correctly-rounded in BOTH engines (unlike ln/pow), and
+    its result is immediately quantized to an integer microweight so
+    the cross-source SUM is exact integer arithmetic, never an
+    order-dependent float reduction; each share is then one IEEE
+    division.
+
+    100 TB plan: one per-source partial agg (source grain is
+    metadata-sized), a 1-row broadcast total, constant-size output.
+    The corpus is scanned once, projected to (source, 1, n_tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(toks).alias("total_tokens")
+    )
+    w_int = F.floor(
+        F.sqrt(F.col("total_tokens").cast("double")) * 1000000
+    ).cast("long")
+    weighted = per_source.withColumn("w_int", w_int)
+    tot = weighted.agg(
+        F.sum("w_int").alias("w_sum"), F.sum("total_tokens").alias("tok_sum")
+    )
+    sampled = F.col("w_int").cast("double") / F.col("w_sum").cast("double")
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("total_tokens").cast("double") / F.col("tok_sum").cast("double")
+        ).alias("natural_share"),
+        sampled.alias("sampled_share"),
+        F.floor(sampled * 1000000).cast("long").alias("docs_per_million"),
+    )
+
+
+@register(
+    "q_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+               AS gap_us
+      FROM events
+    )
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+           SUM(gap_us) AS total_gap_us, MAX(gap_us) AS max_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
+             AS mean_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time profile (event cadence): gap count,
+    total/max gap, mean gap in exact integer microseconds with one
+    final IEEE division — the heartbeat feature behind bot detection
+    and engagement scoring.  Deterministic ordering via the
+    (ts, event_id) tiebreak.
+
+    100 TB plan: ONE user-partitioned lag window (user grain bounded)
+    feeding a partial agg on the same partitioning — Spark reuses the
+    window's hash partitioning for the groupBy, so the gap pass and
+    the rollup ride a single shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ).alias("gap_us")
+    gaps = e.select("user_id", gap).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (
+            F.sum("gap_us").cast("double") / F.count("gap_us").cast("double")
+        ).alias("mean_gap_us"),
+    )
+
+
+@register(
+    "q_trend_forecast",
+    oracle="""
+    WITH bounds AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+    daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', b.d0, CAST(ts AS DATE)) AS BIGINT) - 15
+               AS x,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events CROSS JOIN bounds b
+      GROUP BY event_type, x
+    ),
+    moms AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(cents) AS sy,
+             SUM(x * cents) AS sxy, SUM(x * x) AS sxx
+      FROM daily GROUP BY event_type
+    ),
+    horizon AS (SELECT UNNEST(range(15, 22)) AS x_future)
+    SELECT m.event_type, h.x_future + 15 AS day_index,
+           CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+             / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS slope,
+           (CAST(m.sy AS DOUBLE)
+              - CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                * CAST(m.sx AS DOUBLE)) / CAST(m.n AS DOUBLE)
+             + CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+               / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+               * CAST(h.x_future AS DOUBLE) AS forecast_cents
+    FROM moms m CROSS JOIN horizon h
+    """,
+)
+def q_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-trend revenue forecast per event type: closed-form OLS
+    on the day index (centered at day 15 to bound the int64 moment
+    products), extrapolated 7 days past the corpus — the capacity-
+    planning projection.  Day-grain integer cents, exact integer
+    moments, slope/intercept/forecast as one fixed IEEE expression.
+
+    100 TB plan: corpus collapses to day grain in one partial agg;
+    the moments are a per-type re-agg of ~30 rows; the horizon is a
+    broadcast 7-row range.  Nothing data-sized past the first agg."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.col("d0")).cast("long") - 15).alias(
+                "x"
+            ),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    moms = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    horizon = spark.range(15, 22).select(F.col("id").alias("x_future"))
+    return moms.crossJoin(F.broadcast(horizon)).select(
+        "event_type",
+        (F.col("x_future") + 15).alias("day_index"),
+        slope.alias("slope"),
+        (intercept + slope * F.col("x_future").cast("double")).alias(
+            "forecast_cents"
+        ),
+    )
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(floor(o_totalprice) AS BIGINT)) AS dollars
+      FROM orders GROUP BY o_custkey
+    ),
+    moms AS (
+      SELECT COUNT(*) AS n, SUM(dollars) AS s1, SUM(dollars * dollars) AS s2
+      FROM spend
+    )
+    SELECT s.custkey, s.dollars,
+           (CAST(s.dollars AS DOUBLE)
+              - CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+           / sqrt((CAST(m.s2 AS DOUBLE)
+                     - CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE)
+                       * CAST(m.s1 AS DOUBLE))
+                  / CAST(m.n AS DOUBLE)) AS zscore
+    FROM spend s CROSS JOIN moms m
+    WHERE abs((CAST(s.dollars AS DOUBLE)
+                 - CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+              / sqrt((CAST(m.s2 AS DOUBLE)
+                        - CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE)
+                          * CAST(m.s1 AS DOUBLE))
+                     / CAST(m.n AS DOUBLE))) > 2.0
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend z-score outliers (|z| > 2) against the
+    population mean/std — the outlier gate feeding review queues.
+    Exactness discipline: whole-DOLLAR moments keep s2 exact int64
+    through ~sf1-scale customer counts (per-customer dollars <= ~5e6,
+    squares ~2.5e13, x 150k customers ~4e18 < 2^63; beyond that the
+    two squares move to DECIMAL(38,0), exact in both engines); mean,
+    variance and z replay the SAME IEEE expression tree in both
+    engines (sqrt is correctly-rounded everywhere), so the 2.0 cut
+    cannot straddle.
+
+    100 TB plan: customer-grain partial agg, a broadcast 1-row moment
+    aggregate, map-side filter.  The only shuffle carries (custkey,
+    dollars)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice")).cast("long")).alias("dollars")
+    )
+    moms = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dollars").alias("s1"),
+        F.sum(F.col("dollars") * F.col("dollars")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") - mean * F.col("s1").cast("double")
+    ) / F.col("n").cast("double")
+    z = (F.col("dollars").cast("double") - mean) / F.sqrt(var)
+    return (
+        spend.crossJoin(F.broadcast(moms))
+        .where(F.abs(z) > 2.0)
+        .select("custkey", "dollars", z.alias("zscore"))
+    )
+
+
+@register(
+    "q_backfill_plan",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', o_orderdate) AS week_start,
+             COUNT(*) AS n_rows,
+             COUNT(*) * 64 AS est_bytes
+      FROM orders GROUP BY week_start
+    )
+    SELECT week_start, n_rows, est_bytes,
+           CAST(ceil(CAST(n_rows AS DOUBLE) / 10000.0) AS BIGINT) AS n_tasks,
+           'o_orderdate >= DATE ''' || strftime(week_start, '%Y-%m-%d')
+             || ''' AND o_orderdate < DATE '''
+             || strftime(week_start + INTERVAL 7 DAY, '%Y-%m-%d') || ''''
+             AS chunk_predicate
+    FROM weekly
+    """,
+)
+def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range backfill planner: calendar-week chunks over the
+    order history with row counts, byte estimates, task fan-out at a
+    10k-rows-per-task budget, and the exact pushdown predicate each
+    chunk re-runs with — the date-partitioned twin of the PK-range
+    q_snapshot_chunks planner (together they cover both backfill
+    axes a CDC re-sync needs).
+
+    100 TB plan: one week-grain partial agg over a column-pruned
+    scan; output is calendar-sized.  The predicates it emits are the
+    partition-pruning filters the executor chunks then scan with."""
+    o = _t(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).alias("week_start")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return weekly.select(
+        "week_start",
+        "n_rows",
+        (F.col("n_rows") * 64).alias("est_bytes"),
+        F.ceil(F.col("n_rows").cast("double") / 10000.0).cast("long").alias(
+            "n_tasks"
+        ),
+        F.concat(
+            F.lit("o_orderdate >= DATE '"),
+            F.date_format("week_start", "yyyy-MM-dd"),
+            F.lit("' AND o_orderdate < DATE '"),
+            F.date_format(
+                F.col("week_start") + F.expr("INTERVAL 7 DAYS"), "yyyy-MM-dd"
+            ),
+            F.lit("'"),
+        ).alias("chunk_predicate"),
+    )
+
+
+@register(
+    "q_grouped_agg_pandas",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY floor(o_totalprice * 100), o_orderkey)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT priority, CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(n) // 10 AS BIGINT) AS n_trimmed_each_side,
+           SUM(c) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
+             AS kept_cents,
+           CAST(SUM(c) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
+                AS DOUBLE)
+             / CAST(COUNT(*) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
+                    AS DOUBLE) AS trimmed_mean_cents
+    FROM cents GROUP BY priority
+    """,
+)
+def q_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order value per priority via a GROUPED_AGG
+    pandas UDF — the scalar-aggregate arm of the UD*F matrix (scalar
+    pandas_udf, Arrow UDTF, grouped-map applyInPandas, mapInPandas and
+    applyInPandasWithState are all proven elsewhere; this is the
+    missing `groupBy().agg(pandas_udf)` shape, the API for custom
+    aggregates with no SQL form).  The UDF sorts by (cents, orderkey)
+    — a total order, so the trim set is deterministic — drops
+    floor(n/10) rows at each end, and returns exact integer
+    (kept_sum, kept_count) packed into one struct-free pair of
+    columns via two UDF calls sharing the same trim rule; the mean is
+    one IEEE division.
+
+    100 TB plan: GROUPED_AGG ships each group's (cents, orderkey)
+    pairs through Arrow once; groups are priority-grain (5 of them) —
+    for unbounded groups the histogram-cum-sum trim (q_winsorize)
+    is the stated swap.  Only (priority, cents, orderkey) shuffles."""
+    import pandas as pd  # noqa: PLC0415 - executor-side import
+    from pyspark.sql.functions import PandasUDFType, pandas_udf  # noqa: PLC0415
+
+    # explicit functionType: the module's deferred annotations (PEP 563)
+    # would otherwise make infer_eval_type resolve `pd` in module globals
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_sum(cents, keys):
+        df = pd.DataFrame({"c": cents, "k": keys}).sort_values(["c", "k"])
+        k = len(df) // 10
+        kept = df.iloc[k : len(df) - k]
+        return int(kept["c"].sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_count(cents, keys):
+        k = len(cents) // 10
+        return int(len(cents) - 2 * k)
+
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in one
+    # .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the group size is a third
+    # pandas aggregate rather than F.count
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_count(cents, keys):
+        return int(len(cents))
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        "o_orderkey",
+    )
+    agg = base.groupBy("priority").agg(
+        group_count("c", "o_orderkey").alias("n_orders"),
+        trimmed_sum("c", "o_orderkey").alias("kept_cents"),
+        trimmed_count("c", "o_orderkey").alias("kept_n"),
+    )
+    return agg.select(
+        "priority",
+        "n_orders",
+        F.floor(F.col("n_orders") / 10).cast("long").alias(
+            "n_trimmed_each_side"
+        ),
+        "kept_cents",
+        (
+            F.col("kept_cents").cast("double") / F.col("kept_n").cast("double")
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+@register(
+    "q_ship_lag_sla",
+    oracle="""
+    WITH lags AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority, COUNT(*) AS n_lines,
+           SUM(lag_days) AS total_lag_days,
+           MIN(lag_days) AS min_lag, MAX(lag_days) AS max_lag,
+           CAST(SUM(lag_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_lag_days,
+           COUNT(*) FILTER (WHERE lag_days > 90) AS n_breaching,
+           CAST(COUNT(*) FILTER (WHERE lag_days > 90) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS breach_rate
+    FROM lags GROUP BY priority
+    """,
+)
+def q_ship_lag_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag SLA report per priority class: exact integer
+    day lags, mean as one IEEE division, and the share of line items
+    breaching a 90-day promise — the fulfilment-latency audit.
+
+    100 TB plan: the fact-fact join is co-partitioned on orderkey
+    (lineitem's native key); everything after is a priority-grain
+    partial agg.  Only (orderkey, date) columns are read — the scan
+    is column-pruned to 3 + 2 fields."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lag_days"),
+    )
+    breach = F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0))
+    return lags.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("lag_days").alias("total_lag_days"),
+        F.min("lag_days").alias("min_lag"),
+        F.max("lag_days").alias("max_lag"),
+        (F.sum("lag_days").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_lag_days"
+        ),
+        breach.alias("n_breaching"),
+        (breach.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "breach_rate"
+        ),
+    )
+
+
+@register(
+    "q_cosine_calibration",
+    oracle=None,  # assembled below after the analytics SQL fragments import
+)
+def q_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH calibration for COSINE similarity search (the
+    embedding twin of q_lsh_calibration's Jaccard audit): for each
+    query vector, the exact relevant set (cos >= 0.3 by brute force),
+    the LSH candidate set (6 tables x 4 hyperplane bits, OR-of-ANDs),
+    and the resulting precision/recall — the measurement that decides
+    table count and bits-per-table before anyone trusts the ANN path.
+    Cosines are the repo's scaled-integer dots + correctly-rounded
+    sqrt, so the 0.3 cut is the same double in both engines.
+
+    100 TB plan: the exact side is 5 broadcast query rows against the
+    corpus (linear scan, no shuffle); the candidate side reuses the
+    (table, bucket) equi-join; the report is a query-grain agg.  The
+    brute-force half is the calibration harness, not the serving path
+    — at production scale it runs on a fixed sample (the 5-query
+    panel here IS that sample)."""
+    from .analytics_queries import _emb_norms, _lsh_sig_table  # noqa: PLC0415
+    from ..functions.vectors import cosine, dot_scaled  # noqa: PLC0415
+
+    base = _emb_norms(spark, sf_dir)
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    ).filter(F.col("query_id") < 5)
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(
+                dot_scaled(F.col("embedding"), F.col("q_emb")),
+                F.col("qn2"),
+                F.col("n2"),
+            ).alias("cos_sim"),
+        )
+    )
+    sig = _lsh_sig_table(spark, sf_dir)
+    qsig = sig.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    ).filter(F.col("query_id") < 5)
+    cand = (
+        sig.join(
+            F.broadcast(qsig),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    rel = F.col("cos_sim") >= 0.3
+    return (
+        scored.join(cand, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(rel, 1).otherwise(0)).alias("n_relevant"),
+            F.sum(F.coalesce(F.col("is_cand"), F.lit(0))).alias("n_candidates"),
+            F.sum(
+                F.when(rel & F.col("is_cand").isNotNull(), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_relevant",
+            "n_candidates",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("precision"),
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_relevant").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+# q_cosine_calibration's oracle needs the shared embedding SQL fragments;
+# assembled here (post-definition) to keep one source of truth with the
+# analytics module's LSH oracles.
+from .analytics_queries import _EMB_NORM_SQL as _CC_NORM_SQL  # noqa: E402
+from .analytics_queries import _LSH_BUCKETS_SQL as _CC_LSH_SQL  # noqa: E402
+from ..plans.registry import REGISTRY as _CC_REGISTRY  # noqa: E402
+
+_CC_REGISTRY["q_cosine_calibration"].oracle = f"""
+    WITH {_CC_NORM_SQL},
+    buckets AS (
+      SELECT vec_id, n2, t.tbl,
+             CASE t.tbl
+             {_CC_LSH_SQL}
+             END AS bucket
+      FROM norms, (SELECT unnest(generate_series(0, 5)) AS tbl) t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS vec_id
+      FROM buckets e JOIN buckets q
+        ON e.tbl = q.tbl AND e.bucket = q.bucket
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             SUM(CAST(round((CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) * 1000000000) AS BIGINT)) AS dot,
+             any_value(q.n2) AS qn2, any_value(e.n2) AS en2
+      FROM norms q JOIN norms e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+      CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY q.vec_id, e.vec_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE)))
+               AS cos_sim
+      FROM dots
+    )
+    SELECT s.query_id,
+           COUNT(*) FILTER (WHERE s.cos_sim >= 0.3) AS n_relevant,
+           COUNT(c.vec_id) AS n_candidates,
+           COUNT(*) FILTER (WHERE s.cos_sim >= 0.3 AND c.vec_id IS NOT NULL)
+             AS n_hits,
+           CAST(COUNT(*) FILTER (WHERE s.cos_sim >= 0.3
+                                   AND c.vec_id IS NOT NULL) AS DOUBLE)
+             / CAST(COUNT(c.vec_id) AS DOUBLE) AS precision,
+           CAST(COUNT(*) FILTER (WHERE s.cos_sim >= 0.3
+                                   AND c.vec_id IS NOT NULL) AS DOUBLE)
+             / CAST(COUNT(*) FILTER (WHERE s.cos_sim >= 0.3) AS DOUBLE)
+             AS recall
+    FROM scored s
+    LEFT JOIN cand c ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+    GROUP BY s.query_id
+"""

@@ -348,3 +348,111 @@ def test_approx_distinct_within_declared_error(spark, queries):
     for flag, est in approx.items():
         rel_err = abs(est - exact[flag]) / exact[flag]
         assert rel_err <= 0.06, f"{flag}: est {est} vs exact {exact[flag]}"
+
+
+# --- round-7 statistical-audit wave invariants ------------------------------
+
+
+def test_benford_shares_sum_to_one(spark, queries):
+    """Observed shares partition the order count; expectations are the
+    Benford distribution (sums to 1 over digits 1..9)."""
+    rows = queries["q_benford_audit"](spark, SF).collect()
+    assert {r.first_digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-9
+
+
+def test_hazard_risk_set_monotone(spark, queries):
+    """The at-risk count is non-increasing in lifetime day and starts
+    at the full user population; hazard stays within [0, 1]."""
+    e = load_table(spark, SF, "events")
+    n_users = e.select("user_id").distinct().count()
+    rows = sorted(
+        queries["q_hazard_table"](spark, SF).collect(), key=lambda r: r.day_idx
+    )
+    assert rows[0].n_at_risk == n_users
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_at_risk <= a.n_at_risk
+    assert all(0.0 <= r.hazard <= 1.0 for r in rows)
+
+
+def test_chi2_consistent_marginals(spark, queries):
+    """Every chi2 term is non-negative and expected counts reproduce
+    the grand total when summed."""
+    rows = queries["q_chi2_independence"](spark, SF).collect()
+    assert all(r.chi2_term >= 0.0 for r in rows)
+    total_obs = sum(r.observed for r in rows)
+    total_exp = sum(r.expected for r in rows)
+    assert abs(total_exp - total_obs) < 1e-6
+
+
+def test_cohort_matrix_week_zero_is_population(spark, queries):
+    """Week-0 cells count each cohort's full membership (a user is by
+    definition active in their own first week)."""
+    e = load_table(spark, SF, "events")
+    n_users = e.select("user_id").distinct().count()
+    rows = queries["q_cohort_matrix"](spark, SF).collect()
+    week0 = sum(r.n_users for r in rows if r.week_index == 0)
+    assert week0 == n_users
+    assert all(r.week_index >= 0 for r in rows)
+
+
+def test_trimmed_mean_between_bounds(spark, queries):
+    """The trimmed mean lies within each group's [min, max] cents and
+    the trim drops exactly floor(n/10) per side."""
+    o = load_table(spark, SF, "orders")
+    bounds = {
+        r.priority: (r.lo, r.hi, r.n)
+        for r in o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.min(F.floor(F.col("o_totalprice") * 100)).alias("lo"),
+            F.max(F.floor(F.col("o_totalprice") * 100)).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    for r in queries["q_grouped_agg_pandas"](spark, SF).collect():
+        lo, hi, n = bounds[r.priority]
+        assert lo <= r.trimmed_mean_cents <= hi
+        assert r.n_orders == n
+        assert r.n_trimmed_each_side == n // 10
+
+
+def test_cosine_calibration_bounds(spark, queries):
+    """Precision/recall live in [0,1]; hits never exceed either the
+    candidate or the relevant count; LSH recall is positive somewhere
+    on the panel (the planted-geometry sanity the ANN path rests on)."""
+    rows = queries["q_cosine_calibration"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_hits <= r.n_candidates
+        assert r.n_hits <= r.n_relevant
+        assert 0.0 <= r.precision <= 1.0
+        assert 0.0 <= r.recall <= 1.0
+    assert any(r.recall > 0 for r in rows)
+
+
+def test_ols_slope_matches_forecast_family(spark, queries):
+    """q_ols_regression's slope formula and q_trend_forecast's agree
+    in closed form: recompute the lineitem slope from raw moments in
+    the test and match to 1e-12 relative."""
+    li = load_table(spark, SF, "lineitem")
+    moms = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long") - 25).alias("su"),
+        F.sum(F.floor(F.col("l_extendedprice")).cast("long") - 52500).alias("sv"),
+        F.sum(
+            (F.col("l_quantity").cast("long") - 25)
+            * (F.floor(F.col("l_extendedprice")).cast("long") - 52500)
+        ).alias("suv"),
+        F.sum(
+            (F.col("l_quantity").cast("long") - 25)
+            * (F.col("l_quantity").cast("long") - 25)
+        ).alias("suu"),
+    ).collect()
+    expect = {
+        r.l_returnflag: (r.n * r.suv - r.su * r.sv) / (r.n * r.suu - r.su * r.su)
+        for r in moms
+    }
+    for r in queries["q_ols_regression"](spark, SF).collect():
+        assert abs(r.slope - expect[r.l_returnflag]) <= 1e-12 * abs(
+            expect[r.l_returnflag]
+        )

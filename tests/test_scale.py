@@ -262,6 +262,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_source_league": "rank over source grain (single digits)",
     "q_monthly_growth": "lag over month grain (bounded by calendar)",
     "q_running_distinct": "running sum over day grain (bounded by calendar)",
+    "q_hazard_table": "reverse risk-set cumsum over lifetime-day grain "
+    "(bounded by the observation calendar)",
 }
 
 
