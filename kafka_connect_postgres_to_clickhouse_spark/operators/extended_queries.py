@@ -13970,3 +13970,328 @@ _CC_REGISTRY["q_cosine_calibration"].oracle = f"""
     LEFT JOIN cand c ON s.query_id = c.query_id AND s.vec_id = c.vec_id
     GROUP BY s.query_id
 """
+
+
+@register(
+    "q_dp_geometric_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, COUNT(*) AS true_count FROM events GROUP BY event_type
+    ),
+    noise AS (
+      SELECT event_type, true_count,
+             LEAST(bit_count((h1 & -h1) - 1), 32)
+               - LEAST(bit_count((h2 & -h2) - 1), 32) AS noise
+      FROM (
+        SELECT event_type, true_count,
+               CAST(('0x' || substr(md5('n1:' || event_type), 1, 8)) AS BIGINT)
+                 AS h1,
+               CAST(('0x' || substr(md5('n2:' || event_type), 1, 8)) AS BIGINT)
+                 AS h2
+        FROM counts
+      )
+    )
+    SELECT event_type, true_count, noise,
+           true_count + noise AS released_count
+    FROM noise
+    """,
+)
+def q_dp_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-shaped count release: per-type counts plus
+    TWO-SIDED GEOMETRIC noise (the discrete Laplace used by integer DP
+    mechanisms) — here derived deterministically from md5 so the
+    oracle can replay it bit-for-bit, which is exactly how a seeded DP
+    release audit re-verifies its own noise draw.  The geometric draw
+    is ln-free: trailing-zero count of a hash slice is Geometric(1/2)
+    (P(tz=k)=2^-(k-1)), and tz = bit_count((x & -x) - 1) is pure
+    integer bit arithmetic in both engines.
+
+    100 TB plan: one type-grain partial agg; the noise arithmetic is
+    per-output-row expression work on a metadata-sized table."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_count"))
+
+    def tz(prefix: str):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return F.least(
+            F.bit_count((h.bitwiseAND(-h)) - 1), F.lit(32)
+        )
+
+    noise = tz("n1:") - tz("n2:")
+    return counts.select(
+        "event_type",
+        "true_count",
+        noise.cast("long").alias("noise"),
+        (F.col("true_count") + noise).cast("long").alias("released_count"),
+    )
+
+
+@register(
+    "q_kanonymity_audit",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT CASE WHEN c_acctbal > 5000 THEN 'high'
+                               WHEN c_acctbal < 0 THEN 'debt'
+                               ELSE 'mid' END) AS l_diversity,
+           CAST(COUNT(*) >= 5 AS INT) AS k_anonymous,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal > 5000 THEN 'high'
+                                    WHEN c_acctbal < 0 THEN 'debt'
+                                    ELSE 'mid' END) >= 2 AS INT) AS l_diverse
+    FROM customer
+    GROUP BY nationkey, segment
+    """,
+)
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the (nation, segment)
+    quasi-identifier: group sizes, sensitive-attribute diversity
+    (balance band), and the k>=5 / l>=2 release flags — the privacy
+    gate run before any per-group extract leaves the warehouse.
+
+    100 TB plan: one QI-grain partial agg (count + distinct over a
+    3-valued derived band — the distinct collapses map-side);
+    QI-grain output is bounded by the attribute domain, not the
+    corpus."""
+    c = _t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") > 5000, "high")
+        .when(F.col("c_acctbal") < 0, "debt")
+        .otherwise("mid")
+    )
+    g = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(band).alias("l_diversity"),
+    )
+    return g.select(
+        "nationkey",
+        "segment",
+        "group_size",
+        "l_diversity",
+        (F.col("group_size") >= 5).cast("int").alias("k_anonymous"),
+        (F.col("l_diversity") >= 2).cast("int").alias("l_diverse"),
+    )
+
+
+@register(
+    "q_topk_two_phase",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY segment, custkey
+    ),
+    ranked AS (
+      SELECT segment, custkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY cents DESC, custkey) AS rn
+      FROM spend
+    )
+    SELECT segment, custkey, cents, rn AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group top-k WITHOUT an unbounded per-group window:
+    phase 1 takes each (group, salt)-shard's local top-k (8 shards via
+    a hash salt — every shard window is 1/8 the group), phase 2
+    re-ranks only the <= 8k surviving candidates per group.  Same
+    rows as a naive per-group row_number (the oracle), but the heavy
+    window never sees more than groupsize/8 rows, and k-per-shard
+    bounds phase 2 at 24 rows per group regardless of corpus size —
+    the scale pattern for top-k over skewed groups.
+
+    100 TB plan: phase-1 windows partition on (segment, salt) —
+    parallelism x8 over the naive plan and immune to one giant
+    segment; phase 2's window input is k x shards per group
+    (constant).  The custkey tiebreak makes both phases a total
+    order, so the result is deterministic and exactly the oracle's."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    salted = spend.withColumn("salt", F.pmod(F.crc32(F.col("custkey").cast("string")), F.lit(8)))
+    w1 = Window.partitionBy("segment", "salt").orderBy(
+        F.desc("cents"), F.asc("custkey")
+    )
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= 3)
+        .drop("salt", "rn1")
+    )
+    w2 = Window.partitionBy("segment").orderBy(F.desc("cents"), F.asc("custkey"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 3)
+        .select("segment", "custkey", "cents", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "q_percentile_histogram",
+    oracle="""
+    WITH cents AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) // 1000000 AS bucket
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    hist AS (
+      SELECT segment, bucket, COUNT(*) AS n_bucket FROM cents
+      GROUP BY segment, bucket
+    ),
+    cum AS (
+      SELECT segment, bucket, n_bucket,
+             SUM(n_bucket) OVER (PARTITION BY segment ORDER BY bucket) AS cum_n,
+             SUM(n_bucket) OVER (PARTITION BY segment) AS n_total
+      FROM hist
+    )
+    SELECT segment, MIN(n_total) AS n_orders,
+           MIN(bucket) FILTER (
+             WHERE cum_n * 100 >= n_total * 95) AS p95_bucket,
+           MIN(bucket) FILTER (
+             WHERE cum_n * 100 >= n_total * 95) * 10000 AS p95_lo_dollars,
+           (MIN(bucket) FILTER (
+             WHERE cum_n * 100 >= n_total * 95) + 1) * 10000 AS p95_hi_dollars
+    FROM cum GROUP BY segment
+    """,
+)
+def q_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-cum-sum p95 (exact-to-bin): the scale-safe percentile
+    that replaced q_lorenz_gini's global ntile, promoted to an
+    operator in its own right.  Order values bucket into $10k bins;
+    the per-segment cumulative histogram (VALUE-range-bounded, never
+    corpus-sized) locates the bin containing the 95th percentile; the
+    integer cross-multiplication cum*100 >= total*95 avoids any float
+    threshold.  Downstream either takes the bin bounds (stats use) or
+    re-scans only that bin for the exact value (two-pass exact).
+
+    100 TB plan: corpus collapses to (segment, bucket) grain in one
+    partial agg; the cumulative window runs over <= segments x 50
+    bins.  This is the operator q_winsorize/q_lorenz_gini derive
+    from — registered standalone so the pattern is directly testable."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.floor(F.col("o_totalprice") * 100).cast("long") / 1000000)
+        .cast("long")
+        .alias("bucket"),
+    )
+    hist = cents.groupBy("segment", "bucket").agg(
+        F.count(F.lit(1)).alias("n_bucket")
+    )
+    w_cum = Window.partitionBy("segment").orderBy("bucket")
+    w_all = Window.partitionBy("segment")
+    cum = hist.select(
+        "segment",
+        "bucket",
+        F.sum("n_bucket").over(w_cum).alias("cum_n"),
+        F.sum("n_bucket").over(w_all).alias("n_total"),
+    )
+    hit = F.when(
+        F.col("cum_n") * 100 >= F.col("n_total") * 95, F.col("bucket")
+    )
+    return cum.groupBy("segment").agg(
+        F.min("n_total").alias("n_orders"),
+        F.min(hit).alias("p95_bucket"),
+        (F.min(hit) * 10000).alias("p95_lo_dollars"),
+        ((F.min(hit) + 1) * 10000).alias("p95_hi_dollars"),
+    )
+
+
+@register(
+    "q_encoding_advisor",
+    oracle="""
+    WITH cols AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    stats AS (
+      SELECT col_name, COUNT(*) AS n_rows, COUNT(DISTINCT val) AS n_distinct,
+             SUM(length(val)) AS raw_bytes
+      FROM cols GROUP BY col_name
+    ),
+    bits AS (SELECT UNNEST(range(0, 41)) AS b)
+    SELECT s.col_name, s.n_rows, s.n_distinct, s.raw_bytes,
+           MIN(b.b) AS dict_index_bits,
+           (s.n_rows * MIN(b.b) + 7) // 8 AS dict_stream_bytes,
+           CAST(s.raw_bytes AS DOUBLE)
+             / CAST((s.n_rows * MIN(b.b) + 7) // 8 + s.raw_bytes // s.n_rows
+                    * s.n_distinct AS DOUBLE) AS compression_ratio
+    FROM stats s JOIN bits b ON (1 << b.b) >= s.n_distinct
+    GROUP BY s.col_name, s.n_rows, s.n_distinct, s.raw_bytes
+    """,
+)
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar dictionary-encoding advisor: per candidate column, the
+    index width the dictionary needs (smallest b with 2^b >= NDV —
+    found by joining a broadcast 41-row powers table, never a runtime
+    log2, whose libm rounding differs across engines), the encoded
+    stream size, and the compression ratio vs raw — the ANALYZE-style
+    stats a layout optimizer (or ClickHouse LowCardinality advisor)
+    consumes.
+
+    100 TB plan: per-column partial aggs (count/distinct/bytes) over a
+    union of projected scans; the bits join is against a broadcast
+    constant table; output is one row per audited column."""
+    o = _t(spark, sf_dir, "orders")
+    cols = o.select(
+        F.lit("o_orderstatus").alias("col_name"),
+        F.col("o_orderstatus").alias("val"),
+    ).unionByName(
+        o.select(
+            F.lit("o_orderpriority").alias("col_name"),
+            F.col("o_orderpriority").alias("val"),
+        )
+    )
+    stats = cols.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.sum(F.length("val")).alias("raw_bytes"),
+    )
+    bits = spark.range(0, 41).select(F.col("id").alias("b"))
+    # shiftleft's numBits arg must be a literal in the Python API; the
+    # column-shift form goes through expr
+    joined = stats.join(
+        F.broadcast(bits),
+        F.expr("shiftleft(cast(1 as bigint), cast(b as int))")
+        >= F.col("n_distinct"),
+    )
+    dict_bits = F.min("b")
+    stream_bytes = (F.col("n_rows") * dict_bits + 7) / 8
+    return (
+        joined.groupBy("col_name", "n_rows", "n_distinct", "raw_bytes")
+        .agg(dict_bits.alias("dict_index_bits"))
+        .select(
+            "col_name",
+            "n_rows",
+            "n_distinct",
+            "raw_bytes",
+            "dict_index_bits",
+            F.floor((F.col("n_rows") * F.col("dict_index_bits") + 7) / 8)
+            .cast("long")
+            .alias("dict_stream_bytes"),
+            (
+                F.col("raw_bytes").cast("double")
+                / (
+                    F.floor((F.col("n_rows") * F.col("dict_index_bits") + 7) / 8)
+                    + F.floor(F.col("raw_bytes") / F.col("n_rows"))
+                    * F.col("n_distinct")
+                ).cast("double")
+            ).alias("compression_ratio"),
+        )
+    )

@@ -456,3 +456,61 @@ def test_ols_slope_matches_forecast_family(spark, queries):
         assert abs(r.slope - expect[r.l_returnflag]) <= 1e-12 * abs(
             expect[r.l_returnflag]
         )
+
+
+def test_topk_two_phase_equals_naive(spark, queries):
+    """The salted two-phase top-k returns exactly the naive per-group
+    window's rows (same keys, same ranks)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("cents"), F.asc("custkey"))
+    naive = {
+        (r.segment, r.custkey, r.cents, r.rn)
+        for r in spend.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .collect()
+    }
+    two_phase = {
+        (r.segment, r.custkey, r.cents, r.rank)
+        for r in queries["q_topk_two_phase"](spark, SF).collect()
+    }
+    assert two_phase == naive
+
+
+def test_percentile_histogram_bin_contains_p95(spark, queries):
+    """The chosen bin straddles the exact 95th percentile: strictly
+    fewer than 95% of orders lie below the bin, at least 95% lie at or
+    below it."""
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    cents = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    for r in queries["q_percentile_histogram"](spark, SF).collect():
+        seg = cents.where(F.col("segment") == r.segment)
+        n = seg.count()
+        below = seg.where(F.col("cents") < r.p95_bucket * 1000000).count()
+        at_or_below = seg.where(
+            F.col("cents") < (r.p95_bucket + 1) * 1000000
+        ).count()
+        assert below * 100 < n * 95
+        assert at_or_below * 100 >= n * 95
+
+
+def test_dp_noise_is_small_and_deterministic(spark, queries):
+    """Geometric(1/2) difference noise is almost surely tiny; the
+    release is reproducible run to run (seeded by the group key)."""
+    a = {r.event_type: (r.noise, r.released_count)
+         for r in queries["q_dp_geometric_counts"](spark, SF).collect()}
+    b = {r.event_type: (r.noise, r.released_count)
+         for r in queries["q_dp_geometric_counts"](spark, SF).collect()}
+    assert a == b
+    assert all(abs(noise) <= 32 for noise, _ in a.values())
