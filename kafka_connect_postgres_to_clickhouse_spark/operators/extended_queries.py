@@ -14295,3 +14295,129 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression_ratio"),
         )
     )
+
+
+@register(
+    "q_lateral_subquery",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           t.o_orderkey AS top_orderkey,
+           CAST(floor(t.o_totalprice * 100) AS BIGINT) AS top_cents
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) t
+    """,
+)
+def q_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-1 order per customer) — the
+    SQL-surface arm Spark 3.2+ added for per-row dependent subqueries;
+    registered through spark.sql to prove the parser/analyzer path,
+    not a DataFrame re-expression.  Catalyst rewrites it into a
+    ranked join (DeduplicateRight / window top-1), so the executed
+    plan is the same shape the DataFrame version would give.
+
+    100 TB plan: the rewrite is a co-partitioned join on custkey plus
+    a per-key top-1 — no per-row subquery execution survives
+    optimization.  Deterministic via the (price DESC, orderkey)
+    total order."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+               t.o_orderkey AS top_orderkey,
+               CAST(floor(t.o_totalprice * 100) AS BIGINT) AS top_cents
+        FROM v_customer_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_orders_lat o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+        """
+    )
+
+
+@register(
+    "q_data_contract",
+    oracle="""
+    SELECT 'orders' AS tbl, 'totalprice_positive' AS check_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'status_in_domain', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'orderdate_not_null', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderdate IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'quantity_in_range', COUNT(*),
+           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'discount_in_range', COUNT(*),
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer', 'acctbal_not_null', COUNT(*),
+           COUNT(*) FILTER (WHERE c_acctbal IS NULL)
+    FROM customer
+    UNION ALL
+    SELECT 'customer', 'custkey_unique', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT c_custkey)
+    FROM customer
+    """,
+)
+def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract checker (the dbt-tests / Great
+    Expectations shape): domain, range, not-null and uniqueness
+    assertions evaluated as violation COUNTERS in one pass per table —
+    the CI gate a sink table runs before downstream queries trust it.
+
+    100 TB plan: each table contributes ONE partial-agg scan however
+    many checks it declares (counters fuse into a single aggregate);
+    the union is check-grain.  Uniqueness is count - count(distinct)
+    — the only check that shuffles, and it carries just the key."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def checks(df: DataFrame, tbl: str, specs: list[tuple[str, object]]) -> DataFrame:
+        out = None
+        n = F.count(F.lit(1))
+        for name, viol in specs:
+            row = df.agg(
+                n.alias("n_rows"),
+                F.sum(F.when(viol, 1).otherwise(0)).alias("n_violations")
+            ).select(
+                F.lit(tbl).alias("tbl"), F.lit(name).alias("check_name"),
+                "n_rows", "n_violations",
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    orders_checks = checks(o, "orders", [
+        ("totalprice_positive", F.col("o_totalprice") <= 0),
+        ("status_in_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        ("orderdate_not_null", F.col("o_orderdate").isNull()),
+    ])
+    li_checks = checks(li, "lineitem", [
+        ("quantity_in_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ("discount_in_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+    ])
+    cust_checks = checks(c, "customer", [
+        ("acctbal_not_null", F.col("c_acctbal").isNull()),
+    ])
+    uniq = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_violations"),
+    ).select(
+        F.lit("customer").alias("tbl"),
+        F.lit("custkey_unique").alias("check_name"),
+        "n_rows",
+        "n_violations",
+    )
+    return orders_checks.unionByName(li_checks).unionByName(cust_checks).unionByName(uniq)

@@ -6,6 +6,7 @@ windows, stateful dedup, stream-static join, and multimodal plumbing.
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -1814,3 +1815,79 @@ def test_bucketed_hot_key_storm_bounded_and_correct(spark, tmp_path, users_schem
     for seq, _op, uid, uname, acct, *_ in rows:
         expected[uid] = (uname, acct)  # rows are _seq-ordered
     assert _state_map(read_state(spark, state_dir)) == expected
+
+
+# --- Python DataSource SINK (jsonl_sink, round 7) ---------------------------
+
+
+def test_jsonl_sink_batch_commit(spark, tmp_path):
+    """Batch write through the Python DataSource writer: every row
+    lands in a manifest-listed part file; the manifest total matches;
+    no temp files survive commit."""
+    from kafka_connect_postgres_to_clickhouse_spark.sources.pysink import (
+        read_committed,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 100).selectExpr("id", "concat('v', id) AS val")
+    df.coalesce(4).write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+
+    rows = read_committed(out)
+    assert len(rows) == 100
+    assert {r["id"] for r in rows} == set(range(100))
+    assert all(r["val"] == f"v{r['id']}" for r in rows)
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+
+
+def test_jsonl_sink_streaming_epochs(spark, tmp_path):
+    """Streaming write commits one manifest per epoch; the union of
+    epoch manifests is exactly the input, each epoch visible once."""
+    import glob as _glob
+    import time
+
+    from kafka_connect_postgres_to_clickhouse_spark.sources.pydatasource import (
+        register_changelog_gen,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.sources.pysink import (
+        read_committed,
+        register_jsonl_sink,
+    )
+
+    register_changelog_gen(spark)
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "stream_sink")
+    q = (
+        spark.readStream.format("changelog_gen")
+        .option("rows", "300")
+        .option("batch_rows", "100")
+        .load()
+        .writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # the Python microbatch source does not support AvailableNow; poll
+    # until all three epochs' manifests are durable, then stop
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        found = _glob.glob(os.path.join(out, "_MANIFEST-*.json"))
+        done = sum(
+            len(read_committed(out, os.path.basename(m))) for m in found
+        )
+        if done >= 300:
+            break
+        time.sleep(1)
+    q.stop()
+    manifests = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(out, "_MANIFEST-*.json"))
+    )
+    assert manifests, "no epoch manifests written"
+    seqs: list[int] = []
+    for m in manifests:
+        seqs.extend(r["seq"] for r in read_committed(out, m))
+    assert sorted(seqs) == list(range(300))
