@@ -14421,3 +14421,130 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
     )
     return orders_checks.unionByName(li_checks).unionByName(cust_checks).unionByName(uniq)
+
+
+@register(
+    "q_time_travel",
+    oracle=CHANGELOG_CTE
+    + """
+    , bounds AS (SELECT MAX(_seq) AS mx FROM changelog),
+    cps AS (
+      SELECT mx // 4 AS checkpoint_seq FROM bounds
+      UNION ALL SELECT mx // 2 FROM bounds
+      UNION ALL SELECT mx FROM bounds
+    ),
+    states AS (
+      SELECT c.checkpoint_seq, l.user_id,
+             max_by(l.op, l._seq) AS last_op,
+             max_by(l.account_type, l._seq) AS account_type,
+             MAX(l._seq) AS last_seq
+      FROM cps c JOIN changelog l ON l._seq <= c.checkpoint_seq
+      GROUP BY c.checkpoint_seq, l.user_id
+    )
+    SELECT checkpoint_seq, user_id, account_type, last_seq
+    FROM states WHERE last_op <> 'd'
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQ-addressed time travel: reconstruct the keyed LWW state AS
+    OF three changelog checkpoints (LSN/offset semantics — the
+    event-TIME twin is q_state_diff) in one pass: broadcast the
+    3-row checkpoint table, range-join `_seq <= checkpoint`, fold each
+    (checkpoint, key) group with max_by on the unique _seq, drop keys
+    whose final op is a delete.  This is the "rewind the slot to
+    offset X" debugging query a CDC operator runs against the sink.
+
+    100 TB plan: the fan-out is x|checkpoints| (3), not quadratic;
+    the fold is one partial-agg groupBy on (checkpoint, key).  A
+    production variant prunes the scan to `_seq <= max(checkpoint)`
+    first — here that's the whole fixture by construction."""
+    log = _changelog(spark, sf_dir)
+    mx = log.agg(F.max("_seq").alias("mx"))
+    cps = (
+        mx.select((F.col("mx") / 4).cast("long").alias("checkpoint_seq"))
+        .unionByName(mx.select((F.col("mx") / 2).cast("long").alias("checkpoint_seq")))
+        .unionByName(mx.select(F.col("mx").alias("checkpoint_seq")))
+    )
+    joined = log.join(
+        F.broadcast(cps), F.col("_seq") <= F.col("checkpoint_seq")
+    )
+    states = joined.groupBy("checkpoint_seq", "user_id").agg(
+        F.max_by("op", "_seq").alias("last_op"),
+        F.max_by("account_type", "_seq").alias("account_type"),
+        F.max("_seq").alias("last_seq"),
+    )
+    return states.where(F.col("last_op") != "d").select(
+        "checkpoint_seq", "user_id", "account_type", "last_seq"
+    )
+
+
+@register(
+    "q_topic_compaction",
+    oracle=CHANGELOG_CTE
+    + """
+    , bounds AS (SELECT MAX(_seq) AS mx FROM changelog),
+    per_key AS (
+      SELECT user_id, MAX(_seq) AS last_seq,
+             max_by(op, _seq) AS last_op
+      FROM changelog GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_keys,
+           (SELECT COUNT(*) FROM changelog) AS raw_messages,
+           COUNT(*) FILTER (WHERE last_op <> 'd') AS live_keys,
+           COUNT(*) FILTER (WHERE last_op = 'd'
+                              AND last_seq > (SELECT mx FROM bounds) - 1000)
+             AS retained_tombstones,
+           COUNT(*) FILTER (WHERE last_op <> 'd')
+             + COUNT(*) FILTER (WHERE last_op = 'd'
+                                  AND last_seq > (SELECT mx FROM bounds) - 1000)
+             AS compacted_messages,
+           CAST((SELECT COUNT(*) FROM changelog) AS DOUBLE)
+             / CAST(COUNT(*) FILTER (WHERE last_op <> 'd')
+                    + COUNT(*) FILTER (WHERE last_op = 'd'
+                                         AND last_seq > (SELECT mx FROM bounds)
+                                                          - 1000)
+                    AS DOUBLE) AS compaction_ratio
+    FROM per_key
+    """,
+)
+def q_topic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted-topic retention audit (the Kafka `cleanup.policy=
+    compact` arithmetic behind the reference's changelog topics): per
+    key keep only the latest record; tombstones survive only within
+    the delete-retention window (last 1000 seqs here) so late
+    consumers still observe deletes.  Emits raw vs compacted message
+    counts and the compaction ratio — the sizing input for topic
+    retention and slot-restart cost.
+
+    100 TB plan: one key-grain partial agg (max_by on the unique seq),
+    then a 1-row rollup; the raw count and max-seq bound ride the same
+    scan via a broadcast 1-row aggregate."""
+    log = _changelog(spark, sf_dir)
+    raw = log.agg(
+        F.count(F.lit(1)).alias("raw_messages"), F.max("_seq").alias("mx")
+    )
+    per_key = log.groupBy("user_id").agg(
+        F.max("_seq").alias("last_seq"), F.max_by("op", "_seq").alias("last_op")
+    )
+    live = F.sum(F.when(F.col("last_op") != "d", 1).otherwise(0))
+    tomb = F.sum(
+        F.when(
+            (F.col("last_op") == "d")
+            & (F.col("last_seq") > F.col("mx") - 1000),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        per_key.crossJoin(F.broadcast(raw))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("raw_messages").alias("raw_messages"),
+            live.alias("live_keys"),
+            tomb.alias("retained_tombstones"),
+            (live + tomb).alias("compacted_messages"),
+            (
+                F.max("raw_messages").cast("double")
+                / (live + tomb).cast("double")
+            ).alias("compaction_ratio"),
+        )
+    )

@@ -514,3 +514,32 @@ def test_dp_noise_is_small_and_deterministic(spark, queries):
          for r in queries["q_dp_geometric_counts"](spark, SF).collect()}
     assert a == b
     assert all(abs(noise) <= 32 for noise, _ in a.values())
+
+
+def test_time_travel_checkpoints_nest(spark, queries):
+    """States at increasing checkpoints nest: every key live at an
+    earlier checkpoint is live-or-later-modified at the final one, and
+    the final checkpoint state equals the flagship replay."""
+    rows = queries["q_time_travel"](spark, SF).collect()
+    cps = sorted({r.checkpoint_seq for r in rows})
+    assert len(cps) == 3
+    final_state = {
+        (r.user_id, r.account_type) for r in rows if r.checkpoint_seq == cps[-1]
+    }
+    replay = {
+        (r.user_id, r.account_type)
+        for r in queries["q_changelog_replay"](spark, SF).collect()
+    }
+    assert final_state == replay
+    for r in rows:
+        assert r.last_seq <= r.checkpoint_seq
+
+
+def test_topic_compaction_bounds(spark, queries):
+    """Compacted count is bounded by key count + tombstones and the
+    ratio is >= 1 (compaction never grows a topic)."""
+    r = queries["q_topic_compaction"](spark, SF).collect()[0]
+    assert r.compacted_messages == r.live_keys + r.retained_tombstones
+    assert r.compacted_messages <= r.n_keys
+    assert r.raw_messages >= r.compacted_messages
+    assert r.compaction_ratio >= 1.0
