@@ -14433,31 +14433,33 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT mx // 2 FROM bounds
       UNION ALL SELECT mx FROM bounds
     ),
-    states AS (
-      SELECT c.checkpoint_seq, l.user_id,
-             max_by(l.op, l._seq) AS last_op,
-             max_by(l.account_type, l._seq) AS account_type,
-             MAX(l._seq) AS last_seq
-      FROM cps c JOIN changelog l ON l._seq <= c.checkpoint_seq
-      GROUP BY c.checkpoint_seq, l.user_id
+    kept AS (SELECT * FROM changelog WHERE op <> 'd'),
+    ranked AS (
+      SELECT c.checkpoint_seq, k.user_id, k.account_type, k._seq,
+             row_number() OVER (
+               PARTITION BY c.checkpoint_seq, k.user_id
+               ORDER BY k.updated_at DESC, k._seq DESC) AS rn
+      FROM cps c JOIN kept k ON k._seq <= c.checkpoint_seq
     )
-    SELECT checkpoint_seq, user_id, account_type, last_seq
-    FROM states WHERE last_op <> 'd'
+    SELECT checkpoint_seq, user_id, account_type, _seq AS last_seq
+    FROM ranked WHERE rn = 1
     """,
 )
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEQ-addressed time travel: reconstruct the keyed LWW state AS
-    OF three changelog checkpoints (LSN/offset semantics — the
-    event-TIME twin is q_state_diff) in one pass: broadcast the
-    3-row checkpoint table, range-join `_seq <= checkpoint`, fold each
-    (checkpoint, key) group with max_by on the unique _seq, drop keys
-    whose final op is a delete.  This is the "rewind the slot to
-    offset X" debugging query a CDC operator runs against the sink.
+    """SEQ-addressed time travel: reconstruct the sink state AS OF
+    three changelog checkpoints (LSN/offset semantics — the
+    event-TIME twin is q_state_diff) with EXACTLY the flagship
+    replay's fold rule (drop deletes, then LWW by (updated_at, _seq)
+    — pipeline_queries.REPLAY_SQL), restricted to `_seq <=
+    checkpoint`.  At the final checkpoint this equals
+    q_changelog_replay row for row (pinned in tests) — the "rewind
+    the slot to offset X" debugging query a CDC operator runs
+    against the sink.
 
-    100 TB plan: the fan-out is x|checkpoints| (3), not quadratic;
-    the fold is one partial-agg groupBy on (checkpoint, key).  A
-    production variant prunes the scan to `_seq <= max(checkpoint)`
-    first — here that's the whole fixture by construction."""
+    100 TB plan: fan-out is x|checkpoints| (3), never quadratic; the
+    LWW window partitions on (checkpoint, key) — per-key version
+    grain, bounded.  A production variant prunes the scan to `_seq <=
+    max(checkpoint)` first; here that is the whole fixture."""
     log = _changelog(spark, sf_dir)
     mx = log.agg(F.max("_seq").alias("mx"))
     cps = (
@@ -14465,16 +14467,22 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mx.select((F.col("mx") / 2).cast("long").alias("checkpoint_seq")))
         .unionByName(mx.select(F.col("mx").alias("checkpoint_seq")))
     )
-    joined = log.join(
+    kept = log.where(F.col("op") != "d")
+    joined = kept.join(
         F.broadcast(cps), F.col("_seq") <= F.col("checkpoint_seq")
     )
-    states = joined.groupBy("checkpoint_seq", "user_id").agg(
-        F.max_by("op", "_seq").alias("last_op"),
-        F.max_by("account_type", "_seq").alias("account_type"),
-        F.max("_seq").alias("last_seq"),
+    w = Window.partitionBy("checkpoint_seq", "user_id").orderBy(
+        F.desc("updated_at"), F.desc("_seq")
     )
-    return states.where(F.col("last_op") != "d").select(
-        "checkpoint_seq", "user_id", "account_type", "last_seq"
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "checkpoint_seq",
+            "user_id",
+            "account_type",
+            F.col("_seq").alias("last_seq"),
+        )
     )
 
 
