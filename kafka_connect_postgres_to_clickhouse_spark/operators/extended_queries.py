@@ -13891,7 +13891,8 @@ def q_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel = F.col("cos_sim") >= 0.3
     return (
-        scored.join(cand, ["query_id", "vec_id"], "left")
+        # candidate sets are panel-bounded (queries x bucket collisions)
+        scored.join(F.broadcast(cand), ["query_id", "vec_id"], "left")
         .groupBy("query_id")
         .agg(
             F.sum(F.when(rel, 1).otherwise(0)).alias("n_relevant"),
@@ -14386,18 +14387,26 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
 
     def checks(df: DataFrame, tbl: str, specs: list[tuple[str, object]]) -> DataFrame:
-        out = None
-        n = F.count(F.lit(1))
-        for name, viol in specs:
-            row = df.agg(
-                n.alias("n_rows"),
-                F.sum(F.when(viol, 1).otherwise(0)).alias("n_violations")
-            ).select(
-                F.lit(tbl).alias("tbl"), F.lit(name).alias("check_name"),
-                "n_rows", "n_violations",
-            )
-            out = row if out is None else out.unionByName(row)
-        return out
+        # ALL of a table's checks fuse into ONE aggregate (one scan);
+        # stack() unpivots the counter columns in the SAME plan branch
+        # (a per-check union would re-plan — and re-scan — the agg)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.when(viol, 1).otherwise(0)).alias(f"v_{i}")
+                for i, (_, viol) in enumerate(specs)
+            ],
+        )
+        stack_args = ", ".join(
+            f"'{name}', v_{i}" for i, (name, _) in enumerate(specs)
+        )
+        return agg.select(
+            F.lit(tbl).alias("tbl"),
+            F.expr(
+                f"stack({len(specs)}, {stack_args}) AS (check_name, n_violations)"
+            ),
+            "n_rows",
+        ).select("tbl", "check_name", "n_rows", "n_violations")
 
     orders_checks = checks(o, "orders", [
         ("totalprice_positive", F.col("o_totalprice") <= 0),
@@ -14408,19 +14417,22 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("quantity_in_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
         ("discount_in_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
     ])
-    cust_checks = checks(c, "customer", [
-        ("acctbal_not_null", F.col("c_acctbal").isNull()),
-    ])
-    uniq = c.agg(
+    # customer's null check and the uniqueness check share ONE agg (Spark
+    # plans mixed distinct/non-distinct aggregates in a single two-phase
+    # pass), so customer too is scanned exactly once
+    cust = c.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_violations"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("v_0"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("v_1"),
     ).select(
         F.lit("customer").alias("tbl"),
-        F.lit("custkey_unique").alias("check_name"),
+        F.expr(
+            "stack(2, 'acctbal_not_null', v_0, 'custkey_unique', v_1)"
+            " AS (check_name, n_violations)"
+        ),
         "n_rows",
-        "n_violations",
-    )
-    return orders_checks.unionByName(li_checks).unionByName(cust_checks).unionByName(uniq)
+    ).select("tbl", "check_name", "n_rows", "n_violations")
+    return orders_checks.unionByName(li_checks).unionByName(cust)
 
 
 @register(
