@@ -14568,3 +14568,304 @@ def q_topic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compaction_ratio"),
         )
     )
+
+
+@register(
+    "q_trgm_search",
+    oracle="""
+    WITH patterns(pattern) AS (
+      VALUES ('merge batch'), ('spark a'), ('key scan')
+    ),
+    pat_grams AS (
+      SELECT pattern, DISTINCT_GRAM.g, COUNT(*) OVER (PARTITION BY pattern)
+               AS n_grams
+      FROM patterns, LATERAL (
+        SELECT DISTINCT substr(pattern, i, 3) AS g
+        FROM unnest(range(1, length(pattern) - 1)) AS t(i)
+      ) DISTINCT_GRAM
+    ),
+    doc_grams AS (
+      SELECT doc_id, substr(text, i, 3) AS g
+      FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+      GROUP BY doc_id, g
+    ),
+    cand AS (
+      SELECT p.pattern, d.doc_id
+      FROM pat_grams p JOIN doc_grams d ON p.g = d.g
+      GROUP BY p.pattern, d.doc_id, p.n_grams
+      HAVING COUNT(*) = p.n_grams
+    )
+    SELECT c.pattern, COUNT(*) AS n_candidates,
+           COUNT(*) FILTER (WHERE contains(doc.text, c.pattern)) AS n_matches
+    FROM cand c JOIN documents doc ON doc.doc_id = c.doc_id
+    GROUP BY c.pattern
+    """,
+)
+def q_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram substring search (the pg_trgm / ClickHouse
+    ngrambf_v1 index pattern): a doc is a CANDIDATE for a pattern iff
+    it contains every trigram of the pattern (no false negatives);
+    candidates then verify with an exact substring test.  Emits
+    per-pattern candidate and verified-match counts — the index
+    selectivity report that justifies (or kills) a trigram index.
+
+    100 TB plan: the doc-side trigram set is a map-side explode +
+    distinct collapse keyed by (doc, gram); candidate generation is an
+    equi-join on gram against a broadcast pattern-gram table, and only
+    candidates rejoin the corpus for verification — the scan never
+    evaluates contains() on non-candidates."""
+    d = _t(spark, sf_dir, "documents")
+    patterns = spark.createDataFrame(
+        [("merge batch",), ("spark a",), ("key scan",)], "pattern string"
+    )
+    pat_grams = (
+        patterns.select(
+            "pattern",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, length(pattern) - 2),"
+                    " i -> substring(pattern, i, 3)))"
+                )
+            ).alias("g"),
+        )
+        .withColumn(
+            "n_grams",
+            F.count(F.lit(1)).over(Window.partitionBy("pattern")),
+        )
+    )
+    doc_grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    cand = (
+        doc_grams.join(F.broadcast(pat_grams), "g")
+        .groupBy("pattern", "doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == F.col("n_grams"))
+    )
+    verified = cand.join(d, "doc_id").select(
+        "pattern",
+        F.col("text").contains(F.col("pattern")).cast("int").alias("is_match"),
+    )
+    return verified.groupBy("pattern").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_match").alias("n_matches"),
+    )
+
+
+@register(
+    "q_bitmap_index",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           bit_or(CAST(1 AS BIGINT) << c_nationkey) AS nation_bitmap,
+           bit_count(bit_or(CAST(1 AS BIGINT) << c_nationkey))
+             AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY segment
+    """,
+)
+def q_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index rollup: per segment, the SET of nations packed
+    into one int64 bitmap via a bit_or aggregate (nationkey < 64),
+    plus its popcount — the roaring-bitmap-lite structure OLAP engines
+    use for low-cardinality set algebra (segment A ∩ B's nations is
+    then a single AND on two longs, no join).
+
+    100 TB plan: bit_or combines map-side like any partial agg; the
+    shuffle carries one long per (partition, segment).  The bitmap IS
+    the aggregate state — constant-size regardless of corpus."""
+    c = _t(spark, sf_dir, "customer")
+    bm = F.expr("bit_or(shiftleft(cast(1 as bigint), c_nationkey))")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        bm.alias("nation_bitmap"),
+        F.bit_count(bm).alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "q_phrase_count_rank",
+    oracle="""
+    WITH patterns(pattern) AS (
+      VALUES ('merge batch'), ('spark a'), ('key scan')
+    ),
+    hits AS (
+      SELECT p.pattern, d.doc_id,
+             (length(d.text) - length(replace(d.text, p.pattern, '')))
+               // length(p.pattern) AS n_occurrences
+      FROM documents d CROSS JOIN patterns p
+      WHERE contains(d.text, p.pattern)
+    ),
+    ranked AS (
+      SELECT pattern, doc_id, n_occurrences,
+             ROW_NUMBER() OVER (PARTITION BY pattern
+                                ORDER BY n_occurrences DESC, doc_id) AS rn
+      FROM hits
+    )
+    SELECT pattern, doc_id, n_occurrences, rn AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_phrase_count_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase occurrence ranking: per query phrase, the top-5
+    documents by occurrence count — the phrase-frequency leg of a
+    positional search index, counted with the replace-length identity
+    (occurrences = length delta / phrase length, pure integer
+    arithmetic identical in both engines, no regex dialect in play).
+
+    100 TB plan: the corpus scans once against a broadcast phrase
+    table; the per-phrase top-5 window runs over matching docs only
+    (contains() prunes first) and is bounded by the match count per
+    phrase, with the doc_id tiebreak keeping it total-ordered."""
+    d = _t(spark, sf_dir, "documents")
+    patterns = spark.createDataFrame(
+        [("merge batch",), ("spark a",), ("key scan",)], "pattern string"
+    )
+    hits = (
+        d.crossJoin(F.broadcast(patterns))
+        .where(F.col("text").contains(F.col("pattern")))
+        .select(
+            "pattern",
+            "doc_id",
+            F.floor(
+                (
+                    F.length("text")
+                    - F.length(F.expr("replace(text, pattern, '')"))
+                )
+                / F.length("pattern")
+            ).cast("long").alias("n_occurrences"),
+        )
+    )
+    w = Window.partitionBy("pattern").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("pattern", "doc_id", "n_occurrences", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "q_weighted_priority_sample",
+    oracle="""
+    WITH prio AS (
+      SELECT doc_id, source,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) * 1000000
+               // (length(text) - length(replace(text, ' ', '')) + 1)
+               AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens, priority,
+             ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn
+      FROM prio
+    )
+    SELECT doc_id, source, n_tokens, priority FROM ranked WHERE rn <= 20
+    """,
+)
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample (the integer cousin of
+    A-Res weighted reservoir sampling, Efraimidis-Spirakis 2006): each
+    doc draws priority = hash/weight with weight = token count, and
+    the sample is the global smallest-priority top-20 — longer docs
+    get proportionally higher inclusion odds, the draw is seeded by
+    doc_id (reproducible, auditable), and everything is integer
+    division — no u^(1/w) float power.
+
+    100 TB plan: priorities are map-side expressions; the global
+    top-20 is a TakeOrderedAndProject (per-partition heads, tiny
+    driver merge) — no global sort, no unbounded window."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    prio = d.select(
+        "doc_id",
+        "source",
+        toks.alias("n_tokens"),
+        F.floor(h * 1000000 / toks).cast("long").alias("priority"),
+    )
+    return prio.orderBy(F.asc("priority"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "q_mahalanobis_diag",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id, t.i AS dim,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi
+      FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+    ),
+    dims AS (
+      SELECT dim, COUNT(*) AS n, SUM(xi) AS s1, SUM(xi * xi) AS s2
+      FROM comps GROUP BY dim
+    ),
+    terms AS (
+      SELECT c.vec_id,
+             CAST(floor(
+               (CAST(c.xi AS DOUBLE) - CAST(d.s1 AS DOUBLE) / CAST(d.n AS DOUBLE))
+               * (CAST(c.xi AS DOUBLE) - CAST(d.s1 AS DOUBLE) / CAST(d.n AS DOUBLE))
+               / ((CAST(d.s2 AS DOUBLE)
+                     - CAST(d.s1 AS DOUBLE) / CAST(d.n AS DOUBLE)
+                       * CAST(d.s1 AS DOUBLE)) / CAST(d.n AS DOUBLE))
+               * 1000000) AS BIGINT) AS term_q
+      FROM comps c JOIN dims d ON c.dim = d.dim
+    ),
+    scores AS (
+      SELECT vec_id, SUM(term_q) AS score_q FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id, score_q FROM scores
+    ORDER BY score_q DESC, vec_id LIMIT 20
+    """,
+)
+def q_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outliers: per-dimension moments
+    give mean/variance, each component contributes (x-mu)^2/var, and
+    the top-20 scores flag vectors that are far from the population in
+    SOME direction even when their norm is ordinary (the failure mode
+    q_embed_norm_outliers cannot see).  Exactness discipline: per-dim
+    terms replay one fixed IEEE expression over exact integer moments,
+    then QUANTIZE to integer millionths before the per-vector SUM — so
+    the 64-term reduction is order-independent integer addition, never
+    a float sum whose grouping differs between engines.
+
+    100 TB plan: one explode pass -> dim-grain moments (64 rows,
+    broadcast back) -> per-vector integer partial agg -> global top-20
+    via TakeOrderedAndProject.  No window, no all-pairs, nothing
+    driver-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xi"),
+    )
+    dims = comps.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("s1"),
+        F.sum(F.col("xi") * F.col("xi")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") - mean * F.col("s1").cast("double")
+    ) / F.col("n").cast("double")
+    diff = F.col("xi").cast("double") - mean
+    term_q = F.floor(diff * diff / var * 1000000).cast("long")
+    scores = (
+        comps.join(F.broadcast(dims), "dim")
+        .select("vec_id", term_q.alias("term_q"))
+        .groupBy("vec_id")
+        .agg(F.sum("term_q").alias("score_q"))
+    )
+    return scores.orderBy(F.desc("score_q"), F.asc("vec_id")).limit(20)

