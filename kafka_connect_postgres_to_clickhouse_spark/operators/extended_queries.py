@@ -14869,3 +14869,91 @@ def q_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term_q").alias("score_q"))
     )
     return scores.orderBy(F.desc("score_q"), F.asc("vec_id")).limit(20)
+
+
+@register(
+    "q_recursive_bfs",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    sym AS (
+      SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ),
+    reach AS (
+      SELECT 0 AS nation, 0 AS hops
+      UNION ALL
+      SELECT sym.b AS nation, reach.hops + 1 AS hops
+      FROM reach JOIN sym ON sym.a = reach.nation
+      WHERE reach.hops < 2
+    )
+    SELECT nation, MIN(hops) AS min_hops,
+           COUNT(DISTINCT hops) AS n_depths_reached
+    FROM reach GROUP BY nation
+    """,
+)
+def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE breadth-first reachability (Spark 4's recursive
+    CTE surface, SPARK-24497): the trade graph between nations is
+    derived from the corpus (who bought from whom, the TPC-H Q7 join
+    shape), then a recursive CTE walks it from nation 0 up to 2 hops (UNION
+    ALL semantics — Spark does not yet support de-duplicating UNION in
+    the recursive term, so walk multiplicity grows with depth and the
+    cap keeps the accumulated relation metadata-sized);
+    the rollup reports each nation's minimum hop distance and how
+    many of the capped depths reach it (DISTINCT set semantics — raw
+    walk multiplicity is not portable across recursion engines and is
+    not a graph property).  The SAME SQL text runs in Spark and
+    DuckDB — parser-level parity, not a DataFrame re-expression.
+
+    100 TB plan: the corpus-sized work is the edge DERIVATION (three
+    co-partitioned/broadcast joins collapsing to a <= |nations|^2
+    DISTINCT edge set); the recursion then iterates over a
+    metadata-sized relation — the shape recursive queries must take
+    at scale (never recurse over the fact table itself)."""
+    # Spark inlines CTEs, so a recursive term referencing a corpus-scale
+    # CTE would RE-RUN the 4-way join every iteration.  The edge set is
+    # bounded by |nations|^2 (<= 625 rows), so derive it once with the
+    # DataFrame API and hand the recursion a literal local relation —
+    # bounded driver traffic, and the iterations touch only that.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("int").alias("a"),
+            F.col("s_nationkey").cast("int").alias("b"),
+        )
+        .distinct()
+    )
+    local_edges = spark.createDataFrame(edges.collect(), "a int, b int")
+    local_edges.createOrReplaceTempView("v_rbfs_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE sym AS (
+          SELECT a, b FROM v_rbfs_edges
+          UNION
+          SELECT b, a FROM v_rbfs_edges
+        ),
+        reach AS (
+          SELECT 0 AS nation, 0 AS hops
+          UNION ALL
+          SELECT sym.b AS nation, reach.hops + 1 AS hops
+          FROM reach JOIN sym ON sym.a = reach.nation
+          WHERE reach.hops < 2
+        )
+        SELECT nation, MIN(hops) AS min_hops,
+               COUNT(DISTINCT hops) AS n_depths_reached
+        FROM reach GROUP BY nation
+        """
+    )

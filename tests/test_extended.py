@@ -585,3 +585,37 @@ def test_bitmap_index_popcount_matches_distinct(spark, queries):
     }
     for r in queries["q_bitmap_index"](spark, SF).collect():
         assert r.n_nations == exact[r.segment]
+
+
+def test_recursive_bfs_agrees_with_dataframe_bfs(spark, queries):
+    """The recursive-CTE BFS min-hops match an independent DataFrame
+    BFS (two manual frontier expansions) over the same edge set."""
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    sup = load_table(spark, SF, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .distinct()
+        .collect()
+    )
+    adj: dict[int, set[int]] = {}
+    for r in edges:
+        adj.setdefault(r.a, set()).add(r.b)
+        adj.setdefault(r.b, set()).add(r.a)
+    dist = {0: 0}
+    frontier = {0}
+    for hop in (1, 2):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = hop
+                    nxt.add(m)
+        frontier = nxt
+    got = {r.nation: r.min_hops for r in queries["q_recursive_bfs"](spark, SF).collect()}
+    assert got == dist
