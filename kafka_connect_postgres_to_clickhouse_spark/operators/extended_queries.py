@@ -14957,3 +14957,82 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY nation
         """
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS BIGINT)
+                                    >= 50) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    parse_json into the binary variant encoding, variant_get typed
+    extraction, then plain relational aggregation — the open-ended
+    JSON column pattern that replaces rigid from_json schemas (the
+    sink-side twin of ClickHouse's JSON object type).  The oracle
+    reads the same field relationally (json_extract), proving the
+    variant path changes the ENCODING, not the answer.
+
+    100 TB plan: parse_json/variant_get are per-row JVM expressions
+    inside whole-stage codegen (no UDF); the aggregate is a type-grain
+    partial agg.  Variant's binary form also pushes shredded-column
+    stats at the parquet layer in newer writers — the scan story
+    improves further, never degrades."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
+@register(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY priority
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's |> operator chain, the GoogleSQL
+    pipe dialect): the same filtered rollup expressed as a linear
+    FROM |> WHERE |> EXTEND |> AGGREGATE flow — parser-surface parity
+    for the dialect data teams increasingly write; Catalyst plans it
+    identically to the classic form (the oracle is that classic
+    form, so the equivalence is hash-checked, not assumed).
+
+    100 TB plan: identical to the classic rollup — pushed date
+    filter, priority-grain partial agg; the syntax desugars before
+    optimization."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_pipe_orders")
+    return spark.sql(
+        """
+        FROM v_pipe_orders
+        |> WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1996-01-01'
+        |> EXTEND cast(floor(o_totalprice * 100) AS BIGINT) AS order_cents
+        |> AGGREGATE count(*) AS n_orders, sum(order_cents) AS cents
+           GROUP BY o_orderpriority AS priority
+        |> SELECT priority, n_orders, cents
+        """
+    )
