@@ -15036,3 +15036,304 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT priority, n_orders, cents
         """
     )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+    WITH rowsums AS (
+      SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+             bit_xor(CAST(('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+               || c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)
+             ), 1, 15)) AS BIGINT)) AS checksum
+      FROM customer
+      UNION ALL
+      SELECT 'orders', COUNT(*),
+             bit_xor(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus || '|' || o_orderpriority
+             ), 1, 15)) AS BIGINT))
+      FROM orders
+    )
+    SELECT tbl, n_rows, checksum FROM rowsums
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum (the pt-table-checksum /
+    source-sink reconciliation primitive the reference pipeline needs
+    after any replay): each row folds its canonical-serialized key
+    columns through md5, and bit_xor aggregates the 60-bit hash
+    slices — XOR is commutative/associative, so the checksum is
+    IDENTICAL regardless of partitioning, ordering, or engine, and
+    any single-row divergence flips it with probability 1-2^-60.
+    Run it on both sides of a sync; equal checksums end the audit
+    without moving a single row across.
+
+    100 TB plan: pure map-side expression work + a 1-long-per-
+    partition XOR combine — the cheapest possible full-table scan;
+    no sort, no shuffle beyond the scalar combine."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+
+    def agg_cksum(df, tbl, cols):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("long")
+        return (
+            df.select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("checksum"),
+            )
+            .select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+        )
+
+    cust = agg_cksum(
+        c,
+        "customer",
+        [
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.col("c_nationkey").cast("string"),
+        ],
+    )
+    orders = agg_cksum(
+        o,
+        "orders",
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        ],
+    )
+    return cust.unionByName(orders)
+
+
+@register(
+    "q_calendar_dim",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    cal AS (
+      SELECT CAST(day AS DATE) AS day,
+             CAST(isodow(day) AS BIGINT) AS iso_dow,
+             CAST(isodow(day) IN (6, 7) AS INT) AS is_weekend,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) // 7
+                  AS BIGINT) AS week_index
+      FROM spine
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY day
+    )
+    SELECT c.day, c.iso_dow, c.is_weekend, c.week_index,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.cents, 0) AS cents
+    FROM cal c LEFT JOIN daily d ON c.day = d.day
+    """,
+)
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (the date-spine builder every
+    warehouse needs): a sequence() spine with ISO weekday / weekend /
+    week-index attributes, LEFT-joined to daily revenue so silent
+    zero-activity days surface as explicit zeros instead of missing
+    rows — the difference between a correct and a lying time series.
+
+    100 TB plan: the spine is generated, metadata-sized and
+    broadcast; the corpus collapses to day grain before the join.
+    Spine generation costs nothing at any scale."""
+    e = _t(spark, sf_dir, "events")
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30',"
+        " INTERVAL 1 DAY)) AS day"
+    )
+    cal = spine.select(
+        "day",
+        F.expr("CAST(weekday(day) + 1 AS BIGINT)").alias("iso_dow"),
+        F.expr("CAST(weekday(day) + 1 IN (6, 7) AS INT)").alias("is_weekend"),
+        F.floor(F.datediff("day", F.lit("2024-01-01").cast("date")) / 7)
+        .cast("long")
+        .alias("week_index"),
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return (
+        F.broadcast(cal)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            "iso_dow",
+            "is_weekend",
+            "week_index",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+    )
+
+
+@register(
+    "q_base64_wire",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(length(base64(CAST(text AS BLOB)))) AS b64_bytes,
+           SUM(length(text)) AS raw_bytes,
+           SUM(CAST(base64(CAST(text AS BLOB)) LIKE '%=' AS INT)) AS n_padded,
+           CAST(SUM(length(base64(CAST(text AS BLOB)))) AS DOUBLE)
+             / CAST(SUM(length(text)) AS DOUBLE) AS expansion
+    FROM documents GROUP BY source
+    """,
+)
+def q_base64_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 wire-encoding audit (the payload-encoding arm of the
+    serde surface, next to q_csv_wire / q_key_envelope): per source,
+    the exact RFC 4648 encoded size, padding incidence, and the
+    measured 4/3 expansion — the sizing arithmetic for any sink that
+    ships binary payloads through a text transport (Kafka JSON
+    envelopes, the reference's wire format).  base64 is bit-exact
+    across engines by spec, so the oracle checks the actual encoded
+    lengths, not a formula.
+
+    100 TB plan: per-row expression work + source-grain partial agg;
+    payloads never shuffle (only their lengths do)."""
+    d = _t(spark, sf_dir, "documents")
+    # Spark's base64() MIME-chunks with CRLF every 76 chars (JDK
+    # Base64.getMimeEncoder lineage); RFC 4648 raw form strips them
+    b64 = F.translate(F.base64(F.col("text").cast("binary")), "\r\n", "")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(b64)).alias("b64_bytes"),
+        F.sum(F.length("text")).alias("raw_bytes"),
+        F.sum(b64.endswith("=").cast("int")).alias("n_padded"),
+        (
+            F.sum(F.length(b64)).cast("double")
+            / F.sum(F.length("text")).cast("double")
+        ).alias("expansion"),
+    )
+
+
+@register(
+    "q_cascade_impact",
+    oracle="""
+    WITH flagged AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 0
+    ),
+    ord AS (
+      SELECT f.c_mktsegment AS segment, o.o_orderkey
+      FROM flagged f JOIN orders o ON o.o_custkey = f.c_custkey
+    )
+    SELECT f.c_mktsegment AS segment,
+           COUNT(DISTINCT f.c_custkey) AS n_customers,
+           (SELECT COUNT(*) FROM ord o WHERE o.segment = f.c_mktsegment)
+             AS n_orders,
+           (SELECT COUNT(*) FROM ord o JOIN lineitem l
+             ON l.l_orderkey = o.o_orderkey
+             WHERE o.segment = f.c_mktsegment) AS n_lineitems
+    FROM flagged f GROUP BY f.c_mktsegment
+    """,
+)
+def q_cascade_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key cascade impact analysis: if every negative-balance
+    customer were purged (the RTBF / account-closure scenario), how
+    many orders and line items cascade per segment — the blast-radius
+    report run BEFORE any destructive delete, and the sizing input
+    for q_forget_keys' actual purge.
+
+    100 TB plan: the flagged set filters map-side, then two
+    co-partitioned key joins (custkey, then orderkey — lineitem's
+    native key) with segment-grain partial aggs; the fact tables are
+    scanned once each with only keys + the filter column read."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = c.where(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    ord_ = flagged.join(o, flagged.c_custkey == o.o_custkey).select(
+        "segment", "c_custkey", "o_orderkey"
+    )
+    li_counts = (
+        ord_.join(li, ord_.o_orderkey == li.l_orderkey)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+    base = ord_.groupBy("segment").agg(
+        F.countDistinct("c_custkey").alias("n_customers_ordering"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    cust_counts = flagged.groupBy("segment").agg(
+        F.countDistinct("c_custkey").alias("n_customers")
+    )
+    return (
+        cust_counts.join(base.select("segment", "n_orders"), "segment", "left")
+        .join(li_counts, "segment", "left")
+        .select(
+            "segment",
+            "n_customers",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).alias("n_lineitems"),
+        )
+    )
+
+
+# survivorship's oracle composes the shared PPJoin pair/closure fragments
+from .analytics_queries import _PAIRS_SQL as _SURV_PAIRS_SQL  # noqa: E402
+
+
+@register(
+    "q_survivorship_merge",
+    oracle=f"""
+    {_SURV_PAIRS_SQL},
+    members AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s
+    )
+    SELECT m.cluster_id,
+           COUNT(*) AS n_members,
+           MAX(d.n_chars) AS survivor_chars,
+           max_by(d.source, d.n_chars * 1000000 - d.doc_id) AS survivor_source,
+           max_by(d.doc_id, d.n_chars * 1000000 - d.doc_id) AS survivor_doc_id,
+           SUM(d.n_chars) AS total_chars,
+           SUM(d.n_chars) - MAX(d.n_chars) AS chars_reclaimed
+    FROM members m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY m.cluster_id
+    """,
+)
+def q_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the MDM merge step AFTER duplicate
+    clustering): per near-dup cluster, elect the surviving document by
+    the longest-content rule with a deterministic doc_id tiebreak
+    (encoded as the scalar order key n_chars*1e6 - doc_id, since
+    composite max_by orderings are not portable), and report the
+    bytes reclaimed by collapsing the rest — dedup_keep_best picks a
+    ROW; this composes the surviving FIELDS and quantifies the win.
+
+    100 TB plan: rides the session-materialized PPJoin pair graph and
+    its label propagation (q_dedup_clusters); the merge itself is one
+    cluster-grain partial agg over a doc-grain join."""
+    from .analytics_queries import q_dedup_clusters  # noqa: PLC0415
+
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = _t(spark, sf_dir, "documents")
+    key = F.col("n_chars") * 1000000 - F.col("doc_id")
+    return (
+        labels.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").alias("survivor_chars"),
+            F.max_by("source", key).alias("survivor_source"),
+            F.max_by("doc_id", key).alias("survivor_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars") - F.max("n_chars")).alias("chars_reclaimed"),
+        )
+    )
