@@ -15337,3 +15337,292 @@ def q_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_chars") - F.max("n_chars")).alias("chars_reclaimed"),
         )
     )
+
+
+@register(
+    "q_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS dim,
+             CASE WHEN CAST(('0x' || substr(md5('s:' || tok), 1, 1))
+                       AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM toks
+    )
+    SELECT dim, COUNT(*) AS n_tokens, SUM(sign) AS signed_sum
+    FROM hashed GROUP BY dim
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger 2009 feature hashing): tokens map
+    to a fixed 256-dim space via md5, with a second independent hash
+    bit supplying the +/-1 sign that makes collisions cancel in
+    expectation — the unbounded-vocabulary featurizer that needs no
+    dictionary, no fitting, no driver state.  Emits the corpus-level
+    per-dimension counts and signed sums (the column the sign trick
+    actually de-biases).
+
+    100 TB plan: explode + map-side hash expressions + a 256-bucket
+    partial agg — the shuffle carries 256 rows per partition
+    regardless of vocabulary or corpus size.  That boundedness IS the
+    hashing trick's systems story."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.explode(F.split("text", " ")).alias("tok")
+    toks = d.select(tok)
+    dim = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(256)
+    )
+    sign = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("s:"), F.col("tok"))), 1, 1),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        toks.select(dim.alias("dim"), sign.alias("sign"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("sign").alias("signed_sum"),
+        )
+    )
+
+
+@register(
+    "q_target_encoding",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, c.c_nationkey AS nationkey,
+             CAST(floor(o.o_totalprice) AS BIGINT) AS dollars
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_cat AS (
+      SELECT segment, nationkey, COUNT(*) AS n, SUM(dollars) AS s
+      FROM spend GROUP BY segment, nationkey
+    ),
+    gstats AS (SELECT COUNT(*) AS gn, SUM(dollars) AS gs FROM spend)
+    SELECT p.segment, p.nationkey, p.n,
+           CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) AS raw_mean,
+           (CAST(p.s AS DOUBLE)
+              + 10.0 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+             / (CAST(p.n AS DOUBLE) + 10.0) AS encoded
+    FROM per_cat p CROSS JOIN gstats g
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the CatBoost/mean-encoding feature):
+    each (segment, nation) category's mean order value shrunk toward
+    the global prior with additive smoothing alpha=10 — rare
+    categories pull strongly to the prior, frequent ones keep their
+    own mean, and the high-cardinality categorical becomes one dense
+    numeric feature.  Integer dollar moments; raw and encoded means
+    are single shared IEEE expressions.
+
+    100 TB plan: one category-grain partial agg + a broadcast 1-row
+    global moment; the encode is per-output-row arithmetic.  Nothing
+    but (category, 2 longs) shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("dollars"),
+    )
+    per_cat = spend.groupBy("segment", "nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dollars").alias("s")
+    )
+    glob = spend.agg(
+        F.count(F.lit(1)).alias("gn"), F.sum("dollars").alias("gs")
+    )
+    prior = F.col("gs").cast("double") / F.col("gn").cast("double")
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        "segment",
+        "nationkey",
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("raw_mean"),
+        (
+            (F.col("s").cast("double") + 10.0 * prior)
+            / (F.col("n").cast("double") + 10.0)
+        ).alias("encoded"),
+    )
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    {_SURV_PAIRS_SQL},
+    n_docs AS (SELECT COUNT(*) AS n, MIN(doc_id) AS base FROM documents),
+    cand AS (
+      SELECT d.doc_id AS anchor,
+             nd.base + (d.doc_id - nd.base
+                         + CAST(('0x' || substr(md5(
+                             CAST(d.doc_id AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)
+                           ), 1, 8)) AS BIGINT) % (nd.n - 1) + 1) % nd.n
+               AS negative
+      FROM documents d
+      CROSS JOIN n_docs nd
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    ),
+    dup_edges AS (SELECT s, d FROM reach)
+    SELECT c.anchor, COUNT(*) AS n_negatives,
+           COUNT(*) FILTER (WHERE e.d IS NOT NULL) AS n_rejected_neardup
+    FROM cand c
+    LEFT JOIN dup_edges e ON e.s = c.anchor AND e.d = c.negative
+    GROUP BY c.anchor
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling with near-dup exclusion: each
+    anchor draws 4 deterministic negatives from a hash ring over the
+    doc-id space (seeded by (anchor, k) — reproducible, collision-free
+    with the anchor by the +1 offset), then any negative that is
+    actually a NEAR-DUPLICATE of its anchor (transitive closure of the
+    PPJoin pair graph) is flagged for rejection — the false-negative
+    filter contrastive training needs so it never pushes apart
+    semantic duplicates.
+
+    100 TB plan: draws are per-row hash arithmetic (x4 fan-out); the
+    rejection check is a LEFT join against the materialized pair
+    closure on (anchor, negative) — equi-join, no similarity compute
+    at sampling time."""
+    d = _t(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("base"))
+    ks = spark.range(0, 4).select(F.col("id").alias("k"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            F.col("doc_id").alias("anchor"),
+            (
+                F.col("base")
+                + F.pmod(
+                    F.col("doc_id")
+                    - F.col("base")
+                    + F.pmod(h, F.col("n") - 1)
+                    + 1,
+                    F.col("n"),
+                )
+            ).alias("negative"),
+        )
+    )
+    from .analytics_queries import q_dedup_clusters  # noqa: PLC0415
+
+    # transitive closure edges: doc pairs sharing a cluster label
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    a = labels.select(F.col("doc_id").alias("s"), F.col("cluster_id").alias("ca"))
+    b = labels.select(F.col("doc_id").alias("t"), F.col("cluster_id").alias("cb"))
+    edges = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("s") != F.col("t"))).select(
+        "s", F.col("t").alias("d")
+    )
+    return (
+        cand.join(
+            edges,
+            (cand.anchor == edges.s) & (cand.negative == edges.d),
+            "left",
+        )
+        .groupBy("anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_negatives"),
+            F.sum(F.when(F.col("d").isNotNull(), 1).otherwise(0)).alias(
+                "n_rejected_neardup"
+            ),
+        )
+    )
+
+
+@register(
+    "q_temporal_split_audit",
+    oracle="""
+    WITH split AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN ts < TIMESTAMP '2024-01-22' THEN 'train' ELSE 'eval'
+             END AS split
+      FROM events
+    ),
+    user_spans AS (
+      SELECT user_id,
+             MAX(CASE WHEN split = 'train' THEN ts END) AS last_train_ts,
+             MIN(CASE WHEN split = 'eval' THEN ts END) AS first_eval_ts,
+             COUNT(*) FILTER (WHERE split = 'train') AS n_train,
+             COUNT(*) FILTER (WHERE split = 'eval') AS n_eval
+      FROM split GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(*) FILTER (WHERE n_train > 0 AND n_eval > 0)
+             AS n_users_in_both,
+           COUNT(*) FILTER (WHERE n_train = 0 AND n_eval > 0)
+             AS n_cold_start_users,
+           COUNT(*) FILTER (WHERE last_train_ts >= first_eval_ts)
+             AS n_boundary_violations,
+           SUM(n_train) AS train_rows, SUM(n_eval) AS eval_rows
+    FROM user_spans
+    """,
+)
+def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split audit: with a hard time cut
+    (2024-01-22), verify per user that no training row postdates the
+    first eval row (boundary violations = temporal leakage), and
+    count the entity overlap and cold-start population the cut
+    induces — the leakage report run before trusting any offline
+    metric.  Zero violations is the expected PASS here; the operator
+    exists to prove it, not assume it.
+
+    100 TB plan: one user-grain partial agg (conditional min/max/
+    counters fuse into a single aggregate), then a 1-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22").cast("timestamp")
+    split = e.select(
+        "user_id",
+        "ts",
+        F.when(F.col("ts") < cut, "train").otherwise("eval").alias("split"),
+    )
+    spans = split.groupBy("user_id").agg(
+        F.max(F.when(F.col("split") == "train", F.col("ts"))).alias(
+            "last_train_ts"
+        ),
+        F.min(F.when(F.col("split") == "eval", F.col("ts"))).alias(
+            "first_eval_ts"
+        ),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)).alias("n_eval"),
+    )
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when((F.col("n_train") > 0) & (F.col("n_eval") > 0), 1).otherwise(0)
+        ).alias("n_users_in_both"),
+        F.sum(
+            F.when((F.col("n_train") == 0) & (F.col("n_eval") > 0), 1).otherwise(0)
+        ).alias("n_cold_start_users"),
+        F.sum(
+            F.when(F.col("last_train_ts") >= F.col("first_eval_ts"), 1).otherwise(
+                0
+            )
+        ).alias("n_boundary_violations"),
+        F.sum("n_train").alias("train_rows"),
+        F.sum("n_eval").alias("eval_rows"),
+    )
