@@ -15626,3 +15626,232 @@ def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_train").alias("train_rows"),
         F.sum("n_eval").alias("eval_rows"),
     )
+
+
+@register(
+    "q_ks_two_sample",
+    oracle="""
+    WITH lens AS (
+      SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                                  'src5','src6','src7','src8','src9')
+                  THEN 'A' ELSE 'B' END AS grp,
+             n_chars AS v
+      FROM documents
+    ),
+    counts AS (
+      SELECT v,
+             COUNT(*) FILTER (WHERE grp = 'A') AS ca,
+             COUNT(*) FILTER (WHERE grp = 'B') AS cb
+      FROM lens GROUP BY v
+    ),
+    totals AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts
+    ),
+    cums AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b
+      FROM counts
+    )
+    SELECT t.na, t.nb,
+           MAX(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS d_num,
+           t.na * t.nb AS d_den,
+           CAST(MAX(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS DOUBLE)
+             / CAST(t.na * t.nb AS DOUBLE) AS ks_d
+    FROM cums c CROSS JOIN totals t
+    GROUP BY t.na, t.nb
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the length
+    distributions of two source cohorts, in EXACT RATIONAL form: the
+    ECDF gap |F_A - F_B| is cross-multiplied to the integer
+    |cum_a*n_b - cum_b*n_a| over n_a*n_b, so the max is an integer
+    comparison and the only float is the final report division —
+    the distribution-drift test with zero quantile approximation.
+
+    100 TB plan: the corpus collapses to value grain (distinct
+    lengths — value-range-bounded, not corpus-bounded) in one partial
+    agg; the two cumulative windows run over that bounded grain; the
+    max is a 1-row rollup with broadcast totals."""
+    d = _t(spark, sf_dir, "documents")
+    grp = F.when(
+        F.col("source").isin(*[f"src{i}" for i in range(10)]), "A"
+    ).otherwise("B")
+    counts = (
+        d.select(grp.alias("grp"), F.col("n_chars").alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("cb"),
+        )
+    )
+    totals = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # value-grain cumulative ECDFs (bounded by the length domain)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cums = counts.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    gap = F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+    return (
+        cums.crossJoin(F.broadcast(totals))
+        .groupBy("na", "nb")
+        .agg(F.max(gap).alias("d_num"))
+        .select(
+            "na",
+            "nb",
+            "d_num",
+            (F.col("na") * F.col("nb")).alias("d_den"),
+            (
+                F.col("d_num").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("ks_d"),
+        )
+    )
+
+
+@register(
+    "q_self_similarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok, pos
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      )
+    ),
+    grams AS (
+      SELECT DISTINCT a.doc_id,
+             a.tok || ' ' || b.tok || ' ' || c.tok AS g
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    df AS (SELECT g, COUNT(*) AS d FROM grams GROUP BY g),
+    nd AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT nd.n AS n_docs,
+           SUM(df.d * (df.d - 1) / 2) AS shared_gram_pairs,
+           nd.n * (nd.n - 1) / 2 AS doc_pairs,
+           CAST(SUM(df.d * (df.d - 1) / 2) AS DOUBLE)
+             / CAST(nd.n * (nd.n - 1) / 2 AS DOUBLE)
+             AS mean_shared_grams_per_pair
+    FROM df CROSS JOIN nd
+    GROUP BY nd.n
+    """,
+)
+def q_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-similarity WITHOUT the pairwise join: the mean
+    number of shared word trigrams per document pair equals
+    sum_g C(df_g, 2) / C(N, 2) — a posting-list identity, so the
+    self-BLEU-style diversity diagnostic costs one document-frequency
+    aggregation instead of N^2 comparisons.  Pure integer counts;
+    one final division.
+
+    100 TB plan: distinct-gram explode, gram-grain df partial agg,
+    1-row rollup — the same postings shape the dedup family rides.
+    The identity is exactly why posting stats can audit pairwise
+    redundancy at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+            )
+        ).alias("g"),
+    )
+    df_ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        df_.crossJoin(F.broadcast(nd))
+        .groupBy("n")
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias(
+                "shared_gram_pairs"
+            )
+        )
+        .select(
+            F.col("n").alias("n_docs"),
+            "shared_gram_pairs",
+            (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("doc_pairs"),
+            (
+                F.col("shared_gram_pairs").cast("double")
+                / (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+            ).alias("mean_shared_grams_per_pair"),
+        )
+    )
+
+
+@register(
+    "q_seq_patterns",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+      SELECT a.user_id, a.event_type AS antecedent, b.event_type AS consequent
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND a.first_ts < b.last_ts
+    ),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS n FROM events)
+    SELECT p.antecedent, p.consequent,
+           COUNT(*) AS support_users,
+           CAST(COUNT(*) AS DOUBLE) / CAST(u.n AS DOUBLE) AS support
+    FROM pairs p CROSS JOIN n_users u
+    GROUP BY p.antecedent, p.consequent, u.n
+    """,
+)
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-1 sequential pattern mining (the GSP/PrefixSpan seed
+    step): for each ordered event-type pair (a -> b), the number of
+    users with SOME occurrence of a strictly before some occurrence
+    of b — decided per user from just (first_ts of a, last_ts of b),
+    an interval identity that avoids materializing any event-pair
+    join.  Support is one division over exact counts.
+
+    100 TB plan: the corpus collapses to (user, type) span grain in
+    one partial agg (~|types| rows per user); the ordered-pair join is
+    per-user over that bounded grain; the rollup is type-pair-grain.
+    No event-level self-join ever happens."""
+    e = _t(spark, sf_dir, "events")
+    spans = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("antecedent"),
+        F.col("first_ts").alias("a_first"),
+    )
+    b = spans.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_type").alias("consequent"),
+        F.col("last_ts").alias("b_last"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("antecedent") != F.col("consequent"))
+        & (F.col("a_first") < F.col("b_last")),
+    )
+    n_users = e.agg(F.countDistinct("user_id").alias("n"))
+    return (
+        pairs.groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("support_users"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "antecedent",
+            "consequent",
+            "support_users",
+            (
+                F.col("support_users").cast("double") / F.col("n").cast("double")
+            ).alias("support"),
+        )
+    )

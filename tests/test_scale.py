@@ -264,6 +264,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_running_distinct": "running sum over day grain (bounded by calendar)",
     "q_hazard_table": "reverse risk-set cumsum over lifetime-day grain "
     "(bounded by the observation calendar)",
+    "q_ks_two_sample": "ECDF cumsums over distinct-length grain "
+    "(bounded by the value domain, not the corpus)",
 }
 
 
