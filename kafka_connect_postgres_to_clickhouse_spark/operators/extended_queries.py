@@ -13062,7 +13062,15 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = o.select(
         F.substring(cents.cast("string"), 1, 1).cast("long").alias("first_digit")
     ).where(cents >= 1)
-    counts = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    # digit-grain (9 rows): run the corpus agg ONCE, localize, and let
+    # the total come from the local relation (a second reference would
+    # re-plan — and re-scan — the corpus subtree)
+    counts = spark.createDataFrame(
+        digits.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .collect(),
+        "first_digit bigint, n_orders bigint",
+    )
     tot = counts.agg(F.sum("n_orders").alias("total"))
     expected = F.create_map(
         *[F.lit(x) for kv in _BENFORD.items() for x in kv]
@@ -13235,37 +13243,46 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer marginals.
 
     100 TB plan: the fact join collapses to a segment x priority
-    contingency (25 cells) via partial agg; marginals and the total
-    are tiny re-aggregations of those 25 rows, broadcast back.  Only
-    cell counts shuffle."""
+    contingency (25 cells) via partial agg; only cell counts shuffle,
+    and the marginal algebra runs driver-side on the 25 collected
+    cells (see the inline rationale)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    joint = (
-        o.join(c, o.o_custkey == c.c_custkey)
+    # The contingency table is attribute-domain bounded (|segments| x
+    # |priorities| = 25 cells), so the ONLY corpus-scale work is one
+    # broadcast join + partial agg; the 25 cells come to the driver
+    # (bounded traffic) and the marginal/chi2 algebra — a dozen exact
+    # integer sums and one fixed IEEE expression per cell — runs in
+    # plain Python, then returns as a literal relation.  Re-running
+    # that algebra as distributed mini-jobs would cost more in stage
+    # scheduling than the entire corpus scan.
+    joint_rows = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(F.count(F.lit(1)).alias("observed"))
+        .collect()
     )
-    rt = joint.groupBy("segment").agg(F.sum("observed").alias("row_tot"))
-    ct = joint.groupBy("priority").agg(F.sum("observed").alias("col_tot"))
-    n = joint.agg(F.sum("observed").alias("total"))
-    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
-        "total"
-    ).cast("double")
-    diff = F.col("observed").cast("double") - expected
-    return (
-        joint.join(F.broadcast(rt), "segment")
-        .join(F.broadcast(ct), "priority")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "segment",
-            "priority",
-            "observed",
-            expected.alias("expected"),
-            (diff * diff / expected).alias("chi2_term"),
+    row_tot: dict[str, int] = {}
+    col_tot: dict[str, int] = {}
+    total = 0
+    for r in joint_rows:
+        row_tot[r.segment] = row_tot.get(r.segment, 0) + r.observed
+        col_tot[r.priority] = col_tot.get(r.priority, 0) + r.observed
+        total += r.observed
+    out = []
+    for r in joint_rows:
+        expected = float(row_tot[r.segment] * col_tot[r.priority]) / float(total)
+        diff = float(r.observed) - expected
+        out.append(
+            (r.segment, r.priority, r.observed, expected, diff * diff / expected)
         )
+    return spark.createDataFrame(
+        out,
+        "segment string, priority string, observed bigint,"
+        " expected double, chi2_term double",
     )
 
 
@@ -13427,8 +13444,13 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus is scanned once, projected to (source, 1, n_tokens)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.col("text"), " ")).cast("long")
-    per_source = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum(toks).alias("total_tokens")
+    # source grain (metadata-sized): one corpus agg, localized so the
+    # totals reference below does not re-plan the corpus scan
+    per_source = spark.createDataFrame(
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(toks).alias("total_tokens"))
+        .collect(),
+        "source string, n_docs bigint, total_tokens bigint",
     )
     w_int = F.floor(
         F.sqrt(F.col("total_tokens").cast("double")) * 1000000
@@ -15686,18 +15708,23 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("cb"),
         )
     )
-    totals = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    # value-grain cumulative ECDFs (bounded by the length domain)
+    # value-grain cumulative ECDFs (bounded by the length domain); the
+    # totals ride the SAME window pass as unordered frame sums, so the
+    # corpus is scanned exactly once
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cums = counts.select(
         "v",
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
     )
     gap = F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
     return (
-        cums.crossJoin(F.broadcast(totals))
-        .groupBy("na", "nb")
+        cums.groupBy("na", "nb")
         .agg(F.max(gap).alias("d_num"))
         .select(
             "na",
