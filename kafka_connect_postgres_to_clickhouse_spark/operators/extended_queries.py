@@ -15882,3 +15882,222 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("support"),
         )
     )
+
+
+@register(
+    "q_txn_boundaries",
+    oracle=CHANGELOG_CTE
+    + """
+    , txns AS (
+      SELECT updated_at AS txn_ts,
+             COUNT(*) AS n_ops,
+             COUNT(DISTINCT user_id) AS n_keys,
+             MIN(_seq) AS first_seq, MAX(_seq) AS last_seq,
+             MAX(_seq) - MIN(_seq) AS seq_span
+      FROM changelog GROUP BY updated_at
+    )
+    SELECT COUNT(*) AS n_txns,
+           SUM(n_ops) AS total_ops,
+           MAX(n_ops) AS max_txn_ops,
+           COUNT(*) FILTER (WHERE n_keys > 1) AS n_multikey_txns,
+           MAX(seq_span) AS max_seq_span,
+           CAST(SUM(n_ops) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_txn_ops
+    FROM txns
+    """,
+)
+def q_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-boundary reconstruction (the Debezium transaction-
+    metadata-topic semantic): changelog rows sharing a commit
+    timestamp form one source transaction; report transaction count,
+    size distribution bounds, multi-key transactions (the ones whose
+    sink apply must be atomic to avoid torn reads), and the max
+    seq-span a transaction covers — the input for sizing transactional
+    batch apply in the sink.
+
+    100 TB plan: one txn-grain partial agg (count + distinct + min/
+    max fuse), then a 1-row rollup.  Only (txn_ts, counters)
+    shuffle."""
+    log = _changelog(spark, sf_dir)
+    txns = log.groupBy(F.col("updated_at").alias("txn_ts")).agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.min("_seq").alias("first_seq"),
+        F.max("_seq").alias("last_seq"),
+        (F.max("_seq") - F.min("_seq")).alias("seq_span"),
+    )
+    return txns.agg(
+        F.count(F.lit(1)).alias("n_txns"),
+        F.sum("n_ops").alias("total_ops"),
+        F.max("n_ops").alias("max_txn_ops"),
+        F.sum(F.when(F.col("n_keys") > 1, 1).otherwise(0)).alias(
+            "n_multikey_txns"
+        ),
+        F.max("seq_span").alias("max_seq_span"),
+        (
+            F.sum("n_ops").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_txn_ops"),
+    )
+
+
+@register(
+    "q_partial_state_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(floor(value * 100) AS BIGINT)) AS cents,
+           MIN(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_partial_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree semantics (the sink family's partial-state
+    member, next to the Replacing/Collapsing twins): the corpus is
+    split into two arbitrary shards, each shard reduces to PARTIAL
+    aggregate states (count/sum/min/max per key), and the states then
+    MERGE — count+count, sum+sum, min(min), max(max) — to exactly the
+    direct single-pass answer (the oracle).  This is the mergeability
+    contract that makes incremental sink maintenance correct, proven
+    by hash equality rather than asserted.
+
+    100 TB plan: this IS how partial aggregation already executes
+    distributed; expressing the merge explicitly documents the state
+    algebra an incremental sink must implement.  Both shard aggs and
+    the merge are key-grain partial aggs."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = e.select("event_type", "event_id", cents.alias("c"))
+
+    def shard_state(pred) -> DataFrame:
+        return base.where(pred).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("cents"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+
+    s0 = shard_state(F.col("event_id") % 2 == 0)
+    s1 = shard_state(F.col("event_id") % 2 == 1)
+    return (
+        s0.unionByName(s1)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents").alias("cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+
+
+@register(
+    "q_consistent_hash_moves",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey AS k,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS kh
+      FROM customer
+    ),
+    nodes AS (
+      SELECT n, CAST(('0x' || substr(md5('node:' || CAST(n AS VARCHAR)), 1, 8))
+                     AS BIGINT) AS nh
+      FROM (SELECT unnest(range(0, 10)) AS n)
+    ),
+    ring_before AS (
+      SELECT k.k,
+             COALESCE(MIN(n.nh) FILTER (WHERE n.nh >= k.kh AND n.n < 8),
+                      (SELECT MIN(nh) FROM nodes WHERE n < 8)) AS owner_h
+      FROM keys k CROSS JOIN nodes n
+      WHERE n.n < 8
+      GROUP BY k.k, k.kh
+    ),
+    ring_after AS (
+      SELECT k.k,
+             COALESCE(MIN(n.nh) FILTER (WHERE n.nh >= k.kh),
+                      (SELECT MIN(nh) FROM nodes)) AS owner_h
+      FROM keys k CROSS JOIN nodes n
+      GROUP BY k.k, k.kh
+    )
+    SELECT
+      (SELECT COUNT(*) FROM keys) AS n_keys,
+      (SELECT COUNT(*) FROM keys WHERE k % 8 <> k % 10) AS modulo_moved,
+      (SELECT COUNT(*) FROM ring_before b JOIN ring_after a ON a.k = b.k
+        WHERE a.owner_h <> b.owner_h) AS ring_moved,
+      CAST((SELECT COUNT(*) FROM keys WHERE k % 8 <> k % 10) AS DOUBLE)
+        / CAST((SELECT COUNT(*) FROM keys) AS DOUBLE) AS modulo_moved_frac,
+      CAST((SELECT COUNT(*) FROM ring_before b JOIN ring_after a ON a.k = b.k
+             WHERE a.owner_h <> b.owner_h) AS DOUBLE)
+        / CAST((SELECT COUNT(*) FROM keys) AS DOUBLE) AS ring_moved_frac
+    """,
+)
+def q_consistent_hash_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance-cost comparison, modulo vs consistent hashing, when a
+    sink scales 8 -> 10 nodes: modulo reassigns ~everything (every key
+    whose k%8 != k%10 moves); the hash ring moves only keys whose
+    clockwise successor changed — the quantified argument for ring
+    placement in any keyed sink/topic scale-out.  Ring ownership is
+    the min node-hash >= key-hash with wraparound (COALESCE to the
+    ring minimum), all exact integer md5 arithmetic.
+
+    100 TB plan: ownership is a broadcast 10-row node-table join
+    folded map-side (min-filter partial agg per key); both counters
+    are 1-row rollups.  Nothing but per-key owners shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    keys = c.select(
+        F.col("c_custkey").alias("k"),
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("kh"),
+    )
+    nodes = spark.range(0, 10).select(
+        F.col("id").alias("n"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("node:"), F.col("id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long").alias("nh"),
+    )
+
+    def ring(node_filter) -> DataFrame:
+        ns = nodes.where(node_filter)
+        ring_min = ns.agg(F.min("nh").alias("ring_min"))
+        return (
+            keys.crossJoin(F.broadcast(ns))
+            .groupBy("k", "kh")
+            .agg(
+                F.min(F.when(F.col("nh") >= F.col("kh"), F.col("nh"))).alias(
+                    "succ"
+                )
+            )
+            .crossJoin(F.broadcast(ring_min))
+            .select("k", F.coalesce("succ", "ring_min").alias("owner_h"))
+        )
+
+    before = ring(F.col("n") < 8).withColumnRenamed("owner_h", "owner_before")
+    after = ring(F.lit(True)).withColumnRenamed("owner_h", "owner_after")
+    joined = before.join(after, "k")
+    return (
+        joined.join(keys, "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.pmod(F.col("k"), F.lit(8)) != F.pmod(F.col("k"), F.lit(10)), 1).otherwise(0)
+            ).alias("modulo_moved"),
+            F.sum(
+                F.when(F.col("owner_before") != F.col("owner_after"), 1).otherwise(0)
+            ).alias("ring_moved"),
+        )
+        .select(
+            "n_keys",
+            "modulo_moved",
+            "ring_moved",
+            (F.col("modulo_moved").cast("double") / F.col("n_keys").cast("double")).alias(
+                "modulo_moved_frac"
+            ),
+            (F.col("ring_moved").cast("double") / F.col("n_keys").cast("double")).alias(
+                "ring_moved_frac"
+            ),
+        )
+    )

@@ -192,6 +192,9 @@ HEADLINE = [
     "q_ks_two_sample",
     "q_self_similarity",
     "q_seq_patterns",
+    "q_txn_boundaries",
+    "q_partial_state_merge",
+    "q_consistent_hash_moves",
 ]
 
 
