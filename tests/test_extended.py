@@ -619,3 +619,43 @@ def test_recursive_bfs_agrees_with_dataframe_bfs(spark, queries):
         frontier = nxt
     got = {r.nation: r.min_hops for r in queries["q_recursive_bfs"](spark, SF).collect()}
     assert got == dist
+
+
+def test_partial_state_merge_equals_direct(spark, queries):
+    """Shard-merge result equals the direct single-pass aggregation
+    row for row (the mergeability contract)."""
+    e = load_table(spark, SF, "events")
+    direct = {
+        r.event_type: (r.n, r.c, r.lo, r.hi)
+        for r in e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("c"),
+            F.min(F.floor(F.col("value") * 100).cast("long")).alias("lo"),
+            F.max(F.floor(F.col("value") * 100).cast("long")).alias("hi"),
+        ).collect()
+    }
+    merged = {
+        r.event_type: (r.n_events, r.cents, r.min_cents, r.max_cents)
+        for r in queries["q_partial_state_merge"](spark, SF).collect()
+    }
+    assert merged == direct
+
+
+def test_consistent_hash_beats_modulo(spark, queries):
+    """The ring moves strictly fewer keys than modulo at 8->10 (the
+    whole point), and both fractions are valid probabilities."""
+    r = queries["q_consistent_hash_moves"](spark, SF).collect()[0]
+    assert r.ring_moved < r.modulo_moved
+    assert 0.0 <= r.ring_moved_frac <= r.modulo_moved_frac <= 1.0
+
+
+def test_txn_boundaries_conservation(spark, queries):
+    """Transaction op totals conserve the changelog row count."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.pipeline_queries import (
+        _changelog,
+    )
+
+    r = queries["q_txn_boundaries"](spark, SF).collect()[0]
+    assert r.total_ops == _changelog(spark, SF).count()
+    assert r.max_txn_ops >= 1
+    assert r.n_txns <= r.total_ops
