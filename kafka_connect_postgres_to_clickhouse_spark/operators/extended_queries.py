@@ -16101,3 +16101,94 @@ def q_consistent_hash_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(floor(o_totalprice) AS BIGINT)) AS spend,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT p.custkey, p.spend, p.n_orders
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+        AND (q.spend > p.spend OR q.n_orders > p.n_orders)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over customer (spend, order
+    count) — the dominance query behind "best tradeoff" reports —
+    WITHOUT the oracle's quadratic NOT EXISTS: the y-dimension is
+    collapsed to per-x-grain maxima (a point can only be on the
+    frontier if it holds its spend level's max order count), the
+    strictly-above running max is a TWO-PHASE prefix (per-range-
+    partition windows + driver prefix-max of 32 partition maxima —
+    the q_pack_sequences pattern), and survivors re-join via a
+    broadcast of the frontier levels.  Strict-dominance ties (equal
+    spend, equal count) are both kept, matching NOT EXISTS.
+
+    100 TB plan: corpus -> customer grain -> spend-level grain; no
+    window ever spans more than one range partition (distinct spend
+    levels are NOT provably bounded, so a global ordered window here
+    would repeat the q_lorenz_gini mistake).  The quadratic
+    formulation never executes — it exists only as the oracle's
+    specification."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice")).cast("long")).alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # spend-level grain: max order count per spend level.  The running
+    # max from the high-spend side is computed the q_pack_sequences way
+    # (two-phase prefix): range-partition levels by spend DESC, per-
+    # partition windows only, collect the 32 partition maxima (metadata,
+    # not data), prefix-max them on the driver, broadcast the bases
+    # back.  No window ever sees more than one partition's levels — the
+    # distinct-spend grain is NOT provably bounded, so a global ordered
+    # window here would be the q_lorenz_gini mistake again.
+    levels = (
+        pts.groupBy("spend")
+        .agg(F.max("n_orders").alias("lvl_max"))
+        .repartitionByRange(32, F.desc("spend"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_loc_prev = Window.partitionBy("pid").orderBy(F.desc("spend")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = levels.withColumn(
+        "local_best_above", F.coalesce(F.max("lvl_max").over(w_loc_prev), F.lit(-1))
+    ).localCheckpoint(eager=True)
+    subtot = sorted(
+        local.groupBy("pid").agg(F.max("lvl_max").alias("pmax")).collect(),
+        key=lambda r: r["pid"],
+    )
+    bases: dict[int, int] = {}
+    acc = -1
+    for r in subtot:
+        bases[r["pid"]] = acc
+        acc = max(acc, r["pmax"] if r["pmax"] is not None else -1)
+    base_map = (
+        F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
+        if bases
+        else F.create_map()
+    )
+    best_above = F.greatest(
+        F.col("local_best_above"),
+        F.coalesce(F.element_at(base_map, F.col("pid")), F.lit(-1)).cast("long"),
+    )
+    frontier_levels = local.withColumn("best_above", best_above).where(
+        F.col("lvl_max") > F.col("best_above")
+    )
+    return (
+        pts.join(
+            F.broadcast(frontier_levels.select("spend", "lvl_max")), "spend"
+        )
+        .where(F.col("n_orders") == F.col("lvl_max"))
+        .select("custkey", "spend", "n_orders")
+    )

@@ -195,6 +195,7 @@ HEADLINE = [
     "q_txn_boundaries",
     "q_partial_state_merge",
     "q_consistent_hash_moves",
+    "q_skyline",
 ]
 
 
