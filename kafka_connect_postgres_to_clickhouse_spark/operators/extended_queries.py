@@ -16192,3 +16192,135 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") == F.col("lvl_max"))
         .select("custkey", "spend", "n_orders")
     )
+
+
+@register(
+    "q_supply_allocation",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS cum_qty
+      FROM lineitem
+    )
+    SELECT l_partkey AS partkey,
+           COUNT(*) AS n_lines,
+           SUM(qty) AS demand,
+           COUNT(*) FILTER (WHERE cum_qty <= 100) AS filled_lines,
+           SUM(qty) FILTER (WHERE cum_qty <= 100) AS filled_qty,
+           SUM(qty) - COALESCE(SUM(qty) FILTER (WHERE cum_qty <= 100), 0)
+             AS unfilled_qty
+    FROM ranked GROUP BY l_partkey
+    HAVING SUM(qty) > 100
+    """,
+)
+def q_supply_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy supply allocation (inventory fill): each part has a
+    100-unit supply cap; demand lines fill in (shipdate, orderkey,
+    linenumber) order until the running quantity exceeds the cap —
+    the prefix-sum-cut formulation of first-come-first-served
+    allocation, reporting fill/spill per oversubscribed part.  A
+    line fills only if it fits ENTIRELY (cum <= cap): stated, and
+    identical in both engines.
+
+    100 TB plan: the only window partitions by partkey over that
+    part's order lines (catalog-bounded fan-in per part); the rollup
+    reuses the same partitioning.  One shuffle total."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    qty = F.col("l_quantity").cast("long")
+    ranked = li.select(
+        F.col("l_partkey").alias("partkey"),
+        qty.alias("qty"),
+        F.sum(qty).over(w).alias("cum_qty"),
+    )
+    fits = F.col("cum_qty") <= 100
+    return (
+        ranked.groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("demand"),
+            F.sum(fits.cast("long")).alias("filled_lines"),
+            F.sum(F.when(fits, F.col("qty")).otherwise(0)).alias("filled_qty"),
+            (
+                F.sum("qty") - F.sum(F.when(fits, F.col("qty")).otherwise(0))
+            ).alias("unfilled_qty"),
+        )
+        .where(F.col("demand") > 100)
+    )
+
+
+@register(
+    "q_named_window",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(floor(o_totalprice * 100) AS BIGINT)
+             - LAG(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w
+             AS delta_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    QUALIFY rn <= 3
+    """,
+)
+def q_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause reuse (one spec, two functions over it) for
+    each customer's first three orders and their price deltas — the
+    SQL-surface arm that keeps multi-function window queries DRY;
+    Spark plans both functions into ONE WindowExec because the spec
+    is shared.  The DuckDB oracle additionally uses QUALIFY; Spark's
+    equivalent filter is a post-window where().
+
+    100 TB plan: one customer-partitioned window (per-key order
+    counts are catalog-bounded), filter pushed after it, nothing
+    else."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_nw_orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_custkey AS custkey, o_orderkey,
+                 ROW_NUMBER() OVER w AS rn,
+                 CAST(floor(o_totalprice * 100) AS BIGINT)
+                   - LAG(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w
+                   AS delta_cents
+          FROM v_nw_orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ) WHERE rn <= 3
+        """
+    )
+
+
+@register(
+    "q_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n_orders,
+           SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (the infer-the-keys grouping shorthand both
+    engines now share): every non-aggregate select item becomes a
+    grouping key — proven here with a mixed expression key
+    (date_trunc) where manual GROUP BY lists famously drift out of
+    sync with the SELECT list.
+
+    100 TB plan: identical to the explicit grouping — one partial-agg
+    shuffle on the inferred keys."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               date_trunc('month', o_orderdate) AS month,
+               COUNT(*) AS n_orders,
+               SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM v_gba_orders
+        GROUP BY ALL
+        """
+    )

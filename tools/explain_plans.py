@@ -196,6 +196,9 @@ HEADLINE = [
     "q_partial_state_merge",
     "q_consistent_hash_moves",
     "q_skyline",
+    "q_supply_allocation",
+    "q_named_window",
+    "q_group_by_all",
 ]
 
 
