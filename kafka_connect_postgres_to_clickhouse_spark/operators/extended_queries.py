@@ -16324,3 +16324,54 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "q_threshold_curve",
+    oracle=f"""
+    {_SURV_PAIRS_SQL}
+    , scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) AS j
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.5
+    ),
+    thresholds AS (
+      SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+    )
+    SELECT t.t AS threshold,
+           COUNT(s.doc_a) AS n_pairs,
+           COUNT(DISTINCT s.doc_b) AS n_docs_collapsible
+    FROM thresholds t
+    LEFT JOIN scored s ON s.j >= t.t
+    GROUP BY t.t
+    """,
+)
+def q_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity curve: how many near-dup pairs —
+    and how many docs would collapse (distinct higher-id members) —
+    survive at each Jaccard threshold from 0.5 to 0.9.  The tuning
+    report every dedup rollout runs before picking its cut, priced at
+    ONE reuse of the materialized >= 0.5 pair table (monotonicity:
+    every pair at a higher threshold is already in the 0.5 set, so
+    no recompute is ever needed for the sweep).
+
+    100 TB plan: 5-row broadcast threshold table against the
+    already-banded pair set; counts are threshold-grain.  The
+    expensive similarity join amortizes across this and the whole
+    dedup family."""
+    pairs = q_neardup_jaccard(spark, sf_dir)
+    thresholds = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "t double"
+    )
+    return (
+        F.broadcast(thresholds)
+        .join(pairs, pairs.jaccard >= F.col("t"), "left")
+        .groupBy(F.col("t").alias("threshold"))
+        .agg(
+            F.count("doc_a").alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_collapsible"),
+        )
+    )

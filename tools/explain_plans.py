@@ -199,6 +199,7 @@ HEADLINE = [
     "q_supply_allocation",
     "q_named_window",
     "q_group_by_all",
+    "q_threshold_curve",
 ]
 
 
