@@ -13023,12 +13023,12 @@ def q_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n_orders) AS total FROM counts)
     SELECT c.first_digit, c.n_orders,
            CAST(c.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE) AS observed_share,
-           CASE c.first_digit
+           CAST(CASE c.first_digit
              WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
              WHEN 3 THEN 0.12493873660829993 WHEN 4 THEN 0.09691001300805642
              WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
              WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
-             WHEN 9 THEN 0.04575749056067514 END AS benford_share,
+             WHEN 9 THEN 0.04575749056067514 END AS DOUBLE) AS benford_share,
            CAST(c.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE)
              - CASE c.first_digit
                  WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
@@ -13103,8 +13103,8 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           n * suv - su * sv AS cov_num,
-           n * suu - su * su AS var_num,
+           CAST(n * suv - su * sv AS BIGINT) AS cov_num,
+           CAST(n * suu - su * su AS BIGINT) AS var_num,
            CAST(n * suv - su * sv AS DOUBLE) / CAST(n * suu - su * su AS DOUBLE)
              AS slope,
            (CAST(sv AS DOUBLE) - CAST(n * suv - su * sv AS DOUBLE)
@@ -13343,9 +13343,9 @@ def q_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM users GROUP BY lifetime_days
     )
     SELECT day_idx, d_churn,
-           SUM(n_ending) OVER (ORDER BY day_idx DESC
+           CAST(SUM(n_ending) OVER (ORDER BY day_idx DESC
                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND CURRENT ROW) AS n_at_risk,
+                                        AND CURRENT ROW) AS BIGINT) AS n_at_risk,
            CAST(d_churn AS DOUBLE)
              / CAST(SUM(n_ending) OVER (ORDER BY day_idx DESC
                                         ROWS BETWEEN UNBOUNDED PRECEDING
@@ -13407,8 +13407,8 @@ def q_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_source AS (
       SELECT source, COUNT(*) AS n_docs,
-             SUM(length(text) - length(replace(text, ' ', '')) + 1)
-               AS total_tokens
+             CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                  AS BIGINT) AS total_tokens
       FROM documents GROUP BY source
     ),
     weighted AS (
@@ -13483,7 +13483,8 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, COUNT(gap_us) AS n_gaps,
-           SUM(gap_us) AS total_gap_us, MAX(gap_us) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           MAX(gap_us) AS max_gap_us,
            CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
              AS mean_gap_us
     FROM gaps WHERE gap_us IS NOT NULL
@@ -13600,7 +13601,7 @@ def q_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT o_custkey AS custkey,
-             SUM(CAST(floor(o_totalprice) AS BIGINT)) AS dollars
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars
       FROM orders GROUP BY o_custkey
     ),
     moms AS (
@@ -13725,8 +13726,8 @@ def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT priority, CAST(MAX(n) AS BIGINT) AS n_orders,
            CAST(MAX(n) // 10 AS BIGINT) AS n_trimmed_each_side,
-           SUM(c) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
-             AS kept_cents,
+           CAST(SUM(c) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
+                AS BIGINT) AS kept_cents,
            CAST(SUM(c) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
                 AS DOUBLE)
              / CAST(COUNT(*) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
@@ -13809,7 +13810,7 @@ def q_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
     SELECT priority, COUNT(*) AS n_lines,
-           SUM(lag_days) AS total_lag_days,
+           CAST(SUM(lag_days) AS BIGINT) AS total_lag_days,
            MIN(lag_days) AS min_lag, MAX(lag_days) AS max_lag,
            CAST(SUM(lag_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
              AS mean_lag_days,
@@ -14107,7 +14108,8 @@ def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
-             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+             CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY segment, custkey
     ),
@@ -14181,7 +14183,7 @@ def q_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(n_bucket) OVER (PARTITION BY segment) AS n_total
       FROM hist
     )
-    SELECT segment, MIN(n_total) AS n_orders,
+    SELECT segment, CAST(MIN(n_total) AS BIGINT) AS n_orders,
            MIN(bucket) FILTER (
              WHERE cum_n * 100 >= n_total * 95) AS p95_bucket,
            MIN(bucket) FILTER (
@@ -14245,7 +14247,7 @@ def q_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       SELECT col_name, COUNT(*) AS n_rows, COUNT(DISTINCT val) AS n_distinct,
-             SUM(length(val)) AS raw_bytes
+             CAST(SUM(length(val)) AS BIGINT) AS raw_bytes
       FROM cols GROUP BY col_name
     ),
     bits AS (SELECT UNNEST(range(0, 41)) AS b)
@@ -14685,8 +14687,8 @@ def q_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment AS segment,
            bit_or(CAST(1 AS BIGINT) << c_nationkey) AS nation_bitmap,
-           bit_count(bit_or(CAST(1 AS BIGINT) << c_nationkey))
-             AS n_nations,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << c_nationkey))
+                AS BIGINT) AS n_nations,
            COUNT(*) AS n_customers
     FROM customer GROUP BY segment
     """,
@@ -14705,7 +14707,7 @@ def q_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = F.expr("bit_or(shiftleft(cast(1 as bigint), c_nationkey))")
     return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         bm.alias("nation_bitmap"),
-        F.bit_count(bm).alias("n_nations"),
+        F.bit_count(bm).cast("long").alias("n_nations"),
         F.count(F.lit(1)).alias("n_customers"),
     )
 
@@ -14844,7 +14846,7 @@ def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM comps c JOIN dims d ON c.dim = d.dim
     ),
     scores AS (
-      SELECT vec_id, SUM(term_q) AS score_q FROM terms GROUP BY vec_id
+      SELECT vec_id, CAST(SUM(term_q) AS BIGINT) AS score_q FROM terms GROUP BY vec_id
     )
     SELECT vec_id, score_q FROM scores
     ORDER BY score_q DESC, vec_id LIMIT 20
@@ -14986,7 +14988,8 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
            COUNT(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS BIGINT)
@@ -15028,7 +15031,8 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            COUNT(*) AS n_orders,
-           SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1995-01-01'
       AND o_orderdate < TIMESTAMP '1996-01-01'
@@ -15152,7 +15156,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily AS (
       SELECT CAST(ts AS DATE) AS day,
              COUNT(*) AS n_events,
-             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY day
     )
     SELECT c.day, c.iso_dow, c.is_weekend, c.week_index,
@@ -15207,9 +15211,11 @@ def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(length(base64(CAST(text AS BLOB)))) AS b64_bytes,
-           SUM(length(text)) AS raw_bytes,
-           SUM(CAST(base64(CAST(text AS BLOB)) LIKE '%=' AS INT)) AS n_padded,
+           CAST(SUM(length(base64(CAST(text AS BLOB)))) AS BIGINT)
+             AS b64_bytes,
+           CAST(SUM(length(text)) AS BIGINT) AS raw_bytes,
+           CAST(SUM(CAST(base64(CAST(text AS BLOB)) LIKE '%=' AS INT))
+                AS BIGINT) AS n_padded,
            CAST(SUM(length(base64(CAST(text AS BLOB)))) AS DOUBLE)
              / CAST(SUM(length(text)) AS DOUBLE) AS expansion
     FROM documents GROUP BY source
@@ -15322,11 +15328,11 @@ from .analytics_queries import _PAIRS_SQL as _SURV_PAIRS_SQL  # noqa: E402
     SELECT m.cluster_id,
            COUNT(*) AS n_members,
            MAX(d.n_chars) AS survivor_chars,
-           max_by(d.source, d.n_chars * 1000000 - d.doc_id) AS survivor_source,
-           max_by(d.doc_id, d.n_chars * 1000000 - d.doc_id) AS survivor_doc_id,
-           SUM(d.n_chars) AS total_chars,
-           SUM(d.n_chars) - MAX(d.n_chars) AS chars_reclaimed
-    FROM members m JOIN documents d ON d.doc_id = m.doc_id
+           max_by(d.source, d.n_chars * 10000000 - d.doc_id) AS survivor_source,
+           max_by(d.doc_id, d.n_chars * 10000000 - d.doc_id) AS survivor_doc_id,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(d.n_chars) - MAX(d.n_chars) AS BIGINT) AS chars_reclaimed
+    FROM members m JOIN corpus d ON d.doc_id = m.doc_id
     GROUP BY m.cluster_id
     """,
 )
@@ -15342,11 +15348,14 @@ def q_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan: rides the session-materialized PPJoin pair graph and
     its label propagation (q_dedup_clusters); the merge itself is one
     cluster-grain partial agg over a doc-grain join."""
-    from .analytics_queries import q_dedup_clusters  # noqa: PLC0415
+    from .analytics_queries import _corpus, q_dedup_clusters  # noqa: PLC0415
 
     labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    d = _t(spark, sf_dir, "documents")
-    key = F.col("n_chars") * 1000000 - F.col("doc_id")
+    # the cluster labels live on the PLANTED corpus (raw docs + seeded
+    # duplicates at +1M/+2M ids) — survivorship must score the same
+    # relation or planted members silently drop out of their clusters
+    d = _corpus(spark, sf_dir).select("doc_id", "source", "n_chars")
+    key = F.col("n_chars") * 10000000 - F.col("doc_id")
     return (
         labels.join(d, "doc_id")
         .groupBy("cluster_id")
@@ -15373,7 +15382,7 @@ def q_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sign
       FROM toks
     )
-    SELECT dim, COUNT(*) AS n_tokens, SUM(sign) AS signed_sum
+    SELECT dim, COUNT(*) AS n_tokens, CAST(SUM(sign) AS BIGINT) AS signed_sum
     FROM hashed GROUP BY dim
     """,
 )
@@ -15600,7 +15609,8 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_cold_start_users,
            COUNT(*) FILTER (WHERE last_train_ts >= first_eval_ts)
              AS n_boundary_violations,
-           SUM(n_train) AS train_rows, SUM(n_eval) AS eval_rows
+           CAST(SUM(n_train) AS BIGINT) AS train_rows,
+           CAST(SUM(n_eval) AS BIGINT) AS eval_rows
     FROM user_spans
     """,
 )
@@ -15675,9 +15685,9 @@ def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(cb) OVER (ORDER BY v) AS cum_b
       FROM counts
     )
-    SELECT t.na, t.nb,
-           MAX(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS d_num,
-           t.na * t.nb AS d_den,
+    SELECT CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb,
+           CAST(MAX(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT) AS d_num,
+           CAST(t.na * t.nb AS BIGINT) AS d_den,
            CAST(MAX(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS DOUBLE)
              / CAST(t.na * t.nb AS DOUBLE) AS ks_d
     FROM cums c CROSS JOIN totals t
@@ -15760,10 +15770,10 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT g, COUNT(*) AS d FROM grams GROUP BY g),
     nd AS (SELECT COUNT(*) AS n FROM documents)
     SELECT nd.n AS n_docs,
-           SUM(df.d * (df.d - 1) / 2) AS shared_gram_pairs,
-           nd.n * (nd.n - 1) / 2 AS doc_pairs,
-           CAST(SUM(df.d * (df.d - 1) / 2) AS DOUBLE)
-             / CAST(nd.n * (nd.n - 1) / 2 AS DOUBLE)
+           CAST(SUM(df.d * (df.d - 1) // 2) AS BIGINT) AS shared_gram_pairs,
+           nd.n * (nd.n - 1) // 2 AS doc_pairs,
+           CAST(SUM(df.d * (df.d - 1) // 2) AS DOUBLE)
+             / CAST(nd.n * (nd.n - 1) // 2 AS DOUBLE)
              AS mean_shared_grams_per_pair
     FROM df CROSS JOIN nd
     GROUP BY nd.n
@@ -15897,7 +15907,7 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM changelog GROUP BY updated_at
     )
     SELECT COUNT(*) AS n_txns,
-           SUM(n_ops) AS total_ops,
+           CAST(SUM(n_ops) AS BIGINT) AS total_ops,
            MAX(n_ops) AS max_txn_ops,
            COUNT(*) FILTER (WHERE n_keys > 1) AS n_multikey_txns,
            MAX(seq_span) AS max_seq_span,
@@ -15945,7 +15955,7 @@ def q_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(floor(value * 100) AS BIGINT)) AS cents,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
            MIN(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
            MAX(CAST(floor(value * 100) AS BIGINT)) AS max_cents
     FROM events GROUP BY event_type
@@ -16108,7 +16118,7 @@ def q_consistent_hash_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pts AS (
       SELECT o_custkey AS custkey,
-             SUM(CAST(floor(o_totalprice) AS BIGINT)) AS spend,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS spend,
              COUNT(*) AS n_orders
       FROM orders GROUP BY o_custkey
     )
@@ -16206,11 +16216,12 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS partkey,
            COUNT(*) AS n_lines,
-           SUM(qty) AS demand,
+           CAST(SUM(qty) AS BIGINT) AS demand,
            COUNT(*) FILTER (WHERE cum_qty <= 100) AS filled_lines,
-           SUM(qty) FILTER (WHERE cum_qty <= 100) AS filled_qty,
-           SUM(qty) - COALESCE(SUM(qty) FILTER (WHERE cum_qty <= 100), 0)
-             AS unfilled_qty
+           CAST(SUM(qty) FILTER (WHERE cum_qty <= 100) AS BIGINT)
+             AS filled_qty,
+           CAST(SUM(qty) - COALESCE(SUM(qty) FILTER (WHERE cum_qty <= 100), 0)
+                AS BIGINT) AS unfilled_qty
     FROM ranked GROUP BY l_partkey
     HAVING SUM(qty) > 100
     """,
@@ -16282,7 +16293,7 @@ def q_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT * FROM (
           SELECT o_custkey AS custkey, o_orderkey,
-                 ROW_NUMBER() OVER w AS rn,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
                  CAST(floor(o_totalprice * 100) AS BIGINT)
                    - LAG(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w
                    AS delta_cents
@@ -16299,7 +16310,8 @@ def q_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            date_trunc('month', o_orderdate) AS month,
            COUNT(*) AS n_orders,
-           SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
     FROM orders
     GROUP BY ALL
     """,
@@ -16339,7 +16351,7 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.5
     ),
     thresholds AS (
-      SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+      SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS t
     )
     SELECT t.t AS threshold,
            COUNT(s.doc_a) AS n_pairs,

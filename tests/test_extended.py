@@ -659,3 +659,69 @@ def test_txn_boundaries_conservation(spark, queries):
     assert r.total_ops == _changelog(spark, SF).count()
     assert r.max_txn_ops >= 1
     assert r.n_txns <= r.total_ops
+
+
+def test_table_checksum_partition_invariant(spark, queries):
+    """The XOR checksum is invariant under arbitrary repartitioning
+    (the property that makes it a valid cross-engine reconciliation
+    primitive)."""
+    base = {r.tbl: (r.n_rows, r.checksum)
+            for r in queries["q_table_checksum"](spark, SF).collect()}
+    c = load_table(spark, SF, "customer").repartition(7, "c_nationkey")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("c_custkey").cast("string"),
+                    F.col("c_name"),
+                    F.col("c_mktsegment"),
+                    F.col("c_nationkey").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    re_ck = (
+        c.select(h.alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("ck"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    assert (re_ck.n, re_ck.ck) == base["customer"]
+
+
+def test_skyline_is_exact_frontier(spark, queries):
+    """Brute-force dominance check on the collected customer grain:
+    every skyline point is non-dominated; every non-skyline point is
+    dominated by someone."""
+    o = load_table(spark, SF, "orders")
+    pts = {
+        r.custkey: (r.spend, r.n)
+        for r in o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.sum(F.floor("o_totalprice").cast("long")).alias("spend"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    sky = {r.custkey for r in queries["q_skyline"](spark, SF).collect()}
+
+    def dominated(k):
+        s, n = pts[k]
+        return any(
+            (s2 >= s and n2 >= n and (s2 > s or n2 > n))
+            for k2, (s2, n2) in pts.items()
+            if k2 != k
+        )
+
+    for k in pts:
+        assert (k in sky) == (not dominated(k)), k
+
+
+def test_survivorship_elects_longest(spark, queries):
+    """Each cluster's survivor holds the cluster max length and the
+    reclaimed bytes are total minus survivor."""
+    for r in queries["q_survivorship_merge"](spark, SF).collect():
+        assert r.chars_reclaimed == r.total_chars - r.survivor_chars
+        assert r.n_members >= 2
