@@ -16387,3 +16387,177 @@ def q_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_b").alias("n_docs_collapsible"),
         )
     )
+
+
+@register(
+    "q_lexicon_spans",
+    oracle="""
+    WITH lex(term, label) AS (
+      VALUES ('merge', 'OP'), ('join', 'OP'), ('customer', 'ENTITY'),
+             ('spark', 'ENGINE')
+    ),
+    toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) t
+    )
+    SELECT t.doc_id, l.term, l.label,
+           COUNT(*) AS n_mentions,
+           MIN(t.pos) AS first_pos,
+           MAX(t.pos) AS last_pos
+    FROM toks t JOIN lex l ON t.tok = l.term
+    GROUP BY t.doc_id, l.term, l.label
+    """,
+)
+def q_lexicon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon span annotation (dictionary NER-lite): token positions
+    of a labeled gazetteer within every document — mention counts plus
+    first/last token offsets, the weak-supervision labeling pass that
+    seeds span taggers.  Token positions are 1-based in both engines
+    (posexplode+1 aligned with generate_subscripts).
+
+    100 TB plan: positional explode + broadcast lexicon equi-join +
+    (doc, term) partial agg; non-lexicon tokens die map-side in the
+    join, so only mention rows shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [("merge", "OP"), ("join", "OP"), ("customer", "ENTITY"),
+         ("spark", "ENGINE")],
+        "term string, label string",
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    return (
+        toks.join(F.broadcast(lex), toks.tok == lex.term)
+        .groupBy("doc_id", "term", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+        )
+    )
+
+
+@register(
+    "q_robust_scaler",
+    oracle="""
+    WITH comps AS (
+      SELECT t.i AS dim,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi
+      FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+    )
+    , qs AS (
+      SELECT dim,
+             quantile_cont(xi, 0.5) AS med,
+             quantile_cont(xi, 0.75) AS q3,
+             quantile_cont(xi, 0.25) AS q1
+      FROM comps GROUP BY dim
+    )
+    SELECT q.dim, q.med AS median_q, q.q3 - q.q1 AS iqr_q,
+           COUNT(*) FILTER (
+             WHERE c.xi > q.q3 + 1.5 * (q.q3 - q.q1)
+                OR c.xi < q.q1 - 1.5 * (q.q3 - q.q1)
+           ) AS n_outliers
+    FROM qs q JOIN comps c ON c.dim = q.dim
+    GROUP BY q.dim, q.med, q.q3, q.q1
+    """,
+)
+def q_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-scaler fit per embedding dimension: median, IQR and the
+    Tukey-fence outlier count on the 1e6-scaled integer grid — the
+    outlier-resistant normalization (and clipping bound) feature
+    pipelines prefer over mean/std when heavy tails are in play
+    (q_dim_stats supplies the moment twin).  Spark's percentile() and
+    DuckDB's quantile_cont share the lower+(upper-lower)*frac
+    definition, so the quantiles — and therefore the fences — match
+    bit-for-bit (the q_median/q_percentiles precedent).
+
+    100 TB plan: one posexplode pass, dim-grain exact percentiles (64
+    groups); at true scale swap percentile for percentile_approx with
+    pinned accuracy — stated, not silent."""
+    e = _t(spark, sf_dir, "embeddings")
+    comps = e.select(F.posexplode("embedding").alias("dim0", "x")).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xi"),
+    )
+    q = comps.groupBy("dim").agg(
+        F.expr("percentile(xi, 0.5)").alias("median_q"),
+        (F.expr("percentile(xi, 0.75)") - F.expr("percentile(xi, 0.25)")).alias(
+            "iqr_q"
+        ),
+        F.expr("percentile(xi, 0.75)").alias("q3"),
+        F.expr("percentile(xi, 0.25)").alias("q1"),
+    )
+    fenced = comps.join(F.broadcast(q), "dim").where(
+        (F.col("xi") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        | (F.col("xi") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+    ).groupBy("dim").agg(F.count(F.lit(1)).alias("n_outliers"))
+    return (
+        q.join(fenced, "dim", "left")
+        .select(
+            "dim",
+            "median_q",
+            "iqr_q",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q_learning_curve",
+    oracle="""
+    WITH fracs AS (
+      SELECT CAST(unnest([25, 50, 75, 100]) AS BIGINT) AS pct
+    ),
+    doc_toks AS (
+      SELECT d.doc_id,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS h,
+             unnest(string_split(d.text, ' ')) AS tok
+      FROM documents d
+    )
+    SELECT f.pct,
+           COUNT(DISTINCT t.doc_id) AS n_docs,
+           COUNT(t.tok) AS n_tokens,
+           COUNT(DISTINCT t.tok) AS vocab_size
+    FROM fracs f
+    JOIN doc_toks t ON t.h * 100 < f.pct * 65536
+    GROUP BY f.pct
+    """,
+)
+def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaling-law data audit: corpus size, token count and vocabulary
+    growth at NESTED deterministic fractions (25/50/75/100% via a
+    16-bit hash threshold — each subset contains the smaller ones, the
+    property scaling-law sweeps require so curves are comparable).
+    The threshold is the exact integer cross-multiplication
+    h*100 < pct*65536, never a float rate.
+
+    100 TB plan: one token explode against a broadcast 4-row fraction
+    table (x4 fan-out on the token stream); distinct-doc and
+    distinct-token counts collapse map-side per fraction.  The audit
+    that sizes tokenizer vocab and dataset mixes before training."""
+    d = _t(spark, sf_dir, "documents")
+    fracs = spark.createDataFrame([(25,), (50,), (75,), (100,)], "pct long")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    doc_toks = d.select(
+        "doc_id", h.alias("h"), F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        doc_toks.join(
+            F.broadcast(fracs), F.col("h") * 100 < F.col("pct") * 65536
+        )
+        .groupBy("pct")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("tok").alias("n_tokens"),
+            F.countDistinct("tok").alias("vocab_size"),
+        )
+    )

@@ -200,6 +200,9 @@ HEADLINE = [
     "q_named_window",
     "q_group_by_all",
     "q_threshold_curve",
+    "q_lexicon_spans",
+    "q_robust_scaler",
+    "q_learning_curve",
 ]
 
 
