@@ -16482,7 +16482,7 @@ def q_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned accuracy — stated, not silent."""
     e = _t(spark, sf_dir, "embeddings")
     comps = e.select(F.posexplode("embedding").alias("dim0", "x")).select(
-        (F.col("dim0") + 1).alias("dim"),
+        (F.col("dim0") + 1).cast("long").alias("dim"),
         F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xi"),
     )
     q = comps.groupBy("dim").agg(
