@@ -16561,3 +16561,85 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("tok").alias("vocab_size"),
         )
     )
+
+
+@register(
+    "q_xml_wire",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+           CAST(SUM(length('<ROW>' || chr(10)
+                 || '    <user_id>' || CAST(user_id AS VARCHAR) || '</user_id>'
+                 || chr(10)
+                 || '    <event_type>' || event_type || '</event_type>'
+                 || chr(10) || '</ROW>')) AS BIGINT) AS wire_bytes
+    FROM events GROUP BY event_type
+    """,
+)
+def q_xml_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML wire-format round trip (Spark 4's to_xml/from_xml — the
+    serde arm beside the JSON, CSV, key-envelope and base64 wires):
+    every event serializes to canonical XML, parses BACK through
+    from_xml, and the aggregation runs on the PARSED values — so a
+    hash match proves the round trip is lossless, while wire_bytes
+    prices the encoding from the actual serialized strings (the
+    oracle reconstructs Spark's documented ROW/indent layout
+    relationally).
+
+    100 TB plan: to_xml/from_xml are per-row JVM expressions in
+    whole-stage codegen; the rollup is type-grain.  Payload strings
+    never shuffle — only their lengths do."""
+    e = _t(spark, sf_dir, "events")
+    xml = e.select(
+        F.to_xml(F.struct("user_id", "event_type")).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "struct<user_id: bigint, event_type: string>").alias("s"),
+        F.length("x").alias("wire_len"),
+    )
+    return (
+        parsed.select("s.user_id", "s.event_type", "wire_len")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").alias("sum_user_id"),
+            F.sum("wire_len").alias("wire_bytes"),
+        )
+    )
+
+
+@register(
+    "q_join_hints",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: the SAME rollup executed with an
+    explicit BROADCAST hint on the dimension side — the escape hatch
+    for when statistics mislead the planner (the hint names Spark's
+    four strategies; BROADCAST is the right one for a 25-row nation
+    table and the plan is pinned by tests/test_scale's guards).
+    Hash-equality against the unhinted oracle proves hints change
+    the PHYSICAL plan only.
+
+    100 TB plan: broadcast dim join + nation-grain partial agg —
+    what the optimizer should (and, hinted, must) pick."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_jh_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_jh_nation")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n.n_name AS nation,
+               COUNT(*) AS n_customers,
+               SUM(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS balance_cents
+        FROM v_jh_customer c JOIN v_jh_nation n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

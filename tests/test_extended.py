@@ -725,3 +725,23 @@ def test_survivorship_elects_longest(spark, queries):
     for r in queries["q_survivorship_merge"](spark, SF).collect():
         assert r.chars_reclaimed == r.total_chars - r.survivor_chars
         assert r.n_members >= 2
+
+
+def test_observe_metrics_on_replay(spark, queries):
+    """df.observe() (CollectMetrics) rides the flagship replay for
+    free telemetry: the observed row count equals the result count —
+    the monitoring hook a production pipeline attaches to every
+    stage without a second pass."""
+    from pyspark.sql import Observation
+
+    obs = Observation("replay_metrics")
+    # DISTINCT aggregates are not allowed in observed metrics
+    df = queries["q_changelog_replay"](spark, SF).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.max("user_id").alias("max_key"),
+    )
+    n = df.count()
+    got = obs.get
+    assert got["rows"] == n
+    assert got["max_key"] >= 0
