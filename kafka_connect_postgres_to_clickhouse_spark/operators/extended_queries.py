@@ -16643,3 +16643,130 @@ def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@register(
+    "q_range_interval_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, day, cents,
+           CAST(SUM(cents) OVER (
+             PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_7d_cents,
+           CAST(COUNT(*) OVER (
+             PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS days_in_window
+    FROM daily
+    """,
+)
+def q_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (RANGE BETWEEN INTERVAL ... PRECEDING):
+    trailing-7-calendar-day revenue per event type where the frame is
+    defined by the DATE VALUE, not row position — the distinction
+    that matters when days are missing (a ROWS frame would silently
+    span gaps; the RANGE frame correctly shrinks, reported by
+    days_in_window).  The rows-frame twin is q_window_frame_range's
+    numeric version.
+
+    100 TB plan: day-grain collapse first; the interval-range window
+    partitions per type over calendar-bounded days."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    daily.createOrReplaceTempView("v_rif_daily")
+    return spark.sql(
+        """
+        SELECT event_type, day, cents,
+               SUM(cents) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+               ) AS rolling_7d_cents,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS days_in_window
+        FROM v_rif_daily
+        """
+    )
+
+
+@register(
+    "q_transition_entropy",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type, next_type, COUNT(*) AS c
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM trans
+      GROUP BY event_type
+    )
+    SELECT t.event_type, tt.n AS n_transitions,
+           COUNT(*) AS n_next_types,
+           CAST(SUM(t.c * CAST(round(ln(CAST(tt.n AS DOUBLE)
+                                        / CAST(t.c AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS entropy_sum_q,
+           CAST(SUM(t.c * CAST(round(ln(CAST(tt.n AS DOUBLE)
+                                        / CAST(t.c AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS DOUBLE)
+             / CAST(tt.n AS DOUBLE) / 1000000.0 AS entropy_nats
+    FROM trans t JOIN tot tt ON tt.event_type = t.event_type
+    GROUP BY t.event_type, tt.n
+    """,
+)
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability: Shannon entropy of each event type's
+    NEXT-event distribution (low entropy = scripted flows / bots,
+    high = organic browsing).  The q_perplexity exactness idiom: ln
+    is evaluated once per (type, next) CELL on the same double in
+    both engines and immediately quantized to integer micro-nats, so
+    the weighted sum is exact integer arithmetic and the final
+    entropy is two deterministic IEEE divisions.
+
+    100 TB plan: one user-partitioned lead window, transition-grain
+    partial agg (|types|^2 cells), type-grain rollup."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = ordered.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = trans.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    lnq = F.round(
+        F.ln(F.col("n").cast("double") / F.col("c").cast("double")) * 1000000
+    ).cast("long")
+    return (
+        trans.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_next_types"),
+            F.sum(F.col("c") * lnq).cast("long").alias("entropy_sum_q"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_transitions"),
+            "n_next_types",
+            "entropy_sum_q",
+            (
+                F.col("entropy_sum_q").cast("double")
+                / F.col("n").cast("double")
+                / 1000000.0
+            ).alias("entropy_nats"),
+        )
+    )
