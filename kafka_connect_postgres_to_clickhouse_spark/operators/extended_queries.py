@@ -16770,3 +16770,199 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "q_kl_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'p' ELSE 'q' END
+               AS half,
+             CAST(floor(value * 100) AS BIGINT) // 1000 AS bin
+      FROM events
+    ),
+    cells AS (
+      SELECT bin,
+             COUNT(*) FILTER (WHERE half = 'p') AS cp,
+             COUNT(*) FILTER (WHERE half = 'q') AS cq
+      FROM binned GROUP BY bin
+    ),
+    tots AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
+      FROM cells
+    )
+    SELECT t.np, t.nq,
+           COUNT(*) AS n_bins,
+           COUNT(*) FILTER (WHERE c.cp = 0 OR c.cq = 0) AS n_disjoint_bins,
+           CAST(SUM(CASE WHEN c.cp > 0 AND c.cq > 0 THEN
+             c.cp * CAST(round(ln((CAST(c.cp AS DOUBLE) * CAST(t.nq AS DOUBLE))
+                                  / (CAST(c.cq AS DOUBLE) * CAST(t.np AS DOUBLE)))
+                                * 1000000) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS kl_sum_q,
+           CAST(SUM(CASE WHEN c.cp > 0 AND c.cq > 0 THEN
+             c.cp * CAST(round(ln((CAST(c.cp AS DOUBLE) * CAST(t.nq AS DOUBLE))
+                                  / (CAST(c.cq AS DOUBLE) * CAST(t.np AS DOUBLE)))
+                                * 1000000) AS BIGINT)
+             ELSE 0 END) AS DOUBLE)
+             / CAST(t.np AS DOUBLE) / 1000000.0 AS kl_nats
+    FROM cells c CROSS JOIN tots t
+    GROUP BY t.np, t.nq
+    """,
+)
+def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence D(P||Q) between the first and second half-month
+    value-histogram (the distribution-drift alarm PSI approximates),
+    in the quantized-micro-nat idiom: the per-bin log-ratio
+    ln(cp*nq / (cq*np)) is evaluated once per BIN and quantized to
+    integer micro-nats, so the weighted sum is exact integer
+    arithmetic; bins where either side is empty are excluded and
+    REPORTED (n_disjoint_bins) instead of silently epsilon-smoothed.
+
+    100 TB plan: corpus collapses to $10-bin grain in one partial
+    agg; everything after is bin-grain with a broadcast 1-row
+    total."""
+    e = _t(spark, sf_dir, "events")
+    binned = e.select(
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "p")
+        .otherwise("q")
+        .alias("half"),
+        (F.floor(F.col("value") * 100).cast("long") / 1000)
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "p", 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("half") == "q", 1).otherwise(0)).alias("cq"),
+    )
+    tots = cells.agg(
+        F.sum("cp").cast("long").alias("np"), F.sum("cq").cast("long").alias("nq")
+    )
+    both = (F.col("cp") > 0) & (F.col("cq") > 0)
+    lnq = F.round(
+        F.ln(
+            (F.col("cp").cast("double") * F.col("nq").cast("double"))
+            / (F.col("cq").cast("double") * F.col("np").cast("double"))
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        cells.crossJoin(F.broadcast(tots))
+        .groupBy("np", "nq")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(F.when(~both, 1).otherwise(0)).alias("n_disjoint_bins"),
+            F.sum(F.when(both, F.col("cp") * lnq).otherwise(0))
+            .cast("long")
+            .alias("kl_sum_q"),
+        )
+        .select(
+            "np",
+            "nq",
+            "n_bins",
+            "n_disjoint_bins",
+            "kl_sum_q",
+            (
+                F.col("kl_sum_q").cast("double")
+                / F.col("np").cast("double")
+                / 1000000.0
+            ).alias("kl_nats"),
+        )
+    )
+
+
+@register(
+    "q_effective_sample_size",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(SUM(length(text)
+                    - length(replace(text, ' ', '')) + 1) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w_int
+      FROM documents GROUP BY source
+    )
+    SELECT COUNT(*) AS n_sources,
+           CAST(SUM(w_int) AS BIGINT) AS w_sum,
+           CAST(SUM(w_int * w_int) AS BIGINT) AS w2_sum,
+           CAST(SUM(w_int) AS DOUBLE) * CAST(SUM(w_int) AS DOUBLE)
+             / CAST(SUM(w_int * w_int) AS DOUBLE) AS ess
+    FROM w
+    """,
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the temperature-mix weights (Kish's
+    ESS = (Σw)²/Σw²): how many EQUALLY-weighted sources the sqrt-
+    temperature mix behaves like — the one-number check that a
+    sampling scheme hasn't quietly collapsed onto a few heavy
+    sources.  Weights are q_temperature_mix's integer microweights,
+    so both moment sums are exact; ESS is one IEEE expression.
+
+    100 TB plan: source-grain partial agg, 1-row output."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = d.groupBy("source").agg(
+        F.floor(F.sqrt(F.sum(toks).cast("double")) * 1000000)
+        .cast("long")
+        .alias("w_int")
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("w_int").cast("long").alias("w_sum"),
+        F.sum(F.col("w_int") * F.col("w_int")).cast("long").alias("w2_sum"),
+        (
+            F.sum("w_int").cast("double")
+            * F.sum("w_int").cast("double")
+            / F.sum(F.col("w_int") * F.col("w_int")).cast("double")
+        ).alias("ess"),
+    )
+
+
+@register(
+    "q_cluster_purity",
+    oracle=f"""
+    {_SURV_PAIRS_SQL},
+    members AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s
+    ),
+    with_src AS (
+      SELECT m.cluster_id, c.source
+      FROM members m JOIN corpus c ON c.doc_id = m.doc_id
+    ),
+    per_src AS (
+      SELECT cluster_id, source, COUNT(*) AS c
+      FROM with_src GROUP BY cluster_id, source
+    )
+    SELECT cluster_id,
+           CAST(SUM(c) AS BIGINT) AS n_members,
+           COUNT(*) AS n_sources,
+           MAX(c) AS majority_count,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS purity
+    FROM per_src GROUP BY cluster_id
+    """,
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster provenance purity: per near-dup cluster, how
+    concentrated its members are in one source (purity 1.0 = intra-
+    source duplication, the boring kind; low purity = cross-source
+    contamination/syndication, the kind that biases dedup-by-source
+    policies).  The provenance lens q_cross_source_dups gives at the
+    PAIR grain, lifted to cluster grain.
+
+    100 TB plan: rides the materialized pair graph + label
+    propagation; per-cluster-source counts then a cluster-grain
+    rollup."""
+    from .analytics_queries import _corpus, q_dedup_clusters  # noqa: PLC0415
+
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    src = _corpus(spark, sf_dir).select("doc_id", "source")
+    per_src = (
+        labels.join(src, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_src.groupBy("cluster_id").agg(
+        F.sum("c").cast("long").alias("n_members"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("c").alias("majority_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("purity"),
+    )
