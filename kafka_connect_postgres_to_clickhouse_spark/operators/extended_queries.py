@@ -16966,3 +16966,175 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("majority_count"),
         (F.max("c").cast("double") / F.sum("c").cast("double")).alias("purity"),
     )
+
+
+@register(
+    "q_subject_access",
+    oracle="""
+    WITH subjects AS (
+      SELECT CAST(unnest([7, 42, 99]) AS BIGINT) AS subject_id
+    )
+    SELECT s.subject_id,
+           (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey = s.subject_id) AS n_orders,
+           (SELECT COUNT(*) FROM lineitem l JOIN orders o
+               ON l.l_orderkey = o.o_orderkey
+             WHERE o.o_custkey = s.subject_id) AS n_lineitems,
+           (SELECT COUNT(*) FROM events e
+             WHERE e.user_id = s.subject_id) AS n_events,
+           (SELECT COUNT(*) FROM customer c
+             WHERE c.c_custkey = s.subject_id) AS n_customer_rows
+    FROM subjects s
+    """,
+)
+def q_subject_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access-request manifest (GDPR Art. 15, the read twin of
+    q_forget_keys' erasure): for each data subject, how many rows
+    each table holds about them — the export inventory produced
+    BEFORE assembling the actual extract, and the completeness proof
+    auditors ask for.  The fact-side lineage (lineitem via orders)
+    follows the FK chain exactly like q_cascade_impact.
+
+    100 TB plan: the subject set broadcasts into each table's scan as
+    a semi-join filter (three pruned scans + one co-partitioned FK
+    hop); counters per (subject, table) only."""
+    subjects = spark.createDataFrame([(7,), (42,), (99,)], "subject_id long")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    bs = F.broadcast(subjects)
+    n_orders = (
+        o.join(bs, o.o_custkey == subjects.subject_id)
+        .groupBy("subject_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    n_li = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(bs, o.o_custkey == subjects.subject_id)
+        .groupBy("subject_id")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+    n_ev = (
+        e.join(bs, e.user_id == subjects.subject_id)
+        .groupBy("subject_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    n_cust = (
+        c.join(bs, c.c_custkey == subjects.subject_id)
+        .groupBy("subject_id")
+        .agg(F.count(F.lit(1)).alias("n_customer_rows"))
+    )
+    return (
+        subjects.join(n_orders, "subject_id", "left")
+        .join(n_li, "subject_id", "left")
+        .join(n_ev, "subject_id", "left")
+        .join(n_cust, "subject_id", "left")
+        .select(
+            "subject_id",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).alias("n_lineitems"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_customer_rows", F.lit(0)).alias("n_customer_rows"),
+        )
+    )
+
+
+@register(
+    "q_freshness_report",
+    oracle="""
+    WITH marks AS (
+      SELECT 'events' AS tbl, MAX(ts) AS last_ts FROM events
+      UNION ALL
+      SELECT 'orders', MAX(o_orderdate) FROM orders
+      UNION ALL
+      SELECT 'lineitem', MAX(l_shipdate) FROM lineitem
+    ),
+    ref AS (SELECT MAX(last_ts) AS horizon FROM marks)
+    SELECT m.tbl, m.last_ts,
+           CAST(date_diff('day', m.last_ts, r.horizon) AS BIGINT)
+             AS staleness_days,
+           CAST(date_diff('day', m.last_ts, r.horizon) <= 30 AS INT)
+             AS within_slo
+    FROM marks m CROSS JOIN ref r
+    """,
+)
+def q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table freshness / staleness SLO report: each time-bearing
+    table's high-water mark against the fleet-wide horizon, with a
+    30-day SLO flag — the first page of every pipeline-health
+    dashboard (the reference equivalent: is the sink keeping up with
+    the slot, q_slot_lag's batch cousin at table grain).
+
+    100 TB plan: three MAX-only scans (column-pruned to one
+    timestamp each, min/max parquet footer stats make them
+    metadata-cheap), one 3-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    marks = (
+        e.agg(F.max("ts").alias("last_ts")).select(F.lit("events").alias("tbl"), "last_ts")
+        .unionByName(
+            o.agg(F.max("o_orderdate").alias("last_ts")).select(
+                F.lit("orders").alias("tbl"), "last_ts"
+            )
+        )
+        .unionByName(
+            li.agg(F.max("l_shipdate").alias("last_ts")).select(
+                F.lit("lineitem").alias("tbl"), "last_ts"
+            )
+        )
+    )
+    ref = marks.agg(F.max("last_ts").alias("horizon"))
+    stale = F.datediff(F.col("horizon"), F.col("last_ts")).cast("long")
+    return marks.crossJoin(F.broadcast(ref)).select(
+        "tbl",
+        "last_ts",
+        stale.alias("staleness_days"),
+        (stale <= 30).cast("int").alias("within_slo"),
+    )
+
+
+@register(
+    "q_idempotency_audit",
+    oracle="""
+    WITH keyed AS (
+      SELECT user_id, event_type, ts, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type, ts
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_natural_keys,
+           COUNT(*) FILTER (WHERE c > 1) AS n_colliding_keys,
+           CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+             AS n_colliding_rows,
+           CAST(COALESCE(SUM(c - 1) FILTER (WHERE c > 1), 0) AS BIGINT)
+             AS n_redundant_rows
+    FROM keyed
+    """,
+)
+def q_idempotency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion audit: collisions on the natural key
+    (user, type, timestamp) — the redelivery artifact an idempotent
+    sink MUST absorb; n_redundant_rows is exactly the rows an
+    idempotent apply would drop.  Zero collisions is the expected
+    PASS on this fixture; the operator exists to prove it
+    continuously, not assume it (q_event_dedup_window is the
+    windowed repair; this is the detector).
+
+    100 TB plan: one natural-key-grain partial agg, 1-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    keyed = e.groupBy("user_id", "event_type", "ts").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    coll = F.col("c") > 1
+    return keyed.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_natural_keys"),
+        F.sum(coll.cast("long")).alias("n_colliding_keys"),
+        F.coalesce(F.sum(F.when(coll, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("n_colliding_rows"),
+        F.coalesce(F.sum(F.when(coll, F.col("c") - 1)), F.lit(0))
+        .cast("long")
+        .alias("n_redundant_rows"),
+    )
