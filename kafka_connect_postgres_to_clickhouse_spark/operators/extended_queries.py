@@ -17138,3 +17138,567 @@ def q_idempotency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_redundant_rows"),
     )
+
+
+@register(
+    "q_avro_varint_size",
+    oracle="""
+    WITH v AS (
+      SELECT 'l_orderkey' AS col, l_orderkey AS val FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+      UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS BIGINT) FROM lineitem
+    ),
+    b AS (
+      SELECT col,
+             CASE WHEN 2*val < 128 THEN 1
+                  WHEN 2*val < 16384 THEN 2
+                  WHEN 2*val < 2097152 THEN 3
+                  WHEN 2*val < 268435456 THEN 4
+                  WHEN 2*val < 34359738368 THEN 5
+                  WHEN 2*val < 4398046511104 THEN 6
+                  WHEN 2*val < 562949953421312 THEN 7
+                  WHEN 2*val < 72057594037927936 THEN 8
+                  ELSE 9 END AS nb
+      FROM v
+    )
+    SELECT col, CAST(COUNT(*) AS BIGINT) AS n_vals,
+           CAST(SUM(nb) AS BIGINT) AS varint_bytes,
+           CAST(8 * COUNT(*) AS BIGINT) AS fixed_bytes,
+           CAST((10000 * (8 * COUNT(*) - SUM(nb))) // (8 * COUNT(*)) AS BIGINT)
+             AS savings_bp
+    FROM b GROUP BY col
+    """,
+)
+def q_avro_varint_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro wire-size audit: exact encoded byte budget of the sink's
+    key columns under Avro's zigzag-varint long encoding (the
+    Connect-ecosystem serde the reference's JSON envelopes would be
+    swapped for at scale) vs a fixed 8-byte encoding — the
+    topic-capacity number that decides converter choice.
+
+    zigzag(n) = 2n for n >= 0 (all keys here are non-negative;
+    the negative arm would be -2n-1), and the varint length is the
+    number of 7-bit groups — computed with an exact integer CASE
+    ladder, no float log anywhere (log2-based byte counts round wrong
+    exactly at the 2^(7k) boundaries).
+
+    100 TB plan: stack() unpivots column-name/value pairs row-locally
+    (no shuffle), then one 4-group partial agg; the scan reads only
+    the four key columns (column pruning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.expr(
+            "stack(4, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey,"
+            " 'l_suppkey', l_suppkey, 'l_linenumber', CAST(l_linenumber AS BIGINT))"
+            " AS (col, val)"
+        )
+    )
+    z = F.col("val") * 2
+    nb = (
+        F.when(z < 128, 1)
+        .when(z < 16384, 2)
+        .when(z < 2097152, 3)
+        .when(z < 268435456, 4)
+        .when(z < 34359738368, 5)
+        .when(z < 4398046511104, 6)
+        .when(z < 562949953421312, 7)
+        .when(z < 72057594037927936, 8)
+        .otherwise(9)
+    )
+    return (
+        v.select("col", nb.alias("nb"))
+        .groupBy("col")
+        .agg(
+            F.count("*").cast("long").alias("n_vals"),
+            F.sum("nb").cast("long").alias("varint_bytes"),
+        )
+        .select(
+            "col",
+            "n_vals",
+            "varint_bytes",
+            (F.col("n_vals") * 8).cast("long").alias("fixed_bytes"),
+            F.expr("(10000 * (n_vals * 8 - varint_bytes)) div (n_vals * 8)")
+            .cast("long")
+            .alias("savings_bp"),
+        )
+    )
+
+
+@register(
+    "q_schema_compat",
+    oracle=r"""
+    WITH p AS (
+      SELECT event_type, event_id,
+             CASE WHEN event_id % 7 = 0
+                  THEN replace(props, '}', ',"v2":1}')
+                  ELSE props END AS props2
+      FROM events
+    ),
+    v AS (
+      SELECT event_type,
+             array_to_string(list_sort(regexp_extract_all(props2, '"([a-z0-9_]+)"\s*:', 1)), ',')
+               AS sig,
+             MIN(event_id) AS first_lsn
+      FROM p GROUP BY event_type, sig
+    ),
+    t AS (
+      SELECT event_type, sig, first_lsn,
+             lag(sig) OVER (PARTITION BY event_type ORDER BY first_lsn) AS prev_sig
+      FROM v
+    )
+    SELECT event_type,
+           prev_sig AS from_sig, sig AS to_sig,
+           CAST(len(list_filter(string_split(sig, ','),
+                x -> NOT list_contains(string_split(prev_sig, ','), x))) AS INT)
+             AS n_added,
+           CAST(len(list_filter(string_split(prev_sig, ','),
+                x -> NOT list_contains(string_split(sig, ','), x))) AS INT)
+             AS n_removed,
+           CASE
+             WHEN len(list_filter(string_split(prev_sig, ','),
+                  x -> NOT list_contains(string_split(sig, ','), x))) = 0
+                  AND len(list_filter(string_split(sig, ','),
+                  x -> NOT list_contains(string_split(prev_sig, ','), x))) > 0
+               THEN 'BACKWARD'
+             WHEN len(list_filter(string_split(sig, ','),
+                  x -> NOT list_contains(string_split(prev_sig, ','), x))) = 0
+                  AND len(list_filter(string_split(prev_sig, ','),
+                  x -> NOT list_contains(string_split(sig, ','), x))) > 0
+               THEN 'FORWARD'
+             WHEN len(list_filter(string_split(sig, ','),
+                  x -> NOT list_contains(string_split(prev_sig, ','), x))) > 0
+               THEN 'BREAKING'
+             ELSE 'NONE'
+           END AS verdict
+    FROM t WHERE prev_sig IS NOT NULL
+    """,
+)
+def q_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry compatibility classifier: orders each topic's
+    observed payload-schema signatures by first appearance and labels
+    every consecutive transition with the registry verdict — added
+    keys only = BACKWARD compatible (new readers still decode old
+    messages), removed only = FORWARD, both = BREAKING — the
+    pre-flight check a Connect deployment runs before accepting a
+    producer schema bump (q_props_schema_drift detects the versions;
+    this classifies the upgrade path between them).
+
+    100 TB plan: signature extraction is per-row regexp on the scan;
+    the version table is (topic x signature)-grain — tiny — so the
+    lag() window partitions by topic over a handful of rows, and the
+    set-difference runs on split arrays of that tiny table.  Event
+    volume only ever passes through one partial agg."""
+    e = _t(spark, sf_dir, "events")
+    props2 = F.when(
+        F.col("event_id") % 7 == 0,
+        F.regexp_replace(F.col("props"), r"\}", ',"v2":1}'),
+    ).otherwise(F.col("props"))
+    sig = F.array_join(
+        F.array_sort(F.regexp_extract_all(props2, F.lit(r'"([a-z0-9_]+)"\s*:'), 1)),
+        ",",
+    )
+    vers = (
+        e.select("event_type", "event_id", sig.alias("sig"))
+        .groupBy("event_type", "sig")
+        .agg(F.min("event_id").alias("first_lsn"))
+    )
+    w = Window.partitionBy("event_type").orderBy("first_lsn")
+    t = vers.withColumn("prev_sig", F.lag("sig").over(w)).filter(
+        F.col("prev_sig").isNotNull()
+    )
+    new_keys = F.split(F.col("sig"), ",")
+    old_keys = F.split(F.col("prev_sig"), ",")
+    n_added = F.size(F.array_except(new_keys, old_keys))
+    n_removed = F.size(F.array_except(old_keys, new_keys))
+    verdict = (
+        F.when((n_removed == 0) & (n_added > 0), "BACKWARD")
+        .when((n_added == 0) & (n_removed > 0), "FORWARD")
+        .when(n_added > 0, "BREAKING")
+        .otherwise("NONE")
+    )
+    return t.select(
+        "event_type",
+        F.col("prev_sig").alias("from_sig"),
+        F.col("sig").alias("to_sig"),
+        n_added.cast("int").alias("n_added"),
+        n_removed.cast("int").alias("n_removed"),
+        verdict.alias("verdict"),
+    )
+
+
+@register(
+    "q_json_type_infer",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM events),
+    t AS (
+      SELECT 'event_id' AS field, 'long' AS jtype, COUNT(*) AS cnt FROM events
+      UNION ALL
+      SELECT 'event_type', 'string', COUNT(*) FROM events WHERE event_type IS NOT NULL
+      UNION ALL
+      SELECT 'value', 'double', COUNT(*) FROM events WHERE value IS NOT NULL
+      UNION ALL
+      SELECT 'props', 'string', COUNT(*) FROM events WHERE props IS NOT NULL
+    )
+    SELECT field, jtype, CAST(cnt AS BIGINT) AS n,
+           CAST((10000 * cnt) // total AS BIGINT) AS presence_bp
+    FROM t, n WHERE cnt > 0
+    """,
+)
+def q_json_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-JSON type inference — the JsonConverter
+    schemas.enable=false ingestion problem: given only serialized
+    message text, recover each field's JSON type histogram and
+    presence ratio (absent = SQL NULL under ignore-null
+    serialization).  The Spark side does REAL wire-level inference:
+    serialize each event row to its JSON message, lexically split
+    top-level key/value pairs (escape-aware — an embedded escaped
+    object like the props payload cannot false-match, because inner
+    keys are preceded by a backslash-escape, never by '{' or ','),
+    and classify each raw value token (string / boolean / null /
+    double-with-point-or-exponent / long).  The oracle recomputes the
+    same histogram from FIRST PRINCIPLES on the typed columns, so the
+    string-level inference is verified against ground truth rather
+    than against a second parser of the same bytes.
+
+    100 TB plan: serialization, regexp tokenization, and the explode
+    are row-local; one (field, type) partial agg over a 4-ish-key
+    domain plus a 1-row broadcast total."""
+    e = _t(spark, sf_dir, "events")
+    j = F.to_json(F.struct("event_id", "event_type", "value", "props"))
+    pair_pat = (
+        r'[{,]"([a-z_]+)":("(?:[^"\\]|\\.)*"|-?[0-9][\-0-9.eE+]*|true|false|null)'
+    )
+    pairs = F.regexp_extract_all(j, F.lit(pair_pat), 0)
+    total = e.agg(F.count("*").alias("total"))
+    m = e.select(F.explode(pairs).alias("m"))
+    field = F.regexp_extract("m", r'^[{,]"([a-z_]+)"', 1)
+    val = F.regexp_extract("m", r'^[{,]"[a-z_]+":(.*)$', 1)
+    jtype = (
+        F.when(val.startswith('"'), "string")
+        .when(val.isin("true", "false"), "boolean")
+        .when(val == "null", "null")
+        .when(
+            val.contains(".") | val.contains("e") | val.contains("E"), "double"
+        )
+        .otherwise("long")
+    )
+    return (
+        m.select(field.alias("field"), jtype.alias("jtype"))
+        .groupBy("field", "jtype")
+        .agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "field",
+            "jtype",
+            "n",
+            F.expr("(10000 * n) div total").cast("long").alias("presence_bp"),
+        )
+    )
+
+
+@register(
+    "q_welch_ttest",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    a AS (
+      SELECT COUNT(*) FILTER (WHERE arm = 0) AS n_a,
+             COUNT(*) FILTER (WHERE arm = 1) AS n_b,
+             SUM(cents) FILTER (WHERE arm = 0) AS s_a,
+             SUM(cents) FILTER (WHERE arm = 1) AS s_b,
+             SUM(cents * cents) FILTER (WHERE arm = 0) AS q_a,
+             SUM(cents * cents) FILTER (WHERE arm = 1) AS q_b
+      FROM c
+    ),
+    b AS (
+      SELECT n_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a AS mean_a,
+             CAST(s_b AS DOUBLE) / n_b AS mean_b,
+             (CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+               / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)) AS va,
+             (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+               / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)) AS vb
+      FROM a
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           (mean_a - mean_b) * (mean_a - mean_b) / (va + vb) AS t2,
+           (va + vb) * (va + vb)
+             / (va * va / (n_a - 1) + vb * vb / (n_b - 1)) AS welch_dof,
+           CAST((mean_a - mean_b) * (mean_a - mean_b) / (va + vb) > 4 AS INT)
+             AS significant
+    FROM b
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on purchase value between the
+    two parity arms — the continuous-metric companion to
+    q_ab_test's two-proportion z (mean spend per arm, t-squared
+    against the 2-sigma bar, Welch-Satterthwaite dof).  The moment
+    sums (n, S, Q) are EXACT integers on the cents grid, so the
+    statistic is one mirrored IEEE expression over exact inputs —
+    partition- and order-independent; S is cast to double before
+    squaring (S^2 overflows int64 first, ~1e10 rows at this value
+    range; the sums themselves are safe far past that).
+
+    100 TB plan: one filtered scan reduced map-side to a single
+    6-number row; no shuffle wider than the 1-row final agg."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    in_a = F.col("arm") == 0
+    in_b = F.col("arm") == 1
+    a = c.agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        F.sum(F.when(in_a, F.col("cents"))).alias("s_a"),
+        F.sum(F.when(in_b, F.col("cents"))).alias("s_b"),
+        F.sum(F.when(in_a, F.col("cents") * F.col("cents"))).alias("q_a"),
+        F.sum(F.when(in_b, F.col("cents") * F.col("cents"))).alias("q_b"),
+    )
+    b = a.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(s_a AS DOUBLE) / n_a").alias("mean_a"),
+        F.expr("CAST(s_b AS DOUBLE) / n_b").alias("mean_b"),
+        F.expr(
+            "(CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)"
+            " / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))"
+        ).alias("va"),
+        F.expr(
+            "(CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)"
+            " / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))"
+        ).alias("vb"),
+    )
+    return b.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "mean_a",
+        "mean_b",
+        F.expr("(mean_a - mean_b) * (mean_a - mean_b) / (va + vb)").alias("t2"),
+        F.expr(
+            "(va + vb) * (va + vb)"
+            " / (va * va / (n_a - 1) + vb * vb / (n_b - 1))"
+        ).alias("welch_dof"),
+        F.expr(
+            "CAST((mean_a - mean_b) * (mean_a - mean_b) / (va + vb) > 4 AS INT)"
+        ).alias("significant"),
+    )
+
+
+@register(
+    "q_spearman_corr",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    gx AS (SELECT x, COUNT(*) AS cnt FROM s GROUP BY x),
+    rx AS (SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cum FROM gx),
+    gy AS (SELECT y, COUNT(*) AS cnt FROM s GROUP BY y),
+    ry AS (SELECT y, cnt, SUM(cnt) OVER (ORDER BY y) AS cum FROM gy),
+    r AS (
+      SELECT s.o_custkey,
+             2 * (rx.cum - rx.cnt) + rx.cnt + 1 AS r2x,
+             2 * (ry.cum - ry.cnt) + ry.cnt + 1 AS r2y
+      FROM s JOIN rx USING (x) JOIN ry USING (y)
+    ),
+    a AS (
+      SELECT COUNT(*) AS n,
+             (SELECT COUNT(*) FROM gx) AS nx_distinct,
+             (SELECT COUNT(*) FROM gy) AS ny_distinct,
+             SUM(r2x) AS sx, SUM(r2y) AS sy,
+             SUM(r2x * r2x) AS sxx, SUM(r2y * r2y) AS syy,
+             SUM(r2x * r2y) AS sxy
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(nx_distinct AS BIGINT) AS nx_distinct,
+           CAST(ny_distinct AS BIGINT) AS ny_distinct,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS rho_spearman
+    FROM a
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between order frequency and
+    total spend per customer — the monotone-association profiler
+    (Pearson on ranks; q_len_token_corr is the linear twin).  Ties
+    get textbook AVERAGE ranks, carried as exact integers: with
+    value-grain counts, 2*avg_rank = 2*(cum_before) + cnt + 1, so
+    every rank is an integer on the half-rank grid and the five
+    Pearson sums stay exact; rho is one mirrored IEEE expression
+    (Pearson is affine-invariant, so the doubling cancels).
+
+    100 TB plan: NO global single-partition window.  Ranks come from
+    VALUE-GRAIN cumulative counts via the q_lorenz_gini two-phase
+    shape — range-partition the distinct values, per-partition prefix
+    sums, collect only K per-partition subtotals, broadcast the base
+    offsets back — then join ranks to rows on the value key.  Ties
+    are collapsed BEFORE range partitioning, so a tie group can never
+    straddle a partition boundary."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def rank2(df: DataFrame, col: str) -> DataFrame:
+        g = df.groupBy(col).agg(F.count("*").alias("cnt"))
+        t = g.repartitionByRange(16, F.asc(col)).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        wl = (
+            Window.partitionBy("pid")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        loc = t.withColumn("cum", F.sum("cnt").over(wl)).localCheckpoint(
+            eager=True
+        )
+        parts = sorted(
+            loc.groupBy("pid").agg(F.sum("cnt").alias("c")).collect(),
+            key=lambda r: r["pid"],
+        )
+        bases: dict[int, int] = {}
+        acc = 0
+        for r in parts:
+            bases[r["pid"]] = acc
+            acc += r["c"]
+        base_map = (
+            F.create_map(*[F.lit(v) for kv in bases.items() for v in kv])
+            if bases
+            else F.create_map()
+        )
+        base = F.coalesce(F.element_at(base_map, F.col("pid")), F.lit(0)).cast(
+            "long"
+        )
+        return loc.select(
+            col,
+            (2 * (base + F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("long")
+            .alias(f"r2{col}"),
+        )
+
+    rx = rank2(s, "x")
+    ry = rank2(s, "y")
+    r = s.join(rx, "x").join(ry, "y")
+    a = r.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("x").alias("nx_distinct"),
+        F.countDistinct("y").alias("ny_distinct"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("nx_distinct").cast("long").alias("nx_distinct"),
+        F.col("ny_distinct").cast("long").alias("ny_distinct"),
+        F.expr(
+            "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+        ).alias("rho_spearman"),
+    )
+
+
+@register(
+    "q_jaccard_neighbors",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+    ),
+    top AS (SELECT pa, pb, n_ab FROM e ORDER BY n_ab DESC, pa, pb LIMIT 20),
+    adj AS (SELECT pa AS p, pb AS q FROM e UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT p, COUNT(*) AS d FROM adj GROUP BY p),
+    inter AS (
+      SELECT t.pa, t.pb, COUNT(*) AS ni
+      FROM top t
+      JOIN adj x ON x.p = t.pa
+      JOIN adj y ON y.p = t.pb AND y.q = x.q
+      GROUP BY t.pa, t.pb
+    )
+    SELECT t.pa AS part_a, t.pb AS part_b,
+           CAST(t.n_ab AS BIGINT) AS n_orders,
+           CAST(da.d AS BIGINT) AS deg_a,
+           CAST(db.d AS BIGINT) AS deg_b,
+           CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_common,
+           CAST((10000 * COALESCE(i.ni, 0))
+                // (da.d + db.d - COALESCE(i.ni, 0)) AS BIGINT) AS jaccard_bp
+    FROM top t
+    JOIN deg da ON da.p = t.pa
+    JOIN deg db ON db.p = t.pb
+    LEFT JOIN inter i ON i.pa = t.pa AND i.pb = t.pb
+    """,
+)
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph structural similarity for the strongest co-purchase
+    pairs: neighbor-set Jaccard |N(a) n N(b)| / |N(a) u N(b)| over
+    the basket graph — link-prediction's classic feature, and the
+    'are these two products substitutes or complements' signal
+    (high co-purchase + high neighbor overlap = same niche).
+
+    100 TB plan: rides the shared ``basket_pairs`` spill (one
+    basket-bounded pair shuffle per session, never corpus x corpus);
+    the top-20 seed is TakeOrdered (per-partition heaps); both
+    adjacency probes BROADCAST the 20-pair seed so the common-
+    neighbor count is two hash joins confined to the candidates'
+    adjacency rows; degrees are one node-grain partial agg."""
+    e = _basket_pair_table(spark, sf_dir).select(
+        F.col("part_a").alias("pa"), F.col("part_b").alias("pb"), "n_ab"
+    )
+    top = e.orderBy(F.desc("n_ab"), "pa", "pb").limit(20)
+    adj = e.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionAll(
+        e.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
+    )
+    deg = adj.groupBy("p").agg(F.count("*").alias("d"))
+    x = F.broadcast(top).join(adj, F.col("p") == F.col("pa")).select(
+        "pa", "pb", "q"
+    )
+    inter = (
+        x.join(
+            adj.select(F.col("p").alias("p2"), F.col("q").alias("q2")),
+            (F.col("p2") == F.col("pb")) & (F.col("q2") == F.col("q")),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("ni"))
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("deg_b"))
+    return (
+        top.join(da, "pa")
+        .join(db, "pb")
+        .join(inter, ["pa", "pb"], "left")
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_ab").cast("long").alias("n_orders"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.coalesce(F.col("ni"), F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "(10000 * COALESCE(ni, 0)) div (deg_a + deg_b - COALESCE(ni, 0))"
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
