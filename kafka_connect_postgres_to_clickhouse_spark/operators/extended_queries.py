@@ -17702,3 +17702,212 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_bp"),
         )
     )
+
+
+@register(
+    "q_window_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d, ts
+          FROM events WHERE event_type = 'view'),
+    c AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d, ts
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d, ts
+          FROM events WHERE event_type = 'purchase'),
+    l2 AS (
+      SELECT DISTINCT v.user_id FROM v JOIN c
+        ON c.user_id = v.user_id AND c.d = v.d AND c.ts > v.ts
+    ),
+    l3 AS (
+      SELECT DISTINCT v.user_id FROM v
+      JOIN c ON c.user_id = v.user_id AND c.d = v.d AND c.ts > v.ts
+      JOIN p ON p.user_id = v.user_id AND p.d = v.d AND p.ts > c.ts
+    ),
+    lvl AS (
+      SELECT u.user_id,
+             CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                  WHEN u.user_id IN (SELECT user_id FROM v) THEN 1
+                  ELSE 0 END AS level
+      FROM u
+    )
+    SELECT CAST(level AS INT) AS level, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lvl GROUP BY level
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed strict-order funnel (ClickHouse windowFunnel parity,
+    the sink-side function a reference user would reach for): deepest
+    view -> click -> purchase chain completed inside ONE calendar-day
+    window, strictly ordered by timestamp — unlike q_funnel's
+    unbounded ordering, a conversion a month after the view does not
+    count, and same-timestamp stages do not chain.
+
+    100 TB plan: the day-equality join key means every existence join
+    is an equi-join on (user, day) — the chain search is confined to
+    one user-day's handful of events (per-day fanout is bounded by
+    per-user daily activity, never corpus-sized), all on one
+    (user, day) hash partitioning; the level histogram is a 4-key
+    rollup."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+
+    def stage(t: str, suffix: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .select("user_id", day.alias("d"), F.col("ts").alias(f"ts_{suffix}"))
+            .distinct()
+        )
+
+    u = e.select("user_id").distinct()
+    v = stage("view", "v")
+    c = stage("click", "c")
+    p = stage("purchase", "p")
+    vc = v.join(c, ["user_id", "d"]).filter(F.col("ts_c") > F.col("ts_v"))
+    l2 = vc.select("user_id").distinct().withColumn("l2", F.lit(1))
+    l3 = (
+        vc.join(p, ["user_id", "d"])
+        .filter(F.col("ts_p") > F.col("ts_c"))
+        .select("user_id")
+        .distinct()
+        .withColumn("l3", F.lit(1))
+    )
+    l1 = v.select("user_id").distinct().withColumn("l1", F.lit(1))
+    lvl = (
+        u.join(l3, "user_id", "left")
+        .join(l2, "user_id", "left")
+        .join(l1, "user_id", "left")
+        .select(
+            F.when(F.col("l3") == 1, 3)
+            .when(F.col("l2") == 1, 2)
+            .when(F.col("l1") == 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("level")
+        )
+    )
+    return lvl.groupBy("level").agg(F.count("*").cast("long").alias("n_users"))
+
+
+@register(
+    "q_concurrent_peak",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             MIN(ts) AS t0, MAX(ts) AS t1
+      FROM events GROUP BY user_id, day
+    ),
+    b AS (
+      SELECT day, t0 AS ts, 1 AS delta, user_id FROM s
+      UNION ALL
+      SELECT day, t1, -1, user_id FROM s
+    ),
+    r AS (
+      SELECT day,
+             SUM(delta) OVER (
+               PARTITION BY day ORDER BY ts, delta DESC, user_id
+               ROWS UNBOUNDED PRECEDING) AS conc
+      FROM b
+    ),
+    n AS (SELECT day, COUNT(*) AS n_sessions FROM s GROUP BY day)
+    SELECT n.day, CAST(n.n_sessions AS BIGINT) AS n_sessions,
+           CAST(m.peak AS BIGINT) AS peak_concurrent
+    FROM n JOIN (SELECT day, MAX(conc) AS peak FROM r GROUP BY day) m
+      USING (day)
+    """,
+)
+def q_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the classic +1/-1 boundary sweep
+    over user activity spans (capacity sizing: how many sessions the
+    sink must serve AT ONCE, not per day; q_queue_backlog models
+    drain rate, this models simultaneity).  Touching spans count as
+    concurrent: at equal timestamps the +1 sorts before the -1
+    (delta DESC), with user_id as the final deterministic tiebreak.
+
+    100 TB plan: spans collapse to (user, day) grain map-side first;
+    the sweep window partitions by DAY over at most 2 x active-users
+    boundary rows — a bounded, calendar-sharded grain (the same
+    justification as q_running_distinct), never a global sort."""
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    b = s.select(
+        "day", F.col("t0").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        s.select(
+            "day", F.col("t1").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = b.select("day", F.sum("delta").over(w).alias("conc"))
+    peaks = r.groupBy("day").agg(F.max("conc").cast("long").alias("peak_concurrent"))
+    n = s.groupBy("day").agg(F.count("*").cast("long").alias("n_sessions"))
+    return n.join(peaks, "day").select("day", "n_sessions", "peak_concurrent")
+
+
+@register(
+    "q_recency_score",
+    oracle="""
+    WITH h AS (
+      SELECT MAX(date_trunc('day', ts)) AS horizon FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             date_diff('day', date_trunc('day', ts), h.horizon) AS k
+      FROM events, h WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents * (CASE WHEN k <= 30
+                 THEN CAST(1 AS BIGINT) << (30 - k)
+                 ELSE 0 END)) AS BIGINT) AS score_scaled,
+           CAST(SUM(cents * (CASE WHEN k <= 30
+                 THEN CAST(1 AS BIGINT) << (30 - k)
+                 ELSE 0 END)) AS DOUBLE) / 1073741824 AS score_cents
+    FROM p GROUP BY user_id
+    """,
+)
+def q_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed spend score per user (1-day half-life):
+    score = sum(spend * 2^-age_days) — the recency-weighted value
+    feature behind churn/LTV models, computed EXACTLY: 2^-k weights
+    are dyadic, so scaling by 2^30 makes every term an integer and
+    the sum partition-order-independent (a pow(0.9, age) float
+    version is NOT reproducible across engines or partitionings —
+    the decay base here is chosen for exactness).  Weights beyond the
+    30-day horizon underflow the grid to exactly 0 in both engines.
+
+    Overflow bound: cents <= ~5e4 x 2^30 x rows/user — safe to ~1e5
+    purchases per user-month; past that, shift the scale to 2^20.
+
+    100 TB plan: one filtered scan, a 1-row horizon broadcast, one
+    user-grain partial agg; the double division happens once per
+    output row from an exact integer."""
+    e = _t(spark, sf_dir, "events")
+    h = e.agg(F.max(F.date_trunc("day", F.col("ts"))).alias("horizon"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(h))
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.datediff(
+                F.col("horizon"), F.date_trunc("day", F.col("ts"))
+            ).alias("k"),
+        )
+    )
+    term = F.col("cents") * F.when(
+        F.col("k") <= 30,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - k AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return p.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(term).cast("long").alias("score_scaled"),
+        (F.sum(term).cast("double") / 1073741824).alias("score_cents"),
+    )
