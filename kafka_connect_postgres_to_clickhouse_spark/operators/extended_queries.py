@@ -17911,3 +17911,203 @@ def q_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).cast("long").alias("score_scaled"),
         (F.sum(term).cast("double") / 1073741824).alias("score_cents"),
     )
+
+
+_PROTO_VL = (
+    "(CASE WHEN {v} < 128 THEN 1 WHEN {v} < 16384 THEN 2"
+    " WHEN {v} < 2097152 THEN 3 WHEN {v} < 268435456 THEN 4"
+    " WHEN {v} < 34359738368 THEN 5 WHEN {v} < 4398046511104 THEN 6"
+    " WHEN {v} < 562949953421312 THEN 7"
+    " WHEN {v} < 72057594037927936 THEN 8"
+    " WHEN {v} < 9223372036854775807 THEN 9 ELSE 10 END)"
+)
+
+
+@register(
+    "q_proto_wire_size",
+    oracle=CHANGELOG_CTE
+    + f"""
+    , p AS (
+      SELECT op,
+             1 + {_PROTO_VL.format(v="user_id")}
+             + 1 + 1 + octet_length(encode(username))
+             + 1 + 1 + octet_length(encode(account_type))
+             + 1 + {_PROTO_VL.format(v="epoch_us(updated_at)")}
+               AS proto_bytes
+      FROM changelog
+    ),
+    j AS (
+      SELECT op, octet_length(encode(
+        '{{"schema":{{"type":"struct","fields":[{{"type":"int32","optional":true,"name":null,"version":null,"field":"user_id"}},{{"type":"string","optional":true,"name":null,"version":null,"field":"username"}},{{"type":"string","optional":true,"name":null,"version":null,"field":"account_type"}},{{"type":"int64","optional":true,"name":"io.debezium.time.MicroTimestamp","version":1,"field":"updated_at"}}],"optional":false,"name":"postgres_cdc.iman.users.Value"}},"payload":{{"user_id":'
+        || user_id || ',"username":"' || username || '","account_type":"'
+        || account_type || '","updated_at":' || epoch_us(updated_at) || '}}}}'
+      )) AS json_bytes
+      FROM changelog
+    ),
+    pa AS (SELECT op, COUNT(*) AS n_msgs,
+                  CAST(SUM(proto_bytes) AS BIGINT) AS proto_total FROM p GROUP BY op),
+    ja AS (SELECT op, CAST(SUM(json_bytes) AS BIGINT) AS json_total FROM j GROUP BY op)
+    SELECT pa.op, CAST(pa.n_msgs AS BIGINT) AS n_msgs,
+           pa.proto_total, ja.json_total,
+           CAST((10000 * (ja.json_total - pa.proto_total)) // ja.json_total
+                AS BIGINT) AS savings_bp
+    FROM pa JOIN ja USING (op)
+    """,
+)
+def q_proto_wire_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format byte budget for the changelog payload vs
+    the schema-per-message JSON envelope actually priced by
+    q_wire_size_stats — the converter bake-off number (proto: 1-byte
+    tags for fields 1..15, plain unsigned varints for ids and
+    MicroTimestamp epochs, length-delimited strings with a 1-byte
+    length for sub-128 payloads; the integer CASE ladder computes
+    varint widths exactly — no float log).  Avro sizing is
+    q_avro_varint_size; this is the tagged-field family.
+
+    100 TB plan: proto sizing is per-row arithmetic on the changelog
+    scan; JSON bytes ride the shared ``wire_envelopes`` spill (no
+    re-serialization); both collapse to op-grain partial aggs joined
+    on a 2-row key."""
+    from .pipeline_queries import _wire_envelopes
+
+    log = _changelog(spark, sf_dir)
+    vl_uid = _PROTO_VL.format(v="user_id")
+    vl_ts = _PROTO_VL.format(v="unix_micros(updated_at)")
+    proto_bytes = F.expr(
+        f"1 + {vl_uid} + 1 + 1 + octet_length(username)"
+        f" + 1 + 1 + octet_length(account_type) + 1 + {vl_ts}"
+    )
+    pa = (
+        log.select("op", proto_bytes.alias("proto_bytes"))
+        .groupBy("op")
+        .agg(
+            F.count("*").cast("long").alias("n_msgs"),
+            F.sum("proto_bytes").cast("long").alias("proto_total"),
+        )
+    )
+    ja = (
+        _wire_envelopes(spark, sf_dir)
+        .select("op", F.octet_length("value").alias("json_bytes"))
+        .groupBy("op")
+        .agg(F.sum("json_bytes").cast("long").alias("json_total"))
+    )
+    return pa.join(ja, "op").select(
+        "op",
+        "n_msgs",
+        "proto_total",
+        "json_total",
+        F.expr("(10000 * (json_total - proto_total)) div json_total")
+        .cast("long")
+        .alias("savings_bp"),
+    )
+
+
+@register(
+    "q_decimal_grid_audit",
+    oracle="""
+    WITH v AS (
+      SELECT 'o_totalprice' AS col, o_totalprice AS val FROM orders
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+      UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+      UNION ALL SELECT 'value', value FROM events
+    )
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           CAST(COUNT(*) FILTER (WHERE val * 100 <> round(val * 100))
+                AS BIGINT) AS n_offgrid,
+           MAX(abs(val * 100 - round(val * 100))) AS max_err_scaled
+    FROM v WHERE val IS NOT NULL GROUP BY col
+    """,
+)
+def q_decimal_grid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-fidelity audit: which money-like double columns sit
+    EXACTLY on the cents grid and which carry binary-float artifacts
+    (0.05 * 100 = 5.000000000000001) — the Connect type-mapping
+    hazard (Debezium decimal.handling.mode) that silently corrupts
+    sums when a pipeline trusts doubles; every cents-discipline
+    oracle in this repo exists because of this audit's finding.  The
+    off-grid test and error bound are single IEEE expressions,
+    bit-identical across engines.
+
+    100 TB plan: row-local arithmetic on pruned single-column scans,
+    one 6-key partial agg."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    v = (
+        o.select(F.lit("o_totalprice").alias("col"), F.col("o_totalprice").alias("val"))
+        .unionAll(li.select(F.lit("l_extendedprice"), F.col("l_extendedprice")))
+        .unionAll(li.select(F.lit("l_discount"), F.col("l_discount")))
+        .unionAll(li.select(F.lit("l_tax"), F.col("l_tax")))
+        .unionAll(li.select(F.lit("l_quantity"), F.col("l_quantity")))
+        .unionAll(e.select(F.lit("value"), F.col("value")))
+    )
+    off = F.col("val") * 100 != F.round(F.col("val") * 100)
+    return (
+        v.filter(F.col("val").isNotNull())
+        .groupBy("col")
+        .agg(
+            F.count("*").cast("long").alias("n_vals"),
+            F.count(F.when(off, 1)).cast("long").alias("n_offgrid"),
+            F.max(F.abs(F.col("val") * 100 - F.round(F.col("val") * 100))).alias(
+                "max_err_scaled"
+            ),
+        )
+    )
+
+
+@register(
+    "q_sink_batch_stats",
+    oracle=CHANGELOG_CTE
+    + """
+    , w AS (
+      SELECT _seq, user_id, op, octet_length(encode(
+        '{"schema":{"type":"struct","fields":[{"type":"int32","optional":true,"name":null,"version":null,"field":"user_id"},{"type":"string","optional":true,"name":null,"version":null,"field":"username"},{"type":"string","optional":true,"name":null,"version":null,"field":"account_type"},{"type":"int64","optional":true,"name":"io.debezium.time.MicroTimestamp","version":1,"field":"updated_at"}],"optional":false,"name":"postgres_cdc.iman.users.Value"},"payload":{"user_id":'
+        || user_id || ',"username":"' || username || '","account_type":"'
+        || account_type || '","updated_at":' || epoch_us(updated_at) || '}}'
+      )) AS n_bytes
+      FROM changelog
+    )
+    SELECT _seq // 500 AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT user_id) AS BIGINT) AS redundant_rows,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) FILTER (WHERE op = 'd') AS BIGINT) AS n_deletes
+    FROM w GROUP BY batch_id
+    """,
+)
+def q_sink_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink batch profiler (batch.size=500 over the offset
+    order): per batch, row count, distinct keys, REDUNDANT rows (same
+    key twice in one batch — work an LWW/ReplacingMergeTree sink
+    collapses, so redundancy measures wasted write amplification),
+    wire bytes, and delete share — the tuning table for the
+    reference's flush settings (setup.sh batch/flush knobs).
+
+    100 TB plan: batch id is offset arithmetic (no window); bytes
+    ride the shared ``wire_envelopes`` spill joined back on _seq (the
+    offset is unique, so the join is 1:1 on one hash partitioning);
+    one batch-grain partial agg — distinct-per-key collapses
+    map-side within each batch."""
+    from .pipeline_queries import _wire_envelopes
+
+    log = _changelog(spark, sf_dir).select("_seq", "user_id", "op")
+    wire = _wire_envelopes(spark, sf_dir).select(
+        "_seq", F.octet_length("value").alias("n_bytes")
+    )
+    w = log.join(wire, "_seq")
+    return (
+        w.groupBy(F.expr("_seq div 500").alias("batch_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_distinct_keys"),
+            (F.count("*") - F.countDistinct("user_id"))
+            .cast("long")
+            .alias("redundant_rows"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.count(F.when(F.col("op") == "d", 1)).cast("long").alias("n_deletes"),
+        )
+    )
