@@ -18111,3 +18111,277 @@ def q_sink_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("op") == "d", 1)).cast("long").alias("n_deletes"),
         )
     )
+
+
+@register(
+    "q_dlq_replay",
+    oracle=CHANGELOG_CTE
+    + """
+    , partial AS (
+      SELECT account_type, user_id, row_number() OVER (
+        PARTITION BY user_id ORDER BY updated_at DESC, _seq DESC) AS rn
+      FROM changelog WHERE _seq % 97 <> 0 AND op <> 'd'
+    ),
+    fin AS (
+      SELECT account_type, user_id, row_number() OVER (
+        PARTITION BY user_id ORDER BY updated_at DESC, _seq DESC) AS rn
+      FROM changelog WHERE op <> 'd'
+    ),
+    pc AS (SELECT account_type, CAST(COUNT(*) AS BIGINT) AS n_partial
+           FROM partial WHERE rn = 1 GROUP BY account_type),
+    fc AS (SELECT account_type, CAST(COUNT(*) AS BIGINT) AS n_final
+           FROM fin WHERE rn = 1 GROUP BY account_type)
+    SELECT fc.account_type, COALESCE(pc.n_partial, 0) AS n_partial, fc.n_final,
+           CAST(fc.n_final - COALESCE(pc.n_partial, 0) AS BIGINT) AS recovered
+    FROM fc LEFT JOIN pc USING (account_type)
+    """,
+)
+def q_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ replay closure proof: poison records (every 97th wire
+    message truncated mid-JSON, the q_corrupt_tolerate injection) are
+    quarantined at parse time, then REPLAYED by re-fetching the
+    original bytes from the topic by offset (the
+    errors.deadletterqueue.* recovery runbook: fix the converter,
+    re-consume the DLQ'd offsets) and folded together with the clean
+    rows.  The audit compares the LWW state folded from clean rows
+    only (``n_partial``) against the state after replay
+    (``n_final``) — replay must close the gap exactly, i.e. the
+    post-replay fold is bit-identical to the never-corrupted fold
+    (flagship q_changelog_replay semantics: drop deletes, LWW by
+    (updated_at, _seq)).
+
+    Reference basis: setup.sh:145-147 tolerates poison records; the
+    DLQ-and-replay loop is the documented operational recovery for a
+    converter bug.
+
+    100 TB plan: the wire bytes ride the shared ``wire_envelopes``
+    spill (scanned, never re-serialized); the DLQ side is ~1/97 of
+    offsets re-joined to the spill on the unique _seq (one hash
+    partitioning, 1:1); both folds are window-over-user_id at key
+    grain — the same shuffle the flagship replay already pays."""
+    from .envelope import parse_envelope
+    from .pipeline_queries import _users_payload_schema, _wire_envelopes
+
+    schema = _users_payload_schema(spark, sf_dir)
+    wire = _wire_envelopes(spark, sf_dir).select("_seq", "op", "value")
+    corrupted = wire.withColumn(
+        "value",
+        F.when(F.col("_seq") % 97 == 0, F.substring("value", 1, 20)).otherwise(
+            F.col("value")
+        ),
+    )
+    parsed = parse_envelope(corrupted, schema)
+    clean = parsed.filter(~F.col("_corrupt"))
+    # replay: re-fetch pristine bytes for the quarantined offsets
+    dlq_offsets = parsed.filter(F.col("_corrupt")).select("_seq")
+    replayed = parse_envelope(wire.join(dlq_offsets, "_seq"), schema)
+
+    def fold_counts(df: DataFrame, out: str) -> DataFrame:
+        kept = df.filter(F.col("op") != "d")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("updated_at").desc(), F.col("_seq").desc()
+        )
+        return (
+            kept.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("account_type")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    cols = ["_seq", "op", "user_id", "username", "account_type", "updated_at"]
+    pc = fold_counts(clean.select(*cols), "n_partial")
+    fc = fold_counts(clean.select(*cols).unionByName(replayed.select(*cols)), "n_final")
+    return fc.join(pc, "account_type", "left").select(
+        "account_type",
+        F.coalesce("n_partial", F.lit(0)).cast("long").alias("n_partial"),
+        "n_final",
+        (F.col("n_final") - F.coalesce("n_partial", F.lit(0)))
+        .cast("long")
+        .alias("recovered"),
+    )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, cents, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS total
+      FROM g
+    )
+    SELECT flag,
+           CAST(MAX(total) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN cents END) AS BIGINT)
+             AS wmedian_cents,
+           MIN(CASE WHEN 2 * cum >= total THEN cents END) / 100.0 AS wmedian_price
+    FROM c GROUP BY flag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (lower): per return flag, the smallest
+    price whose cumulative quantity-weight reaches half the total —
+    the robust 'typical traded price' statistic (a plain median
+    ignores that a 50-unit line should count 50x a 1-unit line).
+    Cents discipline: prices and quantities land on integer grids
+    (q_decimal_grid_audit), so cumulative weights and the 2*cum >=
+    total test are exact integer comparisons in both engines — no
+    float quantile interpolation.
+
+    100 TB plan: two-phase — phase 1 collapses the fact table to
+    (flag, price-cents) grain with a map-side partial SUM (the only
+    fact-volume shuffle); phase 2's cumulative window runs over that
+    grain, whose cardinality is bounded by the PRICE DOMAIN (at most
+    ~1e7 distinct cents values per flag, fixed by the grid — it does
+    NOT grow with row count), so the per-flag sort is bounded the
+    same way q_winsorize's histogram is.  No unbounded
+    single-partition window."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    wcum = Window.partitionBy("flag").orderBy("cents")
+    wall = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wall).alias("total"),
+    )
+    hit = F.when(2 * F.col("cum") >= F.col("total"), F.col("cents"))
+    return c.groupBy("flag").agg(
+        F.max("total").cast("long").alias("total_weight"),
+        F.min(hit).cast("long").alias("wmedian_cents"),
+        (F.min(hit) / 100.0).alias("wmedian_price"),
+    )
+
+
+@register(
+    "q_join_size_estimate",
+    oracle="""
+    WITH
+    a1 AS (SELECT CAST(SUM(lc * rc) AS BIGINT) AS a FROM
+      (SELECT c_custkey AS k, COUNT(*) AS lc FROM customer GROUP BY 1) l
+      JOIN (SELECT o_custkey AS k, COUNT(*) AS rc FROM orders GROUP BY 1) r
+      USING (k)),
+    s1l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS d FROM customer),
+    s1r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d FROM orders),
+    a2 AS (SELECT CAST(SUM(lc * rc) AS BIGINT) AS a FROM
+      (SELECT o_orderkey AS k, COUNT(*) AS lc FROM orders GROUP BY 1) l
+      JOIN (SELECT l_orderkey AS k, COUNT(*) AS rc FROM lineitem GROUP BY 1) r
+      USING (k)),
+    s2l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d FROM orders),
+    s2r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d FROM lineitem),
+    a3 AS (SELECT CAST(SUM(lc * rc) AS BIGINT) AS a FROM
+      (SELECT p_partkey AS k, COUNT(*) AS lc FROM part GROUP BY 1) l
+      JOIN (SELECT l_partkey AS k, COUNT(*) AS rc FROM lineitem GROUP BY 1) r
+      USING (k)),
+    s3l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS d FROM part),
+    s3r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d FROM lineitem)
+    SELECT 'customer_orders' AS join_name, s1l.n AS n_left, s1r.n AS n_right,
+           s1l.d AS ndv_left, s1r.d AS ndv_right, a1.a AS actual_rows,
+           CAST(s1l.n * s1r.n // GREATEST(s1l.d, s1r.d) AS BIGINT) AS est_rows,
+           CAST(10000 * (s1l.n * s1r.n // GREATEST(s1l.d, s1r.d) - a1.a) // a1.a
+                AS BIGINT) AS err_bp
+    FROM a1, s1l, s1r
+    UNION ALL
+    SELECT 'orders_lineitem', s2l.n, s2r.n, s2l.d, s2r.d, a2.a,
+           CAST(s2l.n * s2r.n // GREATEST(s2l.d, s2r.d) AS BIGINT),
+           CAST(10000 * (s2l.n * s2r.n // GREATEST(s2l.d, s2r.d) - a2.a) // a2.a
+                AS BIGINT)
+    FROM a2, s2l, s2r
+    UNION ALL
+    SELECT 'part_lineitem', s3l.n, s3r.n, s3l.d, s3r.d, a3.a,
+           CAST(s3l.n * s3r.n // GREATEST(s3l.d, s3r.d) AS BIGINT),
+           CAST(10000 * (s3l.n * s3r.n // GREATEST(s3l.d, s3r.d) - a3.a) // a3.a
+                AS BIGINT)
+    FROM a3, s3l, s3r
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimator audit: for the three FK joins of the
+    star schema, the System R independence estimate
+    |R|*|S| / max(ndv_R, ndv_S) (Selinger 1979) vs the EXACT output
+    size sum_k r_k * s_k — computed WITHOUT materializing any join:
+    each side collapses to key-grain counts first, the exact size is
+    a sum over the key-grain equi-join, and the error lands in basis
+    points.  This is the CBO-statistics sanity table: a large err_bp
+    on a production key flags correlation/skew the optimizer's
+    uniformity assumption will mis-plan (q_skew_audit is the per-key
+    drill-down).
+
+    100 TB plan: per pair, two key-grain partial aggs (map-side
+    combine collapses FK repetition), one key-grain join at ndv
+    cardinality, then 1-row aggregates crossJoin-broadcast together;
+    exact integer arithmetic end to end — no floats, no sampling."""
+    pairs = [
+        ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+        ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ]
+    out = None
+    for name, lt, lk, rt, rk in pairs:
+        lg = (
+            _t(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count("*").alias("lc"))
+        )
+        rg = (
+            _t(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count("*").alias("rc"))
+        )
+        actual = lg.join(rg, "k").agg(
+            F.sum(F.col("lc") * F.col("rc")).cast("long").alias("actual_rows")
+        )
+        ls = lg.agg(
+            F.sum("lc").cast("long").alias("n_left"),
+            F.count("*").cast("long").alias("ndv_left"),
+        )
+        rs = rg.agg(
+            F.sum("rc").cast("long").alias("n_right"),
+            F.count("*").cast("long").alias("ndv_right"),
+        )
+        row = (
+            ls.crossJoin(F.broadcast(rs))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                "actual_rows",
+                F.expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")
+                .cast("long")
+                .alias("est_rows"),
+                F.expr(
+                    "(10000 * ((n_left * n_right) div greatest(ndv_left, ndv_right)"
+                    " - actual_rows)) div actual_rows"
+                )
+                .cast("long")
+                .alias("err_bp"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
