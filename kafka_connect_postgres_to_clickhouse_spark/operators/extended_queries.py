@@ -18385,3 +18385,208 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "q_equidepth_hist",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    cu AS (
+      SELECT cents, SUM(c) OVER (ORDER BY cents) AS cum,
+             SUM(c) OVER () AS n
+      FROM g
+    )
+    SELECT i AS bucket,
+           CAST(MIN(CASE WHEN 10 * cum >= i * n THEN cents END) AS BIGINT)
+             AS ub_cents,
+           MIN(CASE WHEN 10 * cum >= i * n THEN cents END) / 100.0 AS ub_price,
+           CAST(MIN(CASE WHEN 10 * cum >= i * n THEN cum END) AS BIGINT)
+             AS rows_le,
+           CAST(MAX(n) AS BIGINT) AS n_total
+    FROM cu CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS i)
+    GROUP BY i
+    """,
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram over o_totalprice — THE
+    cost-based-optimizer statistics object (Piatetsky-Shapiro 1984;
+    what ANALYZE builds): decile upper bounds b_i = the smallest value
+    whose cumulative count reaches i/10 of the rows, plus the exact
+    cumulative count at each bound.  Together with
+    q_join_size_estimate (output-size audit) and q_cardinality_profile
+    (NDV), this completes the stats triple a CBO needs; boundaries are
+    exact integers on the cents grid — no quantile interpolation.
+
+    100 TB plan: phase 1 collapses the fact table to value-grain
+    counts with a map-side partial agg (the only fact-volume shuffle);
+    phase 2's cumulative window runs over that grain, bounded by the
+    PRICE DOMAIN (cents grid — does not grow with row count, the
+    q_ks_two_sample allowance); the 10 decile probes broadcast as a
+    literal explode.  Monotonicity of cum in cents makes MIN(cum) land
+    on the same row as MIN(cents) — no self-join."""
+    o = _t(spark, sf_dir, "orders")
+    g = (
+        o.groupBy(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    cu = g.select(
+        "cents",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    probes = cu.select(
+        "cents", "cum", "n", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bucket")
+    )
+    hit_c = F.when(10 * F.col("cum") >= F.col("bucket") * F.col("n"), F.col("cents"))
+    hit_n = F.when(10 * F.col("cum") >= F.col("bucket") * F.col("n"), F.col("cum"))
+    return probes.groupBy("bucket").agg(
+        F.min(hit_c).cast("long").alias("ub_cents"),
+        (F.min(hit_c) / 100.0).alias("ub_price"),
+        F.min(hit_n).cast("long").alias("rows_le"),
+        F.max("n").cast("long").alias("n_total"),
+    )
+
+
+@register(
+    "q_postings_compression",
+    oracle=SHINGLES_SQL
+    + f"""
+    , d AS (
+      SELECT sh, doc_id,
+             doc_id - lag(doc_id) OVER (PARTITION BY sh ORDER BY doc_id) AS gap
+      FROM grams
+    ),
+    v AS (SELECT sh, COALESCE(gap, doc_id) AS g FROM d),
+    per AS (
+      SELECT sh, COUNT(*) AS plen,
+             CAST(SUM({_PROTO_VL.format(v="g")}) AS BIGINT) AS vbytes
+      FROM v GROUP BY sh
+    )
+    SELECT CASE WHEN plen = 1 THEN '1' WHEN plen <= 3 THEN '2-3'
+                WHEN plen <= 7 THEN '4-7' WHEN plen <= 15 THEN '8-15'
+                ELSE '16+' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(plen) AS BIGINT) AS n_postings,
+           CAST(SUM(plen) * 8 AS BIGINT) AS raw_bytes,
+           CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+           CAST(10000 * (SUM(plen) * 8 - SUM(vbytes)) // (SUM(plen) * 8)
+                AS BIGINT) AS savings_bp
+    FROM per GROUP BY bucket
+    """,
+)
+def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index compression advisor: price each shingle's
+    posting list as delta-gap varints (the Lucene/PforDelta family's
+    baseline — sorted doc_ids, store first id then gaps, each as a
+    protobuf-style varint) vs raw fixed 8-byte ids, bucketed by
+    posting-list length.  Short tails (hapax shingles) compress worst,
+    dense heads best — the table that justifies an index format
+    choice the same way q_encoding_advisor justifies column codecs.
+    Varint widths use the exact integer CASE ladder (no float log).
+
+    100 TB plan: rides the session-shared ``postings`` spill (one
+    corpus explode amortized across the dedup family); the gap window
+    partitions by shingle (posting-length-bounded per partition key);
+    byte sums collapse map-side to term grain, then to 5 buckets."""
+    from .analytics_queries import _materialize  # noqa: PLC0415
+
+    g = _materialize(spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir))
+    wsh = Window.partitionBy("sh").orderBy("doc_id")
+    d = g.select(
+        "sh",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wsh), F.col("doc_id")
+        ).alias("g"),
+    )
+    vl = F.expr(_PROTO_VL.format(v="g"))
+    per = d.groupBy("sh").agg(
+        F.count("*").alias("plen"), F.sum(vl).cast("long").alias("vbytes")
+    )
+    bucket = (
+        F.when(F.col("plen") == 1, "1")
+        .when(F.col("plen") <= 3, "2-3")
+        .when(F.col("plen") <= 7, "4-7")
+        .when(F.col("plen") <= 15, "8-15")
+        .otherwise("16+")
+    )
+    return per.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("plen").cast("long").alias("n_postings"),
+        (F.sum("plen") * 8).cast("long").alias("raw_bytes"),
+        F.sum("vbytes").cast("long").alias("varint_bytes"),
+        F.expr("(10000 * (sum(plen) * 8 - sum(vbytes))) div (sum(plen) * 8)")
+        .cast("long")
+        .alias("savings_bp"),
+    )
+
+
+@register(
+    "q_lateness_sweep",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen_max
+      FROM events
+    ),
+    l AS (
+      SELECT event_type,
+             CAST(COALESCE(date_diff('second', ts, seen_max), 0) AS BIGINT)
+               AS late_s
+      FROM r
+    )
+    SELECT event_type, delay_min,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE late_s > 60 * delay_min) AS BIGINT)
+             AS n_dropped,
+           CAST(10000 * COUNT(*) FILTER (WHERE late_s > 60 * delay_min)
+                // COUNT(*) AS BIGINT) AS drop_bp
+    FROM l CROSS JOIN (SELECT unnest([1, 5, 10, 30, 60]) AS delay_min)
+    GROUP BY event_type, delay_min
+    """,
+)
+def q_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sweep: for candidate delays of 1/5/10/30/60
+    minutes, the records a ``withWatermark`` of that delay would drop
+    per topic — the CURVE that picks the production delay
+    (q_watermark_drops prices one point; q_ooo_audit sizes per-key
+    displacement).  Lateness vs the running event-time high-water mark
+    in arrival order (event_id = partition offset), integer seconds.
+
+    100 TB plan: ONE running-max window per topic partition (arrival
+    order — the order a Kafka partition consumer sees) computes
+    lateness once; the 5-delay sweep is a literal explode of that
+    row, collapsing map-side to (topic, delay) grain.  No re-scan per
+    candidate delay."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.coalesce(
+        F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts"), F.lit(0)
+    )
+    l = e.select("event_type", late.alias("late_s"))
+    sweep = l.select(
+        "event_type",
+        "late_s",
+        F.explode(F.array(*[F.lit(m) for m in (1, 5, 10, 30, 60)])).alias(
+            "delay_min"
+        ),
+    )
+    dropped = F.when(F.col("late_s") > 60 * F.col("delay_min"), 1)
+    return sweep.groupBy("event_type", "delay_min").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count(dropped).cast("long").alias("n_dropped"),
+        F.expr("(10000 * count(if(late_s > 60 * delay_min, 1, null))) div count(*)")
+        .cast("long")
+        .alias("drop_bp"),
+    )

@@ -266,6 +266,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "(bounded by the observation calendar)",
     "q_ks_two_sample": "ECDF cumsums over distinct-length grain "
     "(bounded by the value domain, not the corpus)",
+    "q_equidepth_hist": "decile cumsum over price-cents grain "
+    "(bounded by the cents grid, not the corpus)",
 }
 
 
