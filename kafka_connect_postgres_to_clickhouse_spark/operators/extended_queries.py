@@ -18441,7 +18441,12 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wall).alias("n"),
     )
     probes = cu.select(
-        "cents", "cum", "n", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bucket")
+        "cents",
+        "cum",
+        "n",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.lit(10).cast("long"))).alias(
+            "bucket"
+        ),
     )
     hit_c = F.when(10 * F.col("cum") >= F.col("bucket") * F.col("n"), F.col("cents"))
     hit_n = F.when(10 * F.col("cum") >= F.col("bucket") * F.col("n"), F.col("cum"))
@@ -18589,4 +18594,261 @@ def q_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(10000 * count(if(late_s > 60 * delay_min, 1, null))) div count(*)")
         .cast("long")
         .alias("drop_bp"),
+    )
+
+
+@register(
+    "q_gorilla_ts_bits",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch(ts) AS t,
+             epoch(ts) - lag(epoch(ts)) OVER w AS delta,
+             lag(epoch(ts)) OVER w
+               - lag(epoch(ts), 2) OVER w AS prev_delta
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    b AS (
+      SELECT CASE
+               WHEN delta IS NULL THEN 'first'
+               WHEN COALESCE(delta - prev_delta, delta) = 0 THEN 'dod0'
+               WHEN COALESCE(delta - prev_delta, delta) BETWEEN -63 AND 64
+                 THEN 'dod7'
+               WHEN COALESCE(delta - prev_delta, delta) BETWEEN -255 AND 256
+                 THEN 'dod9'
+               WHEN COALESCE(delta - prev_delta, delta) BETWEEN -2047 AND 2048
+                 THEN 'dod12'
+               ELSE 'dod32' END AS bucket,
+             CASE
+               WHEN delta IS NULL THEN 64
+               WHEN COALESCE(delta - prev_delta, delta) = 0 THEN 1
+               WHEN COALESCE(delta - prev_delta, delta) BETWEEN -63 AND 64
+                 THEN 9
+               WHEN COALESCE(delta - prev_delta, delta) BETWEEN -255 AND 256
+                 THEN 12
+               WHEN COALESCE(delta - prev_delta, delta) BETWEEN -2047 AND 2048
+                 THEN 16
+               ELSE 36 END AS bits
+      FROM s
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(bits) AS BIGINT) AS gorilla_bits,
+           CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits,
+           CAST(10000 * (COUNT(*) * 64 - SUM(bits)) // (COUNT(*) * 64)
+                AS BIGINT) AS savings_bp
+    FROM b GROUP BY bucket
+    """,
+)
+def q_gorilla_ts_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla timestamp-compression sizing (Pelkonen 2015, section
+    4.1.1): per user series in event-time order, bucket each point by
+    its delta-of-delta — 0 costs 1 bit, [-63,64] costs 2+7, [-255,256]
+    3+9, [-2047,2048] 4+12, else 4+32; the series head stores a raw
+    64-bit epoch, and a second point (no previous delta) buckets its
+    plain delta.  The output prices time-series state/storage for the
+    events stream vs raw 64-bit epochs — regular heartbeats collapse
+    to ~1 bit/point, bursty topics don't; the storage twin of
+    q_interarrival_stats.
+
+    100 TB plan: two lags over ONE (user, ts) window partitioning —
+    per-key series, never global; bucket/bit assignment is row-local
+    integer arithmetic; one 6-key partial agg.  Epoch seconds are
+    exact integers in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts")
+    s = e.select(
+        (t - F.lag(t, 1).over(w)).alias("delta"),
+        (F.lag(t, 1).over(w) - F.lag(t, 2).over(w)).alias("prev_delta"),
+    )
+    dod = F.coalesce(F.col("delta") - F.col("prev_delta"), F.col("delta"))
+    bucket = (
+        F.when(F.col("delta").isNull(), "first")
+        .when(dod == 0, "dod0")
+        .when(dod.between(-63, 64), "dod7")
+        .when(dod.between(-255, 256), "dod9")
+        .when(dod.between(-2047, 2048), "dod12")
+        .otherwise("dod32")
+    )
+    bits = (
+        F.when(F.col("delta").isNull(), 64)
+        .when(dod == 0, 1)
+        .when(dod.between(-63, 64), 9)
+        .when(dod.between(-255, 256), 12)
+        .when(dod.between(-2047, 2048), 16)
+        .otherwise(36)
+    )
+    return s.select(bucket.alias("bucket"), bits.alias("bits")).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("bits").cast("long").alias("gorilla_bits"),
+        (F.count("*") * 64).cast("long").alias("raw_bits"),
+        F.expr("(10000 * (count(*) * 64 - sum(bits))) div (count(*) * 64)")
+        .cast("long")
+        .alias("savings_bp"),
+    )
+
+
+@register(
+    "q_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    stream AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])
+                         ELSE [] END) AS bg
+      FROM toks
+    ),
+    uni AS (SELECT COUNT(DISTINCT w) AS v FROM
+            (SELECT unnest(t) AS w FROM toks)),
+    ctx AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS cw1
+            FROM stream GROUP BY 1),
+    types AS (SELECT bg, string_split(bg, ' ')[1] AS w1, COUNT(*) AS cbg
+              FROM stream GROUP BY 1, 2),
+    score AS (
+      SELECT bg,
+             CAST(round(ln((cbg + 1.0) / (cw1 + v)) * 1000000) AS BIGINT) AS s
+      FROM types JOIN ctx USING (w1) CROSS JOIN uni
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(s) AS BIGINT) AS nll_micro,
+           CAST(-SUM(s) // COUNT(*) AS BIGINT) AS mean_nll_micro
+    FROM stream JOIN score USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed bigram language-model score per document:
+    mean -ln P(w_i | w_{i-1}) with P = (c(w1,w2)+1)/(c(w1·)+V) — the
+    step past q_perplexity's unigram LM; bigram NLL separates fluent
+    prose from shuffled-token gibberish a unigram model scores
+    identically (Jurafsky & Martin ch. 3).  Exactness: ln() is
+    evaluated once per bigram TYPE and quantized to a 1e-6-scaled
+    BIGINT, so per-doc sums and the mean are pure integer arithmetic
+    (the q_perplexity discipline).
+
+    100 TB plan: the bigram stream is a narrow per-row zip (shingles
+    k=2, no shuffle); type and context tables are token-grain partial
+    aggs; the score table joins back to the stream as a HASH equi-join
+    on the bigram key (type tables exceed broadcast at corpus scale —
+    unlike the unigram case, do NOT broadcast); one groupBy(doc_id)
+    finishes.  V broadcasts as a 1-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    stream = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
+    )
+    w1 = F.split(F.col("bg"), " ")[0]
+    uni = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    ctx = stream.groupBy(w1.alias("w1")).agg(F.count("*").alias("cw1"))
+    types = stream.groupBy("bg", w1.alias("w1")).agg(F.count("*").alias("cbg"))
+    score = (
+        types.join(ctx, "w1")
+        .crossJoin(F.broadcast(uni))
+        .select(
+            "bg",
+            F.round(
+                F.ln((F.col("cbg") + 1.0) / (F.col("cw1") + F.col("v"))) * 1000000
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return (
+        stream.join(score, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (-F.sum("s")).cast("long").alias("nll_micro"),
+            F.expr("(-sum(s)) div count(*)").cast("long").alias("mean_nll_micro"),
+        )
+    )
+
+
+@register(
+    "q_rle_page_runs",
+    oracle="""
+    WITH ev AS (
+      SELECT 'events.event_type' AS col, event_id // 1024 AS blk,
+             event_id AS pos, event_type AS val
+      FROM events
+      UNION ALL
+      SELECT 'orders.o_orderpriority', o_orderkey // 1024, o_orderkey,
+             o_orderpriority
+      FROM orders
+    ),
+    r AS (
+      SELECT col, val,
+             CASE WHEN lag(val) OVER (PARTITION BY col, blk ORDER BY pos)
+                       IS DISTINCT FROM val THEN 1 ELSE 0 END AS is_start
+      FROM ev
+    )
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(is_start) AS BIGINT) AS n_runs,
+           CAST(SUM(octet_length(encode(val))) AS BIGINT) AS raw_bytes,
+           CAST(SUM(CASE WHEN is_start = 1
+                         THEN octet_length(encode(val)) + 2 ELSE 0 END) AS BIGINT)
+             AS rle_bytes,
+           CAST(10000 * (SUM(octet_length(encode(val)))
+                - SUM(CASE WHEN is_start = 1
+                           THEN octet_length(encode(val)) + 2 ELSE 0 END))
+                // SUM(octet_length(encode(val))) AS BIGINT) AS savings_bp
+    FROM r GROUP BY col
+    """,
+)
+def q_rle_page_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-local run-length-encoding advisor: within 1024-row pages
+    (keyed by the natural write order — event_id / o_orderkey), count
+    value runs of the low-cardinality string columns and price RLE
+    (per run: the value + a 2-byte length) vs raw bytes — the
+    LAYOUT-dependent codec call that q_encoding_advisor's global
+    dictionary stats can't make: RLE pays only if the write order
+    clusters values, and page locality is exactly how parquet/
+    ClickHouse granules encode.  Run starts via lag IS DISTINCT FROM
+    within each page.
+
+    100 TB plan: page id is key arithmetic (no global sort); the lag
+    window partitions by (col, page) — 1024-row bounded partitions;
+    one partial agg to column grain.  Pairs with q_zorder_layout
+    (which REORDERS pages) and q_compaction_plan."""
+    e = _t(spark, sf_dir, "events").select(
+        F.lit("events.event_type").alias("col"),
+        F.expr("event_id div 1024").alias("blk"),
+        F.col("event_id").alias("pos"),
+        F.col("event_type").alias("val"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("orders.o_orderpriority").alias("col"),
+        F.expr("o_orderkey div 1024").alias("blk"),
+        F.col("o_orderkey").alias("pos"),
+        F.col("o_orderpriority").alias("val"),
+    )
+    ev = e.unionByName(o)
+    w = Window.partitionBy("col", "blk").orderBy("pos")
+    is_start = F.when(
+        ~F.lag("val").over(w).eqNullSafe(F.col("val")), 1
+    ).otherwise(0)
+    r = ev.select("col", "val", is_start.alias("is_start"))
+    rle_b = F.sum(
+        F.when(F.col("is_start") == 1, F.octet_length("val") + 2).otherwise(0)
+    )
+    raw_b = F.sum(F.octet_length("val"))
+    agg = r.groupBy("col").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("is_start").cast("long").alias("n_runs"),
+        raw_b.cast("long").alias("raw_bytes"),
+        rle_b.cast("long").alias("rle_bytes"),
+    )
+    return agg.select(
+        "*",
+        F.expr("(10000 * (raw_bytes - rle_bytes)) div raw_bytes")
+        .cast("long")
+        .alias("savings_bp"),
     )
