@@ -18852,3 +18852,218 @@ def q_rle_page_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("savings_bp"),
     )
+
+
+@register(
+    "q_wasserstein_drift",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT cents, CAST(SUM(in_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - in_a) AS BIGINT) AS cb
+      FROM v GROUP BY cents
+    ),
+    c AS (
+      SELECT cents,
+             SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb,
+             lead(cents) OVER (ORDER BY cents) AS nxt
+      FROM g
+      WINDOW w AS (ORDER BY cents)
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                         ELSE abs(cuma * nb - cumb * na) * (nxt - cents)
+                    END) AS BIGINT) AS w1_scaled,
+           SUM(CASE WHEN nxt IS NULL THEN 0
+                    ELSE abs(cuma * nb - cumb * na) * (nxt - cents) END)
+             / (MAX(na) * MAX(nb) * 100.0) AS w1_value
+    FROM c
+    """,
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Wasserstein-1 (earth mover's) distance between the event
+    value distributions of the month's first half and second half —
+    the drift metric that, unlike KL (q_kl_drift, needs binning and
+    breaks on disjoint support) or KS (q_ks_two_sample, only the max
+    gap), integrates HOW FAR mass moved: W1 = integral |F_a - F_b| dv.
+    On the cents grid with counts na/nb, scaling both ECDFs by na*nb
+    makes every term a product of integers — the sum is exact BIGINT;
+    the single division to value units happens once at the end.
+
+    100 TB plan: one filtered scan collapses to value-grain counts
+    (map-side partial agg, the only fact-volume shuffle); cumsum +
+    lead run over the cents-grid grain (domain-bounded, the
+    q_ks_two_sample / q_equidepth_hist allowance); output is 1 row."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+    )
+    wo = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    c = g.select(
+        "cents",
+        F.sum("ca").over(wo).alias("cuma"),
+        F.sum("cb").over(wo).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+        F.lead("cents").over(wo).alias("nxt"),
+    )
+    term = F.when(F.col("nxt").isNull(), F.lit(0).cast("long")).otherwise(
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        * (F.col("nxt") - F.col("cents"))
+    )
+    return c.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(term).cast("long").alias("w1_scaled"),
+        (
+            F.sum(term).cast("double")
+            / (F.max("na") * F.max("nb") * F.lit(100.0))
+        ).alias("w1_value"),
+    )
+
+
+@register(
+    "q_sink_type_overflow",
+    oracle="""
+    WITH v AS (
+      SELECT 'events.ts_micros' AS col, 'Int32' AS target,
+             epoch_us(ts) AS val FROM events
+      UNION ALL
+      SELECT 'events.user_id', 'Int32', user_id FROM events
+      UNION ALL
+      SELECT 'events.value_cents', 'Int32',
+             CAST(round(value * 100) AS BIGINT) FROM events
+             WHERE value IS NOT NULL
+      UNION ALL
+      SELECT 'orders.o_totalprice_cents', 'Int32',
+             CAST(round(o_totalprice * 100) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', 'Int32', l_orderkey FROM lineitem
+    )
+    SELECT col, target,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE val > 2147483647 OR val < -2147483648)
+                AS BIGINT) AS n_overflow,
+           CAST(MAX(abs(val)) AS BIGINT) AS max_abs,
+           CASE WHEN COUNT(*) FILTER (WHERE val > 2147483647
+                                         OR val < -2147483648) = 0
+                THEN 'fits' ELSE 'needs_Int64' END AS verdict
+    FROM v GROUP BY col, target
+    """,
+)
+def q_sink_type_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink type-mapping overflow audit: for each numeric column a
+    narrow ClickHouse target (Int32) might be chosen for, count values
+    outside the target's range and report the go/no-go verdict —
+    the DDL-generation preflight that catches the classic failure of
+    sinking a MicroTimestamp epoch (~1.7e15) into Int32 before the
+    INSERT dies at runtime.  Complements q_ddl_generate (which emits
+    the wide-enough types) and q_typemap_roundtrip (which proves the
+    chosen ones round-trip); q_decimal_grid_audit covers the
+    fractional hazard.
+
+    100 TB plan: a union of pruned single-column scans, row-local
+    range compares, one (col,target)-grain partial agg."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    v = (
+        e.select(
+            F.lit("events.ts_micros").alias("col"),
+            F.lit("Int32").alias("target"),
+            F.unix_micros("ts").alias("val"),
+        )
+        .unionAll(
+            e.select(
+                F.lit("events.user_id"),
+                F.lit("Int32"),
+                F.col("user_id").cast("long"),
+            )
+        )
+        .unionAll(
+            e.filter(F.col("value").isNotNull()).select(
+                F.lit("events.value_cents"),
+                F.lit("Int32"),
+                F.round(F.col("value") * 100).cast("long"),
+            )
+        )
+        .unionAll(
+            o.select(
+                F.lit("orders.o_totalprice_cents"),
+                F.lit("Int32"),
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("lineitem.l_orderkey"),
+                F.lit("Int32"),
+                F.col("l_orderkey").cast("long"),
+            )
+        )
+    )
+    over = (F.col("val") > 2147483647) | (F.col("val") < -2147483648)
+    n_over = F.count(F.when(over, 1))
+    return v.groupBy("col", "target").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        n_over.cast("long").alias("n_overflow"),
+        F.max(F.abs("val")).cast("long").alias("max_abs"),
+        F.when(n_over == 0, "fits").otherwise("needs_Int64").alias("verdict"),
+    )
+
+
+@register(
+    "q_source_quota_cap",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE rn <= 50) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 50) AS BIGINT) AS n_suppressed,
+           CAST(MIN(CASE WHEN rn <= 50 THEN n_chars END) AS BIGINT)
+             AS min_kept_chars
+    FROM r GROUP BY source
+    """,
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: keep at most 50 documents per source,
+    preferring longer ones (n_chars DESC, doc_id tiebreak), and count
+    what the cap suppresses — the anti-domination rule of web-corpus
+    curation (a single crawler-friendly domain must not become 40% of
+    the mix; the quota twin of q_training_mix's proportional targets
+    and q_dedup_keep_best's per-CLUSTER winner).
+
+    100 TB plan: rank within source partitions (key-partitioned
+    window — per-source rows, never global); suppression counts
+    collapse map-side to source grain.  For skewed mega-sources, the
+    rank can be pre-thinned with the q_topk_two_phase
+    partial-heap pattern; at quota 50 the window is already cheap."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    r = d.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+    return r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(F.col("rn") <= 50, 1)).cast("long").alias("n_kept"),
+        F.count(F.when(F.col("rn") > 50, 1)).cast("long").alias("n_suppressed"),
+        F.min(F.when(F.col("rn") <= 50, F.col("n_chars")))
+        .cast("long")
+        .alias("min_kept_chars"),
+    )

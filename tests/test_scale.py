@@ -268,6 +268,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "(bounded by the value domain, not the corpus)",
     "q_equidepth_hist": "decile cumsum over price-cents grain "
     "(bounded by the cents grid, not the corpus)",
+    "q_wasserstein_drift": "ECDF cumsum + lead over value-cents grain "
+    "(bounded by the cents grid, not the corpus)",
 }
 
 
