@@ -19067,3 +19067,251 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("min_kept_chars"),
     )
+
+
+@register(
+    "q_stream_state_probe",
+    oracle="""
+    SELECT date_trunc('hour', ts) + INTERVAL 1 HOUR AS probe_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM events
+    WHERE minute(ts) >= 50
+    GROUP BY 1
+    """,
+)
+def q_stream_state_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store sizing probe: at every hour boundary,
+    the rows and distinct keys a 10-minute
+    ``dropDuplicatesWithinWatermark`` / stream-stream-join buffer
+    would be holding (events with ts in the trailing 10 minutes) —
+    the memory-budget curve that sizes executor state ahead of
+    enabling a stateful operator (q_watermark_drops prices drops;
+    this prices RETENTION).  The trailing-10-min-at-the-hour test
+    reduces to minute(ts) >= 50, so ALL probes come from one scan —
+    no per-probe re-filter, no self-join.
+
+    100 TB plan: row-local predicate + one (hour)-grain partial agg
+    with map-side distinct collapse; output is calendar-bounded."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.minute("ts") >= 50)
+        .groupBy(
+            (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")).alias(
+                "probe_hour"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_keys"),
+        )
+    )
+
+
+@register(
+    "q_cow_vs_mor",
+    oracle=CHANGELOG_CTE
+    + """
+    SELECT _seq // 500 AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id // 100) AS BIGINT) AS n_files_touched,
+           CAST(COUNT(DISTINCT user_id // 100) * 100 AS BIGINT)
+             AS cow_rewrite_rows,
+           CAST(COUNT(*) AS BIGINT) AS mor_append_rows,
+           CAST(10000 * (COUNT(DISTINCT user_id // 100) * 100) // COUNT(*)
+                AS BIGINT) AS write_amp_bp
+    FROM changelog GROUP BY batch_id
+    """,
+)
+def q_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write vs merge-on-read advisor for the upsert sink
+    (the Hudi/Iceberg/Delta table-format decision): model the sink
+    table as 100-key file granules clustered by user_id; per 500-row
+    commit batch, COW rewrites every touched granule in full
+    (touched_files x 100 rows) while MOR appends just the batch and
+    defers the merge to readers.  write_amp_bp is COW's write
+    amplification over MOR — scattered update keys push it up (every
+    row lands in its own granule), hot-key batches push it toward
+    parity (q_sink_batch_stats' redundancy is the same force on the
+    LWW sink).
+
+    100 TB plan: batch and granule ids are pure key arithmetic; one
+    batch-grain partial agg with map-side distinct collapse on the
+    granule id.  No window, no join."""
+    log = _changelog(spark, sf_dir).select("_seq", "user_id")
+    files = F.expr("user_id div 100")
+    return (
+        log.groupBy(F.expr("_seq div 500").alias("batch_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct(files).cast("long").alias("n_files_touched"),
+            (F.countDistinct(files) * 100).cast("long").alias("cow_rewrite_rows"),
+            F.count("*").cast("long").alias("mor_append_rows"),
+            F.expr(
+                "(10000 * (count(DISTINCT user_id div 100) * 100)) div count(*)"
+            )
+            .cast("long")
+            .alias("write_amp_bp"),
+        )
+    )
+
+
+@register(
+    "q_arrow_batch_size",
+    oracle="""
+    WITH b AS (
+      SELECT event_id // 1024 AS batch_id,
+             COUNT(*) AS n,
+             CAST(SUM(COALESCE(octet_length(encode(event_type)), 0)) AS BIGINT)
+               AS et_bytes,
+             CAST(SUM(COALESCE(octet_length(encode(props)), 0)) AS BIGINT)
+               AS pr_bytes
+      FROM events GROUP BY batch_id
+    )
+    SELECT batch_id,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(6 * (((n + 63) // 64 * 8) + 7) // 8 * 8 AS BIGINT)
+             AS validity_bytes,
+           CAST(4 * 8 * n AS BIGINT) AS fixed_bytes,
+           CAST(2 * ((4 * (n + 1) + 7) // 8 * 8) AS BIGINT) AS offsets_bytes,
+           CAST((et_bytes + 7) // 8 * 8 + (pr_bytes + 7) // 8 * 8 AS BIGINT)
+             AS strdata_bytes,
+           CAST(6 * (((n + 63) // 64 * 8) + 7) // 8 * 8
+                + 4 * 8 * n
+                + 2 * ((4 * (n + 1) + 7) // 8 * 8)
+                + (et_bytes + 7) // 8 * 8 + (pr_bytes + 7) // 8 * 8
+                AS BIGINT) AS total_bytes
+    FROM b
+    """,
+)
+def q_arrow_batch_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC RecordBatch body sizing for the events table in
+    1024-row batches — the columnar-wire answer to the row-wire
+    family (q_wire_size_stats JSON, q_csv_wire, q_proto_wire_size,
+    q_avro_varint_size): per the Arrow columnar format spec, each
+    column carries a validity bitmap (ceil(n/64)*8 bytes, 8-byte
+    aligned), fixed-width columns carry width*n data (event_id/ts/
+    user_id/value = 4 x 8 bytes), and varchar columns carry
+    4-byte offsets (n+1, aligned) plus the UTF-8 payload (aligned).
+    This is the batch size a Pandas-UDF/mapInPandas hop or an Arrow
+    Flight sink actually ships — the table that justifies columnar
+    batching over per-row JSON (typically ~3-5x smaller here).
+
+    100 TB plan: batch id is key arithmetic; per-batch byte totals
+    are one partial agg; the alignment math is row-local integer
+    arithmetic on the aggregates."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(F.expr("event_id div 1024").alias("batch_id")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce(F.octet_length("event_type"), F.lit(0)))
+        .cast("long")
+        .alias("et_bytes"),
+        F.sum(F.coalesce(F.octet_length("props"), F.lit(0)))
+        .cast("long")
+        .alias("pr_bytes"),
+    )
+    pad8 = lambda c: F.expr(f"(({c}) + 7) div 8 * 8")  # noqa: E731
+    validity = F.expr("6 * (((n + 63) div 64 * 8) + 7) div 8 * 8")
+    fixed = F.expr("4 * 8 * n")
+    offsets = F.expr("2 * ((4 * (n + 1) + 7) div 8 * 8)")
+    strdata = pad8("et_bytes") + pad8("pr_bytes")
+    return b.select(
+        "batch_id",
+        F.col("n").cast("long").alias("n_rows"),
+        validity.cast("long").alias("validity_bytes"),
+        fixed.cast("long").alias("fixed_bytes"),
+        offsets.cast("long").alias("offsets_bytes"),
+        strdata.cast("long").alias("strdata_bytes"),
+        (validity + fixed + offsets + strdata).cast("long").alias("total_bytes"),
+    )
+
+
+@register(
+    "q_late_dim_facts",
+    oracle=CHANGELOG_CTE
+    + """
+    , dim AS (
+      SELECT user_id, updated_at AS t, _seq AS seq, 1 AS is_dim,
+             CASE WHEN op = 'd' THEN '__deleted__' ELSE account_type END
+               AS acct
+      FROM changelog
+    ),
+    fact AS (
+      SELECT user_id, ts AS t, event_id AS seq, 0 AS is_dim,
+             CAST(NULL AS VARCHAR) AS acct
+      FROM events
+    ),
+    u AS (SELECT * FROM dim UNION ALL SELECT * FROM fact),
+    r AS (
+      SELECT user_id, is_dim,
+             last_value(acct IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, is_dim DESC, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff
+      FROM u
+    )
+    SELECT CASE WHEN eff IS NULL THEN 'no_dim_yet'
+                WHEN eff = '__deleted__' THEN 'deleted'
+                ELSE eff END AS effective_type,
+           CAST(COUNT(*) AS BIGINT) AS n_facts
+    FROM r WHERE is_dim = 0
+    GROUP BY effective_type
+    """,
+)
+def q_late_dim_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension enrichment: attach to every fact
+    (event) the dimension attribute (the user's account_type from the
+    CDC changelog) AS OF the fact's event time — facts that precede
+    the key's first dimension version land in the 'no_dim_yet'
+    placeholder bucket, facts after a delete land in 'deleted' (a
+    delete genuinely removes the attribute; last-known-value would be
+    wrong).  This is the kimball late-arriving-dim pattern done as
+    ONE interleaved pass instead of a per-fact point lookup:
+    q_scd2_asof answers one instant for all keys; this answers every
+    fact's own instant.
+
+    Tie rule: a dim version stamped exactly at the fact's timestamp
+    IS visible (dim sorts before fact at equal t via is_dim DESC);
+    same-instant dim versions resolve LWW by _seq.
+
+    100 TB plan: union the two streams, ONE window over the user_id
+    partitioning (the same shuffle every changelog op pays), carry
+    the last-non-null attribute forward, then a placeholder-grain
+    partial agg.  No per-fact join, no broadcast of an unbounded
+    dim."""
+    log = _changelog(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    dim = log.select(
+        "user_id",
+        F.col("updated_at").alias("t"),
+        F.col("_seq").alias("seq"),
+        F.lit(1).alias("is_dim"),
+        F.when(F.col("op") == "d", "__deleted__")
+        .otherwise(F.col("account_type"))
+        .alias("acct"),
+    )
+    fact = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("seq"),
+        F.lit(0).alias("is_dim"),
+        F.lit(None).cast("string").alias("acct"),
+    )
+    u = dim.unionByName(fact)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.col("is_dim").desc(), "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = u.select(
+        "is_dim", F.last("acct", ignorenulls=True).over(w).alias("eff")
+    )
+    effective = (
+        F.when(F.col("eff").isNull(), "no_dim_yet")
+        .when(F.col("eff") == "__deleted__", "deleted")
+        .otherwise(F.col("eff"))
+    )
+    return (
+        r.filter(F.col("is_dim") == 0)
+        .groupBy(effective.alias("effective_type"))
+        .agg(F.count("*").cast("long").alias("n_facts"))
+    )
