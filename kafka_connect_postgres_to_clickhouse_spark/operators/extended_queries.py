@@ -19315,3 +19315,386 @@ def q_late_dim_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(effective.alias("effective_type"))
         .agg(F.count("*").cast("long").alias("n_facts"))
     )
+
+
+@register(
+    "q_join_order_advisor",
+    oracle="""
+    WITH so AS (SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+    n_ol AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM so
+             JOIN lineitem ON l_orderkey = o_orderkey),
+    n_oc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM so
+             JOIN customer ON c_custkey = o_custkey),
+    n_fin AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM so
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN customer ON c_custkey = o_custkey),
+    n_l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+    n_c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+    SELECT plan, step1_rows, final_rows,
+           CAST(step1_rows + final_rows AS BIGINT) AS cost_rows,
+           CAST(rank() OVER (ORDER BY step1_rows + final_rows) AS BIGINT)
+             AS cost_rank
+    FROM (
+      SELECT '(orders JOIN lineitem) JOIN customer' AS plan,
+             n_ol.n AS step1_rows, n_fin.n AS final_rows
+      FROM n_ol, n_fin
+      UNION ALL
+      SELECT '(orders JOIN customer) JOIN lineitem',
+             n_oc.n, n_fin.n FROM n_oc, n_fin
+      UNION ALL
+      SELECT '(lineitem CROSS customer) JOIN orders',
+             n_l.n * n_c.n, n_fin.n FROM n_l, n_c, n_fin
+    )
+    """,
+)
+def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-order advisor: EXACT intermediate cardinalities for three
+    left-deep orders of the filtered 3-table join (urgent orders x
+    lineitem x customer) — the enumeration a Selinger-style optimizer
+    does with ESTIMATES (q_join_size_estimate audits those), done
+    here with true counts: put the selective filter's table first and
+    the intermediate collapses; start from the cross product and it
+    explodes by |lineitem| x |customer| (that row is ARITHMETIC —
+    n_l * n_c — never executed).  cost = sum of intermediate rows,
+    ranked.
+
+    100 TB plan: each real intermediate is a COUNT of a key-only
+    equi-join (no payload columns move); the cross-product plan is
+    priced from two 1-row counts; assembly is a 3-row union."""
+    so = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    n_ol = so.join(li, so.o_orderkey == li.l_orderkey).agg(
+        F.count("*").cast("long").alias("n1")
+    )
+    n_oc = so.join(cu, so.o_custkey == cu.c_custkey).agg(
+        F.count("*").cast("long").alias("n1")
+    )
+    n_fin = (
+        so.join(li, so.o_orderkey == li.l_orderkey)
+        .join(cu, so.o_custkey == cu.c_custkey)
+        .agg(F.count("*").cast("long").alias("nf"))
+    )
+    n_l = li.agg(F.count("*").cast("long").alias("nl"))
+    n_c = cu.agg(F.count("*").cast("long").alias("nc"))
+    p1 = n_ol.crossJoin(F.broadcast(n_fin)).select(
+        F.lit("(orders JOIN lineitem) JOIN customer").alias("plan"),
+        F.col("n1").alias("step1_rows"),
+        F.col("nf").alias("final_rows"),
+    )
+    p2 = n_oc.crossJoin(F.broadcast(n_fin)).select(
+        F.lit("(orders JOIN customer) JOIN lineitem").alias("plan"),
+        F.col("n1").alias("step1_rows"),
+        F.col("nf").alias("final_rows"),
+    )
+    p3 = (
+        n_l.crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(n_fin))
+        .select(
+            F.lit("(lineitem CROSS customer) JOIN orders").alias("plan"),
+            (F.col("nl") * F.col("nc")).cast("long").alias("step1_rows"),
+            F.col("nf").alias("final_rows"),
+        )
+    )
+    u = p1.unionByName(p2).unionByName(p3)
+    w = Window.orderBy(F.col("step1_rows") + F.col("final_rows"))
+    return u.select(
+        "plan",
+        "step1_rows",
+        "final_rows",
+        (F.col("step1_rows") + F.col("final_rows")).cast("long").alias("cost_rows"),
+        F.rank().over(w).cast("long").alias("cost_rank"),
+    )
+
+
+@register(
+    "q_session_gap_sweep",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    )
+    SELECT gap_min,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) FILTER (WHERE gap_s IS NULL
+                                    OR gap_s > 60 * gap_min) AS BIGINT)
+             AS n_sessions,
+           CAST(100 * COUNT(*) FILTER (WHERE gap_s IS NULL
+                                          OR gap_s > 60 * gap_min)
+                // COUNT(DISTINCT user_id) AS BIGINT) AS sess_per_user_x100
+    FROM g CROSS JOIN (SELECT unnest([5, 15, 30, 60]) AS gap_min)
+    GROUP BY gap_min
+    """,
+)
+def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-threshold sweep: for inactivity gaps of
+    5/15/30/60 minutes, the session count a gap-based sessionizer
+    would produce — the CURVE that picks the session timeout the
+    same way q_lateness_sweep picks the watermark delay
+    (q_session_stats prices ONE threshold).  A session starts where
+    the user's inter-event gap exceeds the threshold (or at their
+    first event); integer epoch-second gaps, exact in both engines.
+
+    100 TB plan: ONE lag over the per-user event-time window
+    computes every gap once; the 4-threshold sweep explodes that
+    single row and collapses map-side to threshold grain.  No
+    re-scan per candidate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    )
+    sweep = g.select(
+        "user_id",
+        "gap_s",
+        F.explode(F.array(*[F.lit(m) for m in (5, 15, 30, 60)])).alias("gap_min"),
+    )
+    is_start = F.col("gap_s").isNull() | (F.col("gap_s") > 60 * F.col("gap_min"))
+    return sweep.groupBy("gap_min").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.when(is_start, 1)).cast("long").alias("n_sessions"),
+        F.expr(
+            "(100 * count(if(gap_s IS NULL OR gap_s > 60 * gap_min, 1, null)))"
+            " div count(DISTINCT user_id)"
+        )
+        .cast("long")
+        .alias("sess_per_user_x100"),
+    )
+
+
+@register(
+    "q_linked_sample",
+    oracle=f"""
+    WITH uni AS (SELECT DISTINCT user_id FROM events),
+    s AS (
+      SELECT user_id,
+             CASE WHEN {_hex_bucket_sql("md5(CAST(user_id AS VARCHAR))", 2)} < 51
+                  THEN 1 ELSE 0 END AS sampled
+      FROM uni
+    ),
+    ev AS (
+      SELECT e.user_id, s.sampled FROM events e JOIN s USING (user_id)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_users_total,
+           CAST((SELECT SUM(sampled) FROM s) AS BIGINT) AS n_users_sampled,
+           CAST(COUNT(*) AS BIGINT) AS n_events_total,
+           CAST(SUM(sampled) AS BIGINT) AS n_events_kept,
+           CAST(10000 * (SELECT SUM(sampled) FROM s)
+                // (SELECT COUNT(*) FROM s) AS BIGINT) AS user_share_bp,
+           CAST(10000 * SUM(sampled) // COUNT(*) AS BIGINT) AS event_share_bp
+    FROM ev
+    """,
+)
+def q_linked_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-closed (linked) sampling: sample ~20% of USERS by
+    a deterministic hash of the join key (md5 bucket < 51/256), then
+    keep exactly the events of sampled users — the only sampling
+    scheme under which per-user features, sessions, and funnels
+    computed on the sample are unbiased (row-level Bernoulli sampling
+    shreds user histories; q_sample_hash splits ROWS, this splits
+    ENTITIES).  The audit reports user-share vs event-share — heavy
+    users make event share drift from 20%, and that gap is the
+    design's signal, not an error.
+
+    100 TB plan: the sample decision is a row-local hash on the join
+    key — every table sharing the key samples CONSISTENTLY with no
+    coordination, no broadcast list; counts are 1-row aggregates
+    (the events side reuses the key-grain distinct)."""
+    e = _t(spark, sf_dir, "events")
+    uni = e.select("user_id").distinct()
+    sampled = F.when(
+        _hex_bucket_col(F.md5(F.col("user_id").cast("string")), 2) < 51, 1
+    ).otherwise(0)
+    s = uni.select("user_id", sampled.alias("sampled"))
+    us = s.agg(
+        F.count("*").cast("long").alias("n_users_total"),
+        F.sum("sampled").cast("long").alias("n_users_sampled"),
+    )
+    ev = (
+        e.select("user_id")
+        .join(s, "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events_total"),
+            F.sum("sampled").cast("long").alias("n_events_kept"),
+        )
+    )
+    return us.crossJoin(F.broadcast(ev)).select(
+        "n_users_total",
+        "n_users_sampled",
+        "n_events_total",
+        "n_events_kept",
+        F.expr("(10000 * n_users_sampled) div n_users_total")
+        .cast("long")
+        .alias("user_share_bp"),
+        F.expr("(10000 * n_events_kept) div n_events_total")
+        .cast("long")
+        .alias("event_share_bp"),
+    )
+
+
+@register(
+    "q_bloom_fpr_sweep",
+    oracle=f"""
+    WITH train AS (
+      SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE source = 'src0'
+    ),
+    t1 AS (
+      SELECT string_split(lower(text), ' ') AS t
+      FROM documents WHERE source = 'src1'
+    ),
+    test AS (
+      SELECT DISTINCT unnest(CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END) AS w
+      FROM t1
+    ),
+    nonmem AS (SELECT w FROM test WHERE w NOT IN (SELECT w FROM train)),
+    sizes AS (SELECT unnest([2, 3, 4]) AS nchars),
+    bits AS (
+      SELECT nchars,
+             CASE nchars
+               WHEN 2 THEN {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || '#' || w)", 2)}
+               WHEN 3 THEN {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || '#' || w)", 3)}
+               ELSE {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || '#' || w)", 4)}
+             END AS bit
+      FROM train CROSS JOIN sizes CROSS JOIN UNNEST([0, 1, 2]) AS u(j)
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT nchars, w,
+             CASE nchars
+               WHEN 2 THEN {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || '#' || w)", 2)}
+               WHEN 3 THEN {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || '#' || w)", 3)}
+               ELSE {_hex_bucket_sql("md5(CAST(j AS VARCHAR) || '#' || w)", 4)}
+             END AS bit
+      FROM nonmem CROSS JOIN sizes CROSS JOIN UNNEST([0, 1, 2]) AS u(j)
+    ),
+    hits AS (
+      SELECT p.nchars, p.w, COUNT(*) AS n_set
+      FROM probe p JOIN bits b ON p.nchars = b.nchars AND p.bit = b.bit
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT sizes.nchars,
+             COUNT(*) FILTER (WHERE COALESCE(h.n_set, 0) = 3) AS n_fp
+      FROM nonmem CROSS JOIN sizes
+      LEFT JOIN hits h ON h.nchars = sizes.nchars AND h.w = nonmem.w
+      GROUP BY 1
+    )
+    SELECT CAST(power(16, fp.nchars) AS BIGINT) AS m_bits,
+           CAST((SELECT COUNT(*) FROM train) AS BIGINT) AS n_train_words,
+           CAST(bs.n_bits_set AS BIGINT) AS n_bits_set,
+           CAST((SELECT COUNT(*) FROM nonmem) AS BIGINT) AS n_nonmembers,
+           CAST(fp.n_fp AS BIGINT) AS n_false_positives,
+           CAST(10000 * fp.n_fp // (SELECT COUNT(*) FROM nonmem) AS BIGINT)
+             AS fpr_bp
+    FROM fp JOIN (SELECT nchars, COUNT(*) AS n_bits_set FROM bits GROUP BY 1) bs
+      USING (nchars)
+    """,
+)
+def q_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter size sweep: ACTUAL false-positive rate of a k=3
+    filter at m = 256 / 4096 / 65536 bits over the src0 vocabulary,
+    probed with src1's 3-gram shingles (guaranteed absent from a
+    unigram filter; anti-joined against the vocab for rigor) — the calibration curve that
+    sizes the filter (q_bloom_membership proves one point and the
+    zero-false-negative property; this prices the m-vs-FPR tradeoff,
+    the same sweep-the-knob pattern as q_lateness_sweep /
+    q_session_gap_sweep / q_lsh_calibration).  Bit positions come
+    from md5 hex-prefix bucket arithmetic, engine-identical.
+
+    100 TB plan: vocab and probe sets are token-grain distincts
+    (partial-agg collapse); the bit sets are at most m rows each and
+    BROADCAST to the probe side; per-m work is a narrow equi-join on
+    (m, bit).  The sweep shares one tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def vocab(src: str) -> DataFrame:
+        return (
+            d.filter(F.col("source") == src)
+            .select(F.explode(tokens(F.col("text"))).alias("w"))
+            .distinct()
+        )
+
+    train = vocab("src0")
+    probe_sh = (
+        d.filter(F.col("source") == "src1")
+        .select(F.explode(shingles(F.col("text"), 3)).alias("w"))
+        .distinct()
+    )
+    nonmem = probe_sh.join(train, "w", "left_anti")
+    seeds = F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j")
+    sizes = F.explode(F.array(*[F.lit(n) for n in (2, 3, 4)])).alias("nchars")
+
+    def bit_col():
+        h = F.md5(F.concat(F.col("j").cast("string"), F.lit("#"), F.col("w")))
+        return (
+            F.when(F.col("nchars") == 2, _hex_bucket_col(h, 2))
+            .when(F.col("nchars") == 3, _hex_bucket_col(h, 3))
+            .otherwise(_hex_bucket_col(h, 4))
+        )
+
+    bits = (
+        train.select("w", sizes)
+        .select("w", "nchars", seeds)
+        .select("nchars", bit_col().alias("bit"))
+        .distinct()
+    )
+    probe = (
+        nonmem.select("w", sizes)
+        .select("w", "nchars", seeds)
+        .select("nchars", "w", bit_col().alias("bit"))
+    )
+    hits = (
+        probe.join(F.broadcast(bits), ["nchars", "bit"])
+        .groupBy("nchars", "w")
+        .agg(F.count("*").alias("n_set"))
+    )
+    base = nonmem.select("w", sizes)
+    fp = (
+        base.join(hits, ["nchars", "w"], "left")
+        .groupBy("nchars")
+        .agg(
+            F.count(F.when(F.coalesce("n_set", F.lit(0)) == 3, 1))
+            .cast("long")
+            .alias("n_fp")
+        )
+    )
+    bs = bits.groupBy("nchars").agg(F.count("*").cast("long").alias("n_bits_set"))
+    ntr = train.agg(F.count("*").cast("long").alias("n_train_words"))
+    nnm = nonmem.agg(F.count("*").cast("long").alias("n_nonmembers"))
+    return (
+        fp.join(bs, "nchars")
+        .crossJoin(F.broadcast(ntr))
+        .crossJoin(F.broadcast(nnm))
+        .select(
+            F.pow(F.lit(16.0), F.col("nchars")).cast("long").alias("m_bits"),
+            "n_train_words",
+            "n_bits_set",
+            "n_nonmembers",
+            "n_fp",
+        )
+        .withColumnRenamed("n_fp", "n_false_positives")
+        .select(
+            "m_bits",
+            "n_train_words",
+            "n_bits_set",
+            "n_nonmembers",
+            "n_false_positives",
+            F.expr("(10000 * n_false_positives) div n_nonmembers")
+            .cast("long")
+            .alias("fpr_bp"),
+        )
+    )

@@ -270,6 +270,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "(bounded by the cents grid, not the corpus)",
     "q_wasserstein_drift": "ECDF cumsum + lead over value-cents grain "
     "(bounded by the cents grid, not the corpus)",
+    "q_join_order_advisor": "rank over a 3-row union of 1-row aggregates",
 }
 
 
