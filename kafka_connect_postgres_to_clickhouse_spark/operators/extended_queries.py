@@ -19698,3 +19698,469 @@ def q_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fpr_bp"),
         )
     )
+
+
+@register(
+    "q_entropy_bound",
+    oracle="""
+    WITH v AS (
+      SELECT 'events.event_type' AS col, event_type AS val FROM events
+      UNION ALL
+      SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_returnflag', l_returnflag FROM lineitem
+    ),
+    g AS (SELECT col, val, COUNT(*) AS c FROM v GROUP BY col, val),
+    t AS (SELECT col, SUM(c) AS n,
+                 CAST(SUM(octet_length(encode(val)) * c) AS BIGINT) AS raw_bytes
+          FROM g GROUP BY col),
+    s AS (
+      SELECT g.col, g.c,
+             CAST(round(ln(CAST(t.n AS DOUBLE) / g.c) * 1000000) AS BIGINT)
+               AS s_v
+      FROM g JOIN t USING (col)
+    )
+    SELECT s.col,
+           CAST(MAX(t.n) AS BIGINT) AS n_values,
+           CAST(COUNT(*) AS BIGINT) AS ndv,
+           CAST(SUM(s.c * s.s_v) AS BIGINT) AS total_micronats,
+           SUM(s.c * s.s_v) / 1000000.0 / ln(2) / 8 AS bound_bytes,
+           CAST(MAX(t.raw_bytes) AS BIGINT) AS raw_bytes
+    FROM s JOIN t ON s.col = t.col
+    GROUP BY s.col
+    """,
+)
+def q_entropy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon lower bound for column compression: H = sum c_v *
+    ln(n/c_v) over the value distribution, reported in exact
+    integer micronats and converted once to the byte floor NO codec
+    can beat — the yardstick the whole codec-advisor family
+    (q_encoding_advisor dict, q_rle_page_runs RLE,
+    q_postings_compression varint, q_gorilla_ts_bits dod) measures
+    against.  The q_perplexity discipline: ln() evaluates once per
+    VALUE TYPE and is quantized to a 1e-6 BIGINT, so the rows x
+    score sum is pure integer arithmetic; the single float division
+    happens on 3 output rows.
+
+    100 TB plan: one union of pruned single-column scans collapses
+    to value-grain counts (map-side partial agg); the score join is
+    at ndv cardinality; output is column-grain."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    v = (
+        e.select(F.lit("events.event_type").alias("col"), F.col("event_type").alias("val"))
+        .unionAll(o.select(F.lit("orders.o_orderpriority"), F.col("o_orderpriority")))
+        .unionAll(li.select(F.lit("lineitem.l_returnflag"), F.col("l_returnflag")))
+    )
+    g = v.groupBy("col", "val").agg(F.count("*").alias("c"))
+    t = g.groupBy("col").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.octet_length("val") * F.col("c")).cast("long").alias("raw_bytes"),
+    )
+    s = g.join(t, "col").select(
+        "col",
+        "c",
+        F.round(F.ln(F.col("n").cast("double") / F.col("c")) * 1000000)
+        .cast("long")
+        .alias("s_v"),
+    )
+    out = s.groupBy("col").agg(
+        F.sum(F.col("c") * F.col("s_v")).cast("long").alias("total_micronats"),
+        F.count("*").cast("long").alias("ndv"),
+    )
+    import math
+
+    return out.join(t, "col").select(
+        "col",
+        F.col("n").cast("long").alias("n_values"),
+        "ndv",
+        "total_micronats",
+        (
+            F.col("total_micronats").cast("double")
+            / 1000000.0
+            / F.lit(math.log(2.0))
+            / 8
+        ).alias("bound_bytes"),
+        "raw_bytes",
+    )
+
+
+@register(
+    "q_mcv_stats",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS qty, COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT SUM(c) AS n FROM g),
+    r AS (
+      SELECT qty, c, row_number() OVER (ORDER BY c DESC, qty) AS rk
+      FROM g
+    )
+    SELECT qty AS mcv_value, CAST(c AS BIGINT) AS n_rows,
+           CAST(10000 * c // (SELECT n FROM t) AS BIGINT) AS share_bp,
+           CAST(0 AS BIGINT) AS is_rest
+    FROM r WHERE rk <= 10
+    UNION ALL
+    SELECT -1, CAST(COALESCE(SUM(c), 0) AS BIGINT),
+           CAST(10000 * COALESCE(SUM(c), 0) // (SELECT n FROM t) AS BIGINT),
+           CAST(1 AS BIGINT)
+    FROM r WHERE rk > 10
+    """,
+)
+def q_mcv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-values statistics (the pg_stats.most_common_vals
+    object): top-10 l_quantity values by frequency with their exact
+    population share, plus one remainder row — the OTHER half of what
+    ANALYZE stores next to the equi-depth histogram
+    (q_equidepth_hist); a CBO uses MCVs for equality predicates and
+    the histogram for ranges, so the stats family is now complete
+    (MCV + histogram + NDV + join-size audit).
+
+    100 TB plan: value-grain collapse is the only fact-volume
+    shuffle; the rank runs over the ~50-row quantity domain
+    (domain-bounded global window, the q_ks_two_sample allowance);
+    shares are exact integer basis points."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.round(F.col("l_quantity")).cast("long").alias("qty")
+    ).agg(F.count("*").alias("c"))
+    t = g.agg(F.sum("c").alias("n"))
+    r = g.select(
+        "qty",
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "qty"))
+        .alias("rk"),
+    ).crossJoin(F.broadcast(t))
+    mcv = r.filter(F.col("rk") <= 10).select(
+        F.col("qty").alias("mcv_value"),
+        F.col("c").cast("long").alias("n_rows"),
+        F.expr("(10000 * c) div n").cast("long").alias("share_bp"),
+        F.lit(0).cast("long").alias("is_rest"),
+    )
+    rest = (
+        r.filter(F.col("rk") > 10)
+        .groupBy("n")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("cr"))
+        .select(
+            F.lit(-1).cast("long").alias("mcv_value"),
+            F.col("cr").cast("long").alias("n_rows"),
+            F.expr("(10000 * cr) div n").cast("long").alias("share_bp"),
+            F.lit(1).cast("long").alias("is_rest"),
+        )
+    )
+    return mcv.unionByName(rest)
+
+
+@register(
+    "q_hash_partition_balance",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_hex_bucket_sql("md5(CAST(user_id AS VARCHAR))", 2)} % 32
+               AS bucket,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MIN(c) AS BIGINT) AS min_rows,
+           CAST(MAX(c) AS BIGINT) AS max_rows,
+           CAST(SUM(c) AS BIGINT) AS total_rows,
+           CAST(100 * SUM(c) // COUNT(*) AS BIGINT) AS mean_rows_x100,
+           CAST(10000 * SUM(c) // (32 * MAX(c)) AS BIGINT)
+             AS effective_parallelism_bp
+    FROM b
+    """,
+)
+def q_hash_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partition balance audit: distribute the event stream's
+    key over 32 buckets with an engine-neutral hash (md5 hex bucket
+    mod 32 — the same role as Spark's HashPartitioning) and measure
+    the straggler effect: effective parallelism = total/(32*max),
+    the fraction of a 32-worker stage that is actually utilized when
+    the slowest partition gates the barrier (Amdahl on skew).
+    q_skew_audit ranks the hot KEYS; this prices what they do to a
+    concrete partitioning — the number that justifies salting
+    (q_skew_salted) before a shuffle, not after a timeout.
+
+    100 TB plan: bucket id is a row-local hash; one 32-key partial
+    agg; output is 1 row.  The audit itself never shuffles the
+    payload."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(
+        (_hex_bucket_col(F.md5(F.col("user_id").cast("string")), 2) % 32).alias(
+            "bucket"
+        )
+    ).agg(F.count("*").alias("c"))
+    return b.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min("c").cast("long").alias("min_rows"),
+        F.max("c").cast("long").alias("max_rows"),
+        F.sum("c").cast("long").alias("total_rows"),
+        F.expr("(100 * sum(c)) div count(*)").cast("long").alias("mean_rows_x100"),
+        F.expr("(10000 * sum(c)) div (32 * max(c))")
+        .cast("long")
+        .alias("effective_parallelism_bp"),
+    )
+
+
+@register(
+    "q_merkle_repair",
+    oracle=CHANGELOG_CTE
+    + f"""
+    , full_r AS (
+      SELECT user_id, username, account_type, updated_at,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY updated_at DESC, _seq DESC) AS rn
+      FROM changelog WHERE op <> 'd'
+    ),
+    stale_r AS (
+      SELECT user_id, username, account_type, updated_at,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY updated_at DESC, _seq DESC) AS rn
+      FROM changelog
+      WHERE op <> 'd'
+        AND _seq <= (SELECT 3 * MAX(_seq) // 4 FROM changelog)
+    ),
+    a AS (
+      SELECT user_id % 64 AS bucket, COUNT(*) AS n_keys,
+             CAST(SUM({_hex_bucket_sql(
+                 "md5(CAST(user_id AS VARCHAR) || '|' || username || '|' "
+                 "|| account_type || '|' || CAST(epoch_us(updated_at) AS VARCHAR))",
+                 6)}) AS BIGINT) AS checksum
+      FROM stale_r WHERE rn = 1 GROUP BY bucket
+    ),
+    b AS (
+      SELECT user_id % 64 AS bucket, COUNT(*) AS n_keys,
+             CAST(SUM({_hex_bucket_sql(
+                 "md5(CAST(user_id AS VARCHAR) || '|' || username || '|' "
+                 "|| account_type || '|' || CAST(epoch_us(updated_at) AS VARCHAR))",
+                 6)}) AS BIGINT) AS checksum
+      FROM full_r WHERE rn = 1 GROUP BY bucket
+    )
+    SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+           CAST(COALESCE(a.n_keys, 0) AS BIGINT) AS n_keys_stale,
+           CAST(COALESCE(b.n_keys, 0) AS BIGINT) AS n_keys_full,
+           CAST(CASE WHEN COALESCE(a.checksum, -1) = COALESCE(b.checksum, -1)
+                          AND COALESCE(a.n_keys, 0) = COALESCE(b.n_keys, 0)
+                     THEN 0 ELSE 1 END AS BIGINT) AS needs_repair
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    """,
+)
+def q_merkle_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair planning (the Dynamo/Cassandra Merkle-tree
+    protocol, one level deep): compare a STALE replica (the LWW fold
+    over the first 3/4 of the changelog — a sink that stopped
+    consuming) against the CURRENT fold, bucket keys into 64 ranges,
+    and ship per-bucket ORDER-INSENSITIVE checksums (sum of per-row
+    md5 bucket ints) — only buckets whose (count, checksum) disagree
+    need row-level repair, turning a full-table diff into a
+    64-number exchange.  q_table_checksum is the single-number root;
+    this is the drill-down level that localizes the damage;
+    q_state_diff then lists the rows inside a dirty bucket.
+
+    100 TB plan: each replica fold is the standard per-key window;
+    checksums collapse map-side to 64 buckets; the diff joins two
+    64-row tables.  Wire cost is O(buckets), independent of table
+    size — the entire point of the protocol."""
+    log = _changelog(spark, sf_dir)
+    cutoff = log.agg(
+        F.expr("(3 * max(_seq)) div 4").cast("long").alias("cut")
+    )
+    row_ck = _hex_bucket_col(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("username"),
+                F.col("account_type"),
+                F.unix_micros("updated_at").cast("string"),
+            )
+        ),
+        6,
+    )
+
+    def fold(df: DataFrame, n_alias: str, ck_alias: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("updated_at").desc(), F.col("_seq").desc()
+        )
+        state = (
+            df.filter(F.col("op") != "d")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        return state.groupBy((F.col("user_id") % 64).alias("bucket")).agg(
+            F.count("*").cast("long").alias(n_alias),
+            F.sum(row_ck).cast("long").alias(ck_alias),
+        )
+
+    stale = fold(
+        log.crossJoin(F.broadcast(cutoff)).filter(F.col("_seq") <= F.col("cut")),
+        "n_keys_stale",
+        "ck_a",
+    )
+    full = fold(log, "n_keys_full", "ck_b")
+    j = stale.join(full, "bucket", "full_outer")
+    return j.select(
+        "bucket",
+        F.coalesce("n_keys_stale", F.lit(0)).cast("long").alias("n_keys_stale"),
+        F.coalesce("n_keys_full", F.lit(0)).cast("long").alias("n_keys_full"),
+        F.when(
+            (F.coalesce("ck_a", F.lit(-1)) == F.coalesce("ck_b", F.lit(-1)))
+            & (
+                F.coalesce("n_keys_stale", F.lit(0))
+                == F.coalesce("n_keys_full", F.lit(0))
+            ),
+            0,
+        )
+        .otherwise(1)
+        .cast("long")
+        .alias("needs_repair"),
+    )
+
+
+@register(
+    "q_rate_limit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE c > 3) AS BIGINT) AS n_users_over,
+           CAST(SUM(GREATEST(c - 3, 0)) AS BIGINT) AS n_suppressed,
+           CAST(10000 * SUM(GREATEST(c - 3, 0)) // SUM(c) AS BIGINT)
+             AS suppressed_bp
+    FROM d GROUP BY day
+    """,
+)
+def q_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limiter preflight: with a 3-events/user/day cap, the
+    events a per-key daily token bucket would suppress — per day, how
+    many users exceed the cap and how much volume the limiter sheds.
+    The per-TIME-BUCKET quota twin of q_source_quota_cap (which caps
+    per entity, not per entity-period); the ops preflight before
+    enforcing abuse limits at the ingest edge.
+
+    100 TB plan: one (user, day)-grain partial agg (map-side
+    combine), then a day-grain rollup; the cap arithmetic is
+    row-local on the first aggregate.  No window, no join."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    return d.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_user_days"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.when(F.col("c") > 3, 1)).cast("long").alias("n_users_over"),
+        F.sum(F.greatest(F.col("c") - 3, F.lit(0)))
+        .cast("long")
+        .alias("n_suppressed"),
+        F.expr("(10000 * sum(greatest(c - 3, 0))) div sum(c)")
+        .cast("long")
+        .alias("suppressed_bp"),
+    )
+
+
+@register(
+    "q_fd_detect",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'orders: o_orderpriority->o_orderstatus' AS pair,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_a,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_b,
+             CAST(COUNT(DISTINCT o_orderpriority || '|' || o_orderstatus)
+                  AS BIGINT) AS ndv_ab
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem: l_returnflag->l_linestatus',
+             CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+             CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+             CAST(COUNT(DISTINCT l_returnflag || '|' || l_linestatus) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events: event_type->user_id',
+             CAST(COUNT(DISTINCT event_type) AS BIGINT),
+             CAST(COUNT(DISTINCT user_id) AS BIGINT),
+             CAST(COUNT(DISTINCT event_type || '|' || CAST(user_id AS VARCHAR))
+                  AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'customer: c_nationkey->c_mktsegment',
+             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+             CAST(COUNT(DISTINCT CAST(c_nationkey AS VARCHAR) || '|'
+                        || c_mktsegment) AS BIGINT)
+      FROM customer
+    )
+    SELECT pair, ndv_a, ndv_b, ndv_ab,
+           CAST(10000 * ndv_a * ndv_b // ndv_ab AS BIGINT)
+             AS correlation_x10000,
+           CAST(CASE WHEN ndv_ab = ndv_a THEN 1 ELSE 0 END AS BIGINT) AS is_fd
+    FROM pairs
+    """,
+)
+def q_fd_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency / column-correlation statistics (the
+    CREATE STATISTICS (dependencies, ndistinct) object): for column
+    pairs, compare ndv(a)*ndv(b) against ndv(a,b) — equality means
+    independence (the CBO's default assumption holds), ndv(a,b) =
+    ndv(a) means b is FUNCTIONALLY DETERMINED by a (a multi-column
+    equality predicate is then 1x selective, not multiplicatively),
+    and everything between quantifies the correlation a naive
+    optimizer multiplies away.  Completes the stats family:
+    q_cardinality_profile (single-column NDV), q_equidepth_hist
+    (ranges), q_mcv_stats (equality), q_join_size_estimate (joins),
+    this (multi-column).
+
+    100 TB plan: per pair one pruned two-column scan with three
+    map-side-collapsing DISTINCT aggregates; output is 4 rows.  At
+    extreme NDV swap in the HLL sketch (q_distinct_sketch) — the
+    audit shape is unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+
+    def pair(df: DataFrame, name: str, a, b) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("pair"),
+            F.countDistinct(a).cast("long").alias("ndv_a"),
+            F.countDistinct(b).cast("long").alias("ndv_b"),
+            F.countDistinct(F.concat(a.cast("string"), F.lit("|"), b.cast("string")))
+            .cast("long")
+            .alias("ndv_ab"),
+        )
+
+    u = (
+        pair(o, "orders: o_orderpriority->o_orderstatus",
+             F.col("o_orderpriority"), F.col("o_orderstatus"))
+        .unionByName(
+            pair(li, "lineitem: l_returnflag->l_linestatus",
+                 F.col("l_returnflag"), F.col("l_linestatus"))
+        )
+        .unionByName(
+            pair(e, "events: event_type->user_id",
+                 F.col("event_type"), F.col("user_id"))
+        )
+        .unionByName(
+            pair(c, "customer: c_nationkey->c_mktsegment",
+                 F.col("c_nationkey"), F.col("c_mktsegment"))
+        )
+    )
+    return u.select(
+        "pair",
+        "ndv_a",
+        "ndv_b",
+        "ndv_ab",
+        F.expr("(10000 * ndv_a * ndv_b) div ndv_ab")
+        .cast("long")
+        .alias("correlation_x10000"),
+        F.when(F.col("ndv_ab") == F.col("ndv_a"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_fd"),
+    )

@@ -271,6 +271,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_wasserstein_drift": "ECDF cumsum + lead over value-cents grain "
     "(bounded by the cents grid, not the corpus)",
     "q_join_order_advisor": "rank over a 3-row union of 1-row aggregates",
+    "q_mcv_stats": "rank over the ~50-value quantity domain "
+    "(bounded by the value domain, not the corpus)",
 }
 
 
