@@ -20164,3 +20164,287 @@ def q_fd_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_fd"),
     )
+
+
+@register(
+    "q_alert_hysteresis",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, SUM(c) AS total, COUNT(*) AS n_days
+      FROM d GROUP BY 1
+    ),
+    sig AS (
+      SELECT d.event_type, d.day, d.c,
+             CASE WHEN 100 * d.c * t.n_days > 112 * t.total THEN 1
+                  WHEN 100 * d.c * t.n_days < 95 * t.total THEN 0
+                  ELSE NULL END AS signal
+      FROM d JOIN t USING (event_type)
+    ),
+    st AS (
+      SELECT event_type, day,
+             COALESCE(last_value(signal IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+      FROM sig
+    ),
+    ep AS (
+      SELECT event_type, day, state,
+             CASE WHEN state = 1 AND COALESCE(lag(state) OVER (
+               PARTITION BY event_type ORDER BY day), 0) = 0
+                  THEN 1 ELSE 0 END AS episode_start
+      FROM st
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(state) AS BIGINT) AS n_alert_days,
+           CAST(SUM(episode_start) AS BIGINT) AS n_episodes
+    FROM ep GROUP BY event_type
+    """,
+)
+def q_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting with hysteresis (the Schmitt-trigger pattern every
+    monitoring system needs): a topic enters alert when its daily
+    volume exceeds 112% of its own mean and leaves only below 95% —
+    the dead band between the two thresholds suppresses the
+    flip-flapping a single threshold produces on noisy series
+    (q_burst_detect and q_cusum_changepoint flag points; this tracks
+    EPISODES with entry/exit asymmetry).  State = the last non-null
+    crossing signal carried forward — the gaps-and-islands
+    last-non-null trick, no recursion.  Thresholds are ratios of the
+    series' own mean (exact integer cross-multiplication), so the
+    episode structure is scale-free.
+
+    100 TB plan: day-grain collapse first (the only fact-volume
+    shuffle); signal/state/episode windows all run per event_type
+    over calendar-bounded day grain."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("c").alias("total"), F.count("*").alias("n_days")
+    )
+    sig = d.join(t, "event_type").select(
+        "event_type",
+        "day",
+        F.when(100 * F.col("c") * F.col("n_days") > 112 * F.col("total"), 1)
+        .when(100 * F.col("c") * F.col("n_days") < 95 * F.col("total"), 0)
+        .otherwise(F.lit(None).cast("int"))
+        .alias("signal"),
+    )
+    wst = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = sig.select(
+        "event_type",
+        "day",
+        F.coalesce(F.last("signal", ignorenulls=True).over(wst), F.lit(0)).alias(
+            "state"
+        ),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    ep = st.select(
+        "event_type",
+        "state",
+        F.when(
+            (F.col("state") == 1)
+            & (F.coalesce(F.lag("state").over(wlag), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("episode_start"),
+    )
+    return ep.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("state").cast("long").alias("n_alert_days"),
+        F.sum("episode_start").cast("long").alias("n_episodes"),
+    )
+
+
+@register(
+    "q_geomean_price",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT o_orderpriority, c,
+             CAST(round(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT) AS s_v
+      FROM g
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(c) AS BIGINT) AS n_orders,
+           CAST(SUM(c * s_v) AS BIGINT) AS total_microln,
+           CAST(SUM(c * s_v) // SUM(c) AS BIGINT) AS mean_microln
+    FROM s GROUP BY o_orderpriority
+    """,
+)
+def q_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric-mean order value per priority, exactly: the
+    multiplicative average (right for ratio-scale money data with a
+    heavy tail — the arithmetic mean q_agg_basic reports is dragged
+    by outliers).  Reported on the log scale as exact integers:
+    ln(cents) is evaluated once per DISTINCT price (value-grain, the
+    q_perplexity discipline), quantized to 1e-6, and the
+    count-weighted sum / mean are pure BIGINT — no exp() at the end,
+    because a last-ulp libm exp difference could flip the value hash;
+    mean_microln is monotone in the geomean, which is what a ranking
+    or threshold consumer needs.
+
+    100 TB plan: value-grain collapse (map-side), ln once per
+    distinct price, priority-grain partial agg."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).agg(F.count("*").alias("c"))
+    s = g.select(
+        "o_orderpriority",
+        "c",
+        F.round(F.ln(F.col("cents").cast("double")) * 1000000)
+        .cast("long")
+        .alias("s_v"),
+    )
+    return s.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("long").alias("n_orders"),
+        F.sum(F.col("c") * F.col("s_v")).cast("long").alias("total_microln"),
+        F.expr("sum(c * s_v) div sum(c)").cast("long").alias("mean_microln"),
+    )
+
+
+@register(
+    "q_dim_leakage",
+    oracle=CHANGELOG_CTE
+    + """
+    , dim AS (
+      SELECT user_id, updated_at AS t, _seq AS seq, 1 AS is_dim,
+             CASE WHEN op = 'd' THEN '__deleted__' ELSE account_type END
+               AS acct
+      FROM changelog
+    ),
+    fact AS (
+      SELECT user_id, ts AS t, event_id AS seq, 0 AS is_dim,
+             CAST(NULL AS VARCHAR) AS acct
+      FROM events
+    ),
+    u AS (SELECT * FROM dim UNION ALL SELECT * FROM fact),
+    r AS (
+      SELECT user_id, is_dim,
+             last_value(acct IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, is_dim DESC, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff
+      FROM u
+    ),
+    aof AS (
+      SELECT user_id,
+             CASE WHEN eff IS NULL THEN 'none'
+                  WHEN eff = '__deleted__' THEN 'none'
+                  ELSE eff END AS asof_type
+      FROM r WHERE is_dim = 0
+    ),
+    ranked AS (
+      SELECT user_id, op, account_type, row_number() OVER (
+        PARTITION BY user_id ORDER BY updated_at DESC, _seq DESC) AS rn
+      FROM changelog
+    ),
+    cur AS (
+      SELECT user_id,
+             CASE WHEN op = 'd' THEN 'none' ELSE account_type END
+               AS current_type
+      FROM ranked WHERE rn = 1
+    )
+    SELECT aof.asof_type,
+           COALESCE(cur.current_type, 'none') AS current_type,
+           CAST(COUNT(*) AS BIGINT) AS n_facts,
+           CAST(CASE WHEN aof.asof_type
+                          <> COALESCE(cur.current_type, 'none')
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+    FROM aof LEFT JOIN cur USING (user_id)
+    GROUP BY aof.asof_type, COALESCE(cur.current_type, 'none')
+    """,
+)
+def q_dim_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-leakage audit for dimension joins: cross-tab every
+    fact's dimension attribute AS OF its own event time (the correct
+    training feature) against the attribute from the CURRENT
+    dimension state (what a naive fact-to-dim join leaks from the
+    future).  Off-diagonal cells are leaked facts — a churn model
+    'predicting' the downgrade its own feature already encodes.
+    Complements q_temporal_split_audit (split leakage) with the
+    feature-side half; q_late_dim_facts builds the same as-of pass.
+    Current state uses strict final-event semantics (a last-op
+    delete means the attribute is gone — 'none').
+
+    100 TB plan: as-of = ONE interleaved union window per user;
+    current = the standard LWW fold; the two meet in a key-grain
+    join; output is a bounded type x type cross-tab."""
+    log = _changelog(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    dim = log.select(
+        "user_id",
+        F.col("updated_at").alias("t"),
+        F.col("_seq").alias("seq"),
+        F.lit(1).alias("is_dim"),
+        F.when(F.col("op") == "d", "__deleted__")
+        .otherwise(F.col("account_type"))
+        .alias("acct"),
+    )
+    fact = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("seq"),
+        F.lit(0).alias("is_dim"),
+        F.lit(None).cast("string").alias("acct"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.col("is_dim").desc(), "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = dim.unionByName(fact).select(
+        "user_id", "is_dim", F.last("acct", ignorenulls=True).over(w).alias("eff")
+    )
+    asof = r.filter(F.col("is_dim") == 0).select(
+        "user_id",
+        F.when(F.col("eff").isNull() | (F.col("eff") == "__deleted__"), "none")
+        .otherwise(F.col("eff"))
+        .alias("asof_type"),
+    )
+    wlww = Window.partitionBy("user_id").orderBy(
+        F.col("updated_at").desc(), F.col("_seq").desc()
+    )
+    cur = (
+        log.withColumn("rn", F.row_number().over(wlww))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("op") == "d", "none")
+            .otherwise(F.col("account_type"))
+            .alias("current_type"),
+        )
+    )
+    j = asof.join(cur, "user_id", "left").select(
+        "asof_type", F.coalesce("current_type", F.lit("none")).alias("current_type")
+    )
+    return (
+        j.groupBy("asof_type", "current_type")
+        .agg(F.count("*").cast("long").alias("n_facts"))
+        .select(
+            "asof_type",
+            "current_type",
+            "n_facts",
+            F.when(F.col("asof_type") != F.col("current_type"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_leak"),
+        )
+    )
