@@ -20448,3 +20448,439 @@ def q_dim_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_leak"),
         )
     )
+
+
+@register(
+    "q_state_ttl_sweep",
+    oracle="""
+    WITH probes AS (
+      SELECT ttl_h, date_trunc('hour', ts) + to_hours(k) AS probe
+      FROM events
+      CROSS JOIN (SELECT unnest([1, 6, 24]) AS ttl_h)
+      CROSS JOIN (SELECT unnest(generate_series(0, 24)) AS k)
+      WHERE k <= ttl_h
+        AND ts <= date_trunc('hour', ts) + to_hours(k)
+        AND ts > date_trunc('hour', ts) + to_hours(k) - to_hours(ttl_h)
+    ),
+    per AS (
+      SELECT ttl_h, probe, COUNT(*) AS c
+      FROM probes GROUP BY ttl_h, probe
+    )
+    SELECT ttl_h,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(MAX(c) AS BIGINT) AS max_state_rows,
+           CAST(SUM(c) AS BIGINT) AS probe_row_total,
+           CAST(100 * SUM(c) // COUNT(*) AS BIGINT) AS avg_state_rows_x100
+    FROM per GROUP BY ttl_h
+    """,
+)
+def q_state_ttl_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-retention (TTL) sweep: rows a stateful operator's store
+    holds at every hour boundary for TTLs of 1h / 6h / 24h — the
+    peak and average memory curve that picks the state TTL
+    (q_stream_state_probe prices one 10-minute point; this sweeps
+    the knob like q_lateness_sweep / q_session_gap_sweep).  Instead
+    of re-scanning per (TTL, probe) — 3 x 720 filtered scans — each
+    event EXPLODES to exactly the probes it is live at (at most
+    TTL/1h + 1 rows, a bounded fanout), so the whole sweep is one
+    scan + one bounded flatMap; the live test is the identical
+    half-open interval (probe-TTL, probe] in both engines.
+
+    100 TB plan: bounded explode (<= 25x for the largest TTL — for
+    longer TTLs coarsen the probe grid), (ttl, probe)-grain partial
+    agg, then a 3-row rollup.  No window, no self-join."""
+    e = _t(spark, sf_dir, "events")
+    sweep = e.select(
+        "ts",
+        F.explode(F.array(*[F.lit(t) for t in (1, 6, 24)])).alias("ttl_h"),
+    ).select(
+        "ts",
+        "ttl_h",
+        F.explode(F.sequence(F.lit(0), F.col("ttl_h"))).alias("k"),
+    )
+    probe = F.date_trunc("hour", F.col("ts")) + F.expr(
+        "make_interval(0, 0, 0, 0, k, 0, 0)"
+    )
+    live = (F.col("ts") <= probe) & (
+        F.col("ts") > probe - F.expr("make_interval(0, 0, 0, 0, ttl_h, 0, 0)")
+    )
+    per = (
+        sweep.filter(live)
+        .groupBy("ttl_h", probe.alias("probe"))
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("ttl_h").agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.max("c").cast("long").alias("max_state_rows"),
+        F.sum("c").cast("long").alias("probe_row_total"),
+        F.expr("(100 * sum(c)) div count(*)")
+        .cast("long")
+        .alias("avg_state_rows_x100"),
+    )
+
+
+@register(
+    "q_mapside_combine_ratio",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_hex_bucket_sql("md5(CAST(user_id AS VARCHAR))", 2)} % 32
+               AS part,
+             user_id
+      FROM events
+    ),
+    per AS (
+      SELECT part, COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_groups
+      FROM b GROUP BY part
+    )
+    SELECT CAST(SUM(n_rows) AS BIGINT) AS input_rows,
+           CAST(SUM(n_groups) AS BIGINT) AS partial_output_rows,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+             AS final_groups,
+           CAST(100 * SUM(n_rows) // SUM(n_groups) AS BIGINT)
+             AS combine_ratio_x100,
+           CAST(10000 * SUM(n_groups)
+                // (SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+             AS partial_blowup_bp
+    FROM per
+    """,
+)
+def q_mapside_combine_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side combine effectiveness: partition the stream over 32
+    tasks with an engine-neutral hash and measure input rows ->
+    partial-agg output rows (one per key per partition) -> final
+    groups.  combine_ratio is the shuffle-volume REDUCTION partial
+    aggregation buys (the reason every groupBy in this repo is a
+    partial-agg shape); partial_blowup is the replication of keys
+    across partitions — near 10000 bp means each key lives in one
+    partition and the partial pass is pure win, far above means a
+    second combine level or pre-partitioning pays.  The tuning twin
+    of q_hash_partition_balance (which measures skew, not
+    reduction).
+
+    100 TB plan: (partition, key)-grain partial agg then a 32-row
+    rollup; the audit itself is the partial-agg shape it measures."""
+    e = _t(spark, sf_dir, "events")
+    part = _hex_bucket_col(F.md5(F.col("user_id").cast("string")), 2) % 32
+    per = e.groupBy(part.alias("part")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_groups"),
+    )
+    fin = e.agg(F.countDistinct("user_id").cast("long").alias("final_groups"))
+    agg = per.agg(
+        F.sum("n_rows").cast("long").alias("input_rows"),
+        F.sum("n_groups").cast("long").alias("partial_output_rows"),
+    )
+    return agg.crossJoin(F.broadcast(fin)).select(
+        "input_rows",
+        "partial_output_rows",
+        "final_groups",
+        F.expr("(100 * input_rows) div partial_output_rows")
+        .cast("long")
+        .alias("combine_ratio_x100"),
+        F.expr("(10000 * partial_output_rows) div final_groups")
+        .cast("long")
+        .alias("partial_blowup_bp"),
+    )
+
+
+@register(
+    "q_accumulating_snapshot",
+    oracle="""
+    WITH lag_g AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             MIN(l_shipdate) AS first_ship,
+             MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    acc AS (
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+             lag_g.n_lines, lag_g.first_ship, lag_g.last_ship,
+             date_diff('day', o_orderdate, lag_g.first_ship) AS days_to_first,
+             date_diff('day', o_orderdate, lag_g.last_ship) AS days_to_last
+      FROM orders JOIN lag_g ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(MIN(days_to_first) AS BIGINT) AS min_days_to_first,
+           CAST(MAX(days_to_last) AS BIGINT) AS max_days_to_last,
+           CAST(100 * SUM(days_to_last) // COUNT(*) AS BIGINT)
+             AS avg_days_to_last_x100,
+           CAST(COUNT(*) FILTER (WHERE days_to_last < 0) AS BIGINT)
+             AS n_ship_before_order
+    FROM acc GROUP BY o_orderpriority
+    """,
+)
+def q_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact table (Kimball's third fact-table
+    kind, next to the transaction grain everywhere else and the
+    periodic snapshots of q_incremental_rollup): one row per order
+    pipeline with its milestone dates (placed -> first ship -> last
+    ship), line count, and milestone lags — then the priority-grain
+    rollup, including the DATA-QUALITY cell the pattern exists to
+    expose (lines shipped BEFORE the order date).  Integer day
+    lags, exact x100 averages.
+
+    100 TB plan: lineitem collapses to order grain first (map-side
+    partial agg on the FK — the big shuffle), the orders join is
+    key-grain 1:1, and the rollup is 5 rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    acc = o.join(g, o.o_orderkey == g.l_orderkey).select(
+        "o_orderpriority",
+        "n_lines",
+        F.datediff("first_ship", "o_orderdate").alias("days_to_first"),
+        F.datediff("last_ship", "o_orderdate").alias("days_to_last"),
+    )
+    return acc.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.min("days_to_first").cast("long").alias("min_days_to_first"),
+        F.max("days_to_last").cast("long").alias("max_days_to_last"),
+        F.expr("(100 * sum(days_to_last)) div count(*)")
+        .cast("long")
+        .alias("avg_days_to_last_x100"),
+        F.count(F.when(F.col("days_to_last") < 0, 1))
+        .cast("long")
+        .alias("n_ship_before_order"),
+    )
+
+
+@register(
+    "q_abc_classes",
+    oracle="""
+    WITH item AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    g AS (SELECT rev, COUNT(*) AS n_items FROM item GROUP BY rev),
+    c AS (
+      SELECT rev, n_items,
+             SUM(rev * n_items) OVER (ORDER BY rev DESC) AS cum_rev,
+             SUM(rev * n_items) OVER () AS total_rev
+      FROM g
+    ),
+    cls AS (
+      SELECT item.l_partkey, item.rev,
+             CASE WHEN 100 * c.cum_rev <= 80 * c.total_rev THEN 'A'
+                  WHEN 100 * c.cum_rev <= 95 * c.total_rev THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM item JOIN c ON item.rev = c.rev
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+           CAST(10000 * SUM(rev) // (SELECT SUM(rev) FROM item) AS BIGINT)
+             AS revenue_share_bp
+    FROM cls GROUP BY abc
+    """,
+)
+def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: items sorted by revenue,
+    A = the head covering 80% of cumulative revenue, B = to 95%,
+    C = the tail — the classification layer on top of the
+    concentration METRICS (q_lorenz_gini, q_hhi_concentration).
+    Class boundaries are computed in the REVENUE-VALUE domain, not by
+    per-item rank: the cumulative window runs over distinct revenue
+    values (two-phase, the q_equidepth_hist shape), then items join
+    back to their value's class — equal-revenue items always land in
+    the same class (the deterministic tie rule), and no unbounded
+    per-item global window exists anywhere in the plan.
+
+    100 TB plan: item-grain collapse (the only fact-volume shuffle),
+    value-grain cum window (bounded by the revenue grid), key-grain
+    class join back, 3-row rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    item = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    g = item.groupBy("rev").agg(F.count("*").alias("n_items"))
+    wc = Window.orderBy(F.col("rev").desc())
+    wall = Window.partitionBy()
+    c = g.select(
+        "rev",
+        F.sum(F.col("rev") * F.col("n_items")).over(wc).alias("cum_rev"),
+        F.sum(F.col("rev") * F.col("n_items")).over(wall).alias("total_rev"),
+    )
+    cls = item.join(c, "rev").select(
+        "rev",
+        F.when(100 * F.col("cum_rev") <= 80 * F.col("total_rev"), "A")
+        .when(100 * F.col("cum_rev") <= 95 * F.col("total_rev"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    tot = item.agg(F.sum("rev").alias("t"))
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "n_items",
+            "revenue_cents",
+            F.expr("(10000 * revenue_cents) div t")
+            .cast("long")
+            .alias("revenue_share_bp"),
+        )
+    )
+
+
+@register(
+    "q_error_budget_burn",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(*) AS n_events,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           CAST(10000 * n_errors // n_events AS BIGINT) AS error_rate_bp,
+           CAST(100 * (10000 * n_errors // n_events) // 2000 AS BIGINT)
+             AS burn_rate_x100,
+           CAST(SUM(n_errors) OVER (ORDER BY day) AS BIGINT)
+             AS cum_errors,
+           CAST(10000 * SUM(n_errors) OVER (ORDER BY day)
+                // (2000 * SUM(n_events) OVER (ORDER BY day) // 10000)
+                AS BIGINT) AS budget_consumed_bp
+    FROM d
+    """,
+)
+def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-down (the SLO framework's alerting
+    primitive): against a 20% error-rate SLO (2000 bp — the fixture
+    stream's 'error' topic share makes tighter SLOs degenerate),
+    per-day burn rate = actual rate / SLO, plus the month-to-date
+    budget consumed = cumulative errors / (SLO x cumulative volume).
+    burn > 1x means that day spent more than its share;
+    budget_consumed_bp crossing 10000 is the page.  All integer
+    basis-point arithmetic (q_freshness_report covers the freshness
+    SLO; this is the correctness SLO).
+
+    100 TB plan: day-grain collapse first; the cumulative window
+    runs over calendar-bounded day grain."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    wcum = Window.orderBy("day")
+    c = d.select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.sum("n_errors").over(wcum).cast("long").alias("cum_errors"),
+        F.sum("n_events").over(wcum).cast("long").alias("cum_events"),
+    )
+    return c.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.expr("(10000 * n_errors) div n_events")
+        .cast("long")
+        .alias("error_rate_bp"),
+        F.expr("(100 * ((10000 * n_errors) div n_events)) div 2000")
+        .cast("long")
+        .alias("burn_rate_x100"),
+        "cum_errors",
+        F.expr("(10000 * cum_errors) div ((2000 * cum_events) div 10000)")
+        .cast("long")
+        .alias("budget_consumed_bp"),
+    )
+
+
+@register(
+    "q_window_reopen_cost",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen_max
+      FROM events
+    ),
+    l AS (
+      SELECT event_type, date_trunc('hour', ts) AS win,
+             COALESCE(date_diff('second', ts, seen_max), 0) AS late_s
+      FROM r
+    ),
+    sweep AS (
+      SELECT l.*, delay_min
+      FROM l CROSS JOIN (SELECT unnest([1, 5, 10]) AS delay_min)
+    )
+    SELECT delay_min,
+           CAST(COUNT(DISTINCT (event_type, win)) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT CASE WHEN late_s > 60 * delay_min
+                                    THEN (event_type, win) END) AS BIGINT)
+             AS n_windows_reopened,
+           CAST(10000 * COUNT(DISTINCT CASE WHEN late_s > 60 * delay_min
+                                            THEN (event_type, win) END)
+                // COUNT(DISTINCT (event_type, win)) AS BIGINT)
+             AS reopen_bp
+    FROM sweep GROUP BY delay_min
+    """,
+)
+def q_window_reopen_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-event REPROCESSING cost: a record arriving later than the
+    watermark delay doesn't just get dropped — in an
+    update-mode / recompute pipeline it REOPENS an already-emitted
+    hourly window, forcing a downstream re-emit (and a sink
+    re-upsert).  Per candidate delay (1/5/10 min), the fraction of
+    (topic, hour) windows at least one late event would reopen —
+    q_lateness_sweep counts dropped ROWS; this prices the blast
+    radius in WINDOWS, which is what the downstream sink actually
+    re-processes.
+
+    100 TB plan: the same single running-max pass as
+    q_lateness_sweep (one window per topic partition in arrival
+    order), a 3-delay literal explode, and (delay)-grain aggregation
+    with map-side-collapsing conditional DISTINCT over the bounded
+    (topic, hour) domain."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    l = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("win"),
+        F.coalesce(
+            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts"),
+            F.lit(0),
+        ).alias("late_s"),
+    )
+    sweep = l.select(
+        "event_type",
+        "win",
+        "late_s",
+        F.explode(F.array(*[F.lit(m) for m in (1, 5, 10)])).alias("delay_min"),
+    )
+    wid = F.concat_ws("|", F.col("event_type"), F.col("win").cast("string"))
+    reopened = F.when(F.col("late_s") > 60 * F.col("delay_min"), wid)
+    return sweep.groupBy("delay_min").agg(
+        F.countDistinct(wid).cast("long").alias("n_windows"),
+        F.countDistinct(reopened).cast("long").alias("n_windows_reopened"),
+        F.expr(
+            "(10000 * count(DISTINCT if(late_s > 60 * delay_min,"
+            " concat_ws('|', event_type, cast(win as string)), null)))"
+            " div count(DISTINCT concat_ws('|', event_type, cast(win as string)))"
+        )
+        .cast("long")
+        .alias("reopen_bp"),
+    )

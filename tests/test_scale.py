@@ -273,6 +273,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_join_order_advisor": "rank over a 3-row union of 1-row aggregates",
     "q_mcv_stats": "rank over the ~50-value quantity domain "
     "(bounded by the value domain, not the corpus)",
+    "q_abc_classes": "cumsum over distinct-revenue grain "
+    "(bounded by the cents grid, not the corpus)",
+    "q_error_budget_burn": "cumsum over day grain (bounded by the calendar)",
 }
 
 
