@@ -19921,7 +19921,7 @@ def q_hash_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY updated_at DESC, _seq DESC) AS rn
       FROM changelog
       WHERE op <> 'd'
-        AND _seq <= (SELECT 3 * MAX(_seq) // 4 FROM changelog)
+        AND _seq <= (SELECT 99 * MAX(_seq) // 100 FROM changelog)
     ),
     a AS (
       SELECT user_id % 64 AS bucket, COUNT(*) AS n_keys,
@@ -19951,7 +19951,7 @@ def q_hash_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_merkle_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy repair planning (the Dynamo/Cassandra Merkle-tree
     protocol, one level deep): compare a STALE replica (the LWW fold
-    over the first 3/4 of the changelog — a sink that stopped
+    over all but the last 1% of the changelog — a sink that stopped
     consuming) against the CURRENT fold, bucket keys into 64 ranges,
     and ship per-bucket ORDER-INSENSITIVE checksums (sum of per-row
     md5 bucket ints) — only buckets whose (count, checksum) disagree
@@ -19966,7 +19966,7 @@ def q_merkle_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — the entire point of the protocol."""
     log = _changelog(spark, sf_dir)
     cutoff = log.agg(
-        F.expr("(3 * max(_seq)) div 4").cast("long").alias("cut")
+        F.expr("(99 * max(_seq)) div 100").cast("long").alias("cut")
     )
     row_ck = _hex_bucket_col(
         F.md5(

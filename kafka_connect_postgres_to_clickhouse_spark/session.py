@@ -48,6 +48,9 @@ def tune(spark: SparkSession) -> SparkSession:
         # otherwise pin its whole partition on one task
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # Python DataSource pushFilters raises at plan time if this is
+        # off; register_changelog_gen also sets it (belt and braces)
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ]:
         try:
             spark.conf.set(key, value)

@@ -40,18 +40,73 @@ def _row(r: int, n_keys: int) -> tuple[str, int, int, int, str]:
 
 
 class ChangelogGenReader(DataSourceReader):
+    """Batch reader with RANGE FILTER PUSHDOWN on the monotone `seq`
+    column (Spark 4.1 `pushFilters`): because row r has seq == r by
+    the determinism contract, a seq predicate translates directly
+    into a generation-range clamp — pushed filters PRUNE whole
+    partitions (a partition whose [lo, hi) range misses the bound is
+    never scheduled) and bound the per-partition loop, the same
+    offset-range pushdown a Kafka/JDBC connector does with
+    startingOffsets / WHERE clauses.  Unsupported shapes (non-seq
+    columns, OR trees — Spark pre-splits ANDs) are returned to Spark
+    for post-scan evaluation, per the API contract."""
+
     def __init__(self, options: dict) -> None:
         self.rows = int(options.get("rows", "1000"))
         self.parts = int(options.get("partitions", "4"))
         self.n_keys = max(self.rows // 20, 1)
+        # seq bounds as a half-open [seq_lo, seq_hi) generation range
+        self.seq_lo = 0
+        self.seq_hi = self.rows
+        self.pushed: list = []  # introspection for tests
 
-    def partitions(self) -> Sequence[InputPartition]:
-        return [InputPartition(i) for i in range(self.parts)]
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
-        i = partition.value
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            if attr == ("seq",) and isinstance(val, int):
+                if isinstance(f, EqualTo):
+                    self.seq_lo = max(self.seq_lo, val)
+                    self.seq_hi = min(self.seq_hi, val + 1)
+                elif isinstance(f, GreaterThan):
+                    self.seq_lo = max(self.seq_lo, val + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.seq_lo = max(self.seq_lo, val)
+                elif isinstance(f, LessThan):
+                    self.seq_hi = min(self.seq_hi, val)
+                elif isinstance(f, LessThanOrEqual):
+                    self.seq_hi = min(self.seq_hi, val + 1)
+                else:
+                    yield f
+                    continue
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _part_range(self, i: int) -> tuple[int, int]:
         lo = self.rows * i // self.parts
         hi = self.rows * (i + 1) // self.parts
+        return max(lo, self.seq_lo), min(hi, self.seq_hi)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        kept = [
+            InputPartition(i)
+            for i in range(self.parts)
+            if self._part_range(i)[0] < self._part_range(i)[1]
+        ]
+        # the API requires at least one partition even for an empty scan
+        return kept or [InputPartition(0)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        lo, hi = self._part_range(partition.value)
         for r in range(lo, hi):
             yield _row(r, self.n_keys)
 
@@ -143,5 +198,12 @@ class ChangelogGenSource(DataSource):
 
 
 def register_changelog_gen(spark) -> None:
-    """Idempotent registration of the `changelog_gen` format."""
+    """Idempotent registration of the `changelog_gen` format.
+
+    Also enables `spark.sql.python.filterPushdown.enabled` (a runtime
+    SQL conf, default false in Spark 4.1): a reader that implements
+    ``pushFilters`` raises at planning time when the conf is off, so
+    registration and the conf are one unit — any session that can see
+    the format can plan it, including the driver's vanilla session."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChangelogGenSource)
