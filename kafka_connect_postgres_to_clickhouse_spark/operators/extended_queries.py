@@ -20884,3 +20884,214 @@ def q_window_reopen_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reopen_bp"),
     )
+
+
+@register(
+    "q_mrl_truncation",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, t.k AS dim,
+             CAST(round(CAST(embedding[t.k] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xs6
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(k)
+    ),
+    sums AS (
+      SELECT vec_id, trunc_dim,
+             CAST(SUM(CASE WHEN dim <= trunc_dim THEN xs6 * xs6 ELSE 0 END)
+                  AS BIGINT) AS p,
+             CAST(SUM(xs6 * xs6) AS BIGINT) AS f
+      FROM x CROSS JOIN (SELECT unnest([8, 16, 32]) AS trunc_dim)
+      GROUP BY vec_id, trunc_dim
+    )
+    SELECT trunc_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE 100 * p >= 81 * f) AS BIGINT)
+             AS n_cos_ge_90,
+           CAST(COUNT(*) FILTER (WHERE 10000 * p >= 9801 * f) AS BIGINT)
+             AS n_cos_ge_99,
+           CAST(10000 * COUNT(*) FILTER (WHERE 100 * p >= 81 * f)
+                // COUNT(*) AS BIGINT) AS ge90_bp
+    FROM sums GROUP BY trunc_dim
+    """,
+)
+def q_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL, Kusupati 2022) truncation audit: how much of
+    each embedding's direction survives keeping only the first
+    8/16/32 of 64 dimensions — cos(full, truncated) reduces to
+    sqrt(partial_sumsq / full_sumsq), so the >=0.9 and >=0.99 tests
+    become EXACT integer cross-multiplications on the 1e6 grid
+    (100p >= 81f, 10000p >= 9801f): no sqrt, no float cosine.  The
+    table that decides whether a cheap truncated index
+    (q_simsearch_ivf / q_pq_codes are the quantization siblings) can
+    serve recall before full-dim re-ranking.
+
+    100 TB plan: one posexplode partial agg per vector computes all
+    prefix sums in a single pass (the CASE collapses map-side); the
+    3-way sweep is a literal explode; output is 3 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sweep = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(k) for k in (8, 16, 32)])).alias("trunc_dim"),
+    )
+    xs = (
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000)"
+        " as bigint))"
+    )
+    p = F.expr(
+        f"aggregate(slice({xs}, 1, trunc_dim), cast(0 as bigint),"
+        " (a, v) -> a + v * v)"
+    )
+    f = F.expr(f"aggregate({xs}, cast(0 as bigint), (a, v) -> a + v * v)")
+    sums = sweep.select("trunc_dim", p.alias("p"), f.alias("f"))
+    return sums.groupBy("trunc_dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.count(F.when(100 * F.col("p") >= 81 * F.col("f"), 1))
+        .cast("long")
+        .alias("n_cos_ge_90"),
+        F.count(F.when(10000 * F.col("p") >= 9801 * F.col("f"), 1))
+        .cast("long")
+        .alias("n_cos_ge_99"),
+        F.expr("(10000 * count(if(100 * p >= 81 * f, 1, null))) div count(*)")
+        .cast("long")
+        .alias("ge90_bp"),
+    )
+
+
+@register(
+    "q_update_churn_cols",
+    oracle=CHANGELOG_CTE
+    + """
+    , v AS (
+      SELECT user_id, username, account_type,
+             lag(username) OVER w AS prev_u,
+             lag(account_type) OVER w AS prev_a
+      FROM changelog WHERE op <> 'd'
+      WINDOW w AS (PARTITION BY user_id ORDER BY updated_at, _seq)
+    ),
+    upd AS (SELECT * FROM v WHERE prev_u IS NOT NULL)
+    SELECT col, n_updates, n_changed,
+           CAST(10000 * n_changed // n_updates AS BIGINT) AS change_bp
+    FROM (
+      SELECT 'username' AS col, CAST(COUNT(*) AS BIGINT) AS n_updates,
+             CAST(COUNT(*) FILTER (WHERE username <> prev_u) AS BIGINT)
+               AS n_changed
+      FROM upd
+      UNION ALL
+      SELECT 'account_type', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE account_type <> prev_a) AS BIGINT)
+      FROM upd
+    )
+    """,
+)
+def q_update_churn_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-volatility profile of the CDC stream: across consecutive
+    versions of each key, which columns actually CHANGE — a column
+    that never changes across updates is a candidate for a slim
+    changelog (Debezium column filters), a cheap SCD1 overwrite, and
+    a skipped index rebuild, while a hot column drives the sink's
+    merge cost (q_key_churn counts update EVENTS per key; this says
+    WHAT inside them churns).
+
+    100 TB plan: one lag window over the standard per-key changelog
+    partitioning, then two 1-row conditional aggregates unioned —
+    per-column flags collapse map-side."""
+    log = _changelog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("updated_at", "_seq")
+    v = (
+        log.filter(F.col("op") != "d")
+        .select(
+            "username",
+            "account_type",
+            F.lag("username").over(w).alias("prev_u"),
+            F.lag("account_type").over(w).alias("prev_a"),
+        )
+        .filter(F.col("prev_u").isNotNull())
+    )
+    u1 = v.agg(
+        F.lit("username").alias("col"),
+        F.count("*").cast("long").alias("n_updates"),
+        F.count(F.when(F.col("username") != F.col("prev_u"), 1))
+        .cast("long")
+        .alias("n_changed"),
+    )
+    u2 = v.agg(
+        F.lit("account_type").alias("col"),
+        F.count("*").cast("long").alias("n_updates"),
+        F.count(F.when(F.col("account_type") != F.col("prev_a"), 1))
+        .cast("long")
+        .alias("n_changed"),
+    )
+    return u1.unionByName(u2).select(
+        "col",
+        "n_updates",
+        "n_changed",
+        F.expr("(10000 * n_changed) div n_updates")
+        .cast("long")
+        .alias("change_bp"),
+    )
+
+
+@register(
+    "q_autoscale_plan",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT day, hour, c, (c + 99) // 100 AS workers,
+             lag((c + 99) // 100) OVER (PARTITION BY day ORDER BY hour)
+               AS prev_workers
+      FROM h
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(MAX(workers) AS BIGINT) AS peak_workers,
+           CAST(100 * SUM(workers) // COUNT(*) AS BIGINT) AS avg_workers_x100,
+           CAST(COUNT(*) FILTER (WHERE prev_workers IS NOT NULL
+                                    AND workers <> prev_workers) AS BIGINT)
+             AS n_scale_events
+    FROM w GROUP BY day
+    """,
+)
+def q_autoscale_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer autoscaling plan: with a 100-events/hour worker
+    capacity, the per-hour worker requirement (ceil division), its
+    daily peak and average, and how often the target CHANGES — the
+    scale-event count is what an HPA actually executes, and a high
+    count at a flat average means flapping (add the q_alert_hysteresis
+    dead band).  The capacity-side twin of q_concurrent_peak (demand
+    simultaneity) and q_queue_backlog (what happens when scaling
+    lags).
+
+    100 TB plan: hour-grain collapse first; the lag window runs per
+    day over 24-row partitions; one day-grain rollup."""
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count("*").alias("c"))
+    wlag = Window.partitionBy("day").orderBy("hour")
+    w = h.select(
+        "day",
+        F.expr("(c + 99) div 100").alias("workers"),
+        F.lag(F.expr("(c + 99) div 100")).over(wlag).alias("prev_workers"),
+    )
+    return w.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.max("workers").cast("long").alias("peak_workers"),
+        F.expr("(100 * sum(workers)) div count(*)")
+        .cast("long")
+        .alias("avg_workers_x100"),
+        F.count(
+            F.when(
+                F.col("prev_workers").isNotNull()
+                & (F.col("workers") != F.col("prev_workers")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_scale_events"),
+    )
