@@ -21095,3 +21095,429 @@ def q_autoscale_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_scale_events"),
     )
+
+
+@register(
+    "q_mapinarrow_norms",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             CAST(round(CAST(embedding[t.k] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xs6
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(k)
+    )
+    SELECT vec_id, CAST(SUM(xs6 * xs6) AS BIGINT) AS sumsq6
+    FROM x GROUP BY vec_id
+    """,
+)
+def q_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` surface proof: per-vector squared L2 norm computed
+    in a pyarrow-native batch UDF — the zero-copy columnar Python
+    path Spark 4 offers BELOW mapInPandas (no pandas Series
+    materialization, no per-cell Python objects; the list column
+    arrives as one flat Arrow buffer and is reshaped, squared and
+    row-summed as a single numpy operation per batch).  Completes the
+    Python-execution ladder the registry already walks: pandas_udf
+    scalar (q_udf_scalar), grouped-agg pandas (q_grouped_agg_pandas),
+    applyInPandas (q_mad_pandas), Arrow UDTF (q_udtf_ngrams),
+    mapInPandas (media decodes) — and now raw Arrow.
+
+    Exactness: floats are widened to float64 and quantized to the
+    1e6 grid with explicit AWAY-FROM-ZERO rounding (matching Spark
+    F.round / DuckDB round; numpy's default rint is half-even and
+    WOULD diverge) — the sum of squares is then exact BIGINT.
+
+    100 TB plan: embarrassingly parallel batch map, no shuffle at
+    all; Arrow batch size bounds executor memory (the same batches
+    q_arrow_batch_size prices)."""
+    import pyarrow as pa
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            tab = pa.table(batch)
+            ids = tab.column("vec_id").combine_chunks()
+            lists = tab.column("embedding").combine_chunks()
+            flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            # away-from-zero quantization to the 1e6 grid (np.rint is
+            # half-even and would diverge from round() in both engines)
+            q = np.trunc(flat * 1e6 + np.copysign(0.5, flat)).astype(np.int64)
+            offs = lists.offsets.to_numpy(zero_copy_only=False)
+            sums = np.add.reduceat(q * q, offs[:-1])
+            # reduceat misbehaves on empty segments; fixture lists are
+            # fixed-width and non-empty, but guard the zero-len edge
+            lens = np.diff(offs)
+            sums = np.where(lens > 0, sums, 0)
+            yield pa.record_batch(
+                [ids, pa.array(sums, type=pa.int64())], names=["vec_id", "sumsq6"]
+            )
+
+    schema = "vec_id long, sumsq6 long"
+    return emb.mapInArrow(norms, schema)
+
+
+@register(
+    "q_version_retention_cost",
+    oracle=CHANGELOG_CTE
+    + """
+    , v AS (
+      SELECT user_id, updated_at,
+             lead(updated_at) OVER (PARTITION BY user_id
+                                    ORDER BY updated_at, _seq) AS valid_to
+      FROM changelog WHERE op <> 'd'
+    ),
+    h AS (SELECT MAX(updated_at) AS horizon FROM changelog)
+    SELECT retention_days,
+           CAST(COUNT(*) AS BIGINT) AS versions_total,
+           CAST(COUNT(*) FILTER (
+             WHERE valid_to IS NULL
+                OR valid_to >= horizon - to_days(retention_days)
+           ) AS BIGINT) AS versions_kept,
+           CAST(10000 * COUNT(*) FILTER (
+             WHERE valid_to IS NULL
+                OR valid_to >= horizon - to_days(retention_days)
+           ) // COUNT(*) AS BIGINT) AS kept_bp
+    FROM v CROSS JOIN h
+    CROSS JOIN (SELECT unnest([1, 7, 30]) AS retention_days)
+    GROUP BY retention_days
+    """,
+)
+def q_version_retention_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel retention pricing: for VACUUM horizons of 1/7/30
+    days, the SCD2 history versions that must be KEPT (their validity
+    window still intersects the retention horizon, or they are the
+    live version) vs reclaimable ones — the storage-cost curve behind
+    'how far back can q_time_travel / q_scd2_asof go' (the sweep
+    sibling of q_topic_compaction's log-side retention).  A version
+    is reclaimable iff it was superseded BEFORE horizon - retention.
+
+    100 TB plan: one lead() over the standard per-key changelog
+    window builds validity intervals; the horizon is a 1-row
+    broadcast; the 3-way sweep explodes post-window rows and
+    collapses map-side to 3 output rows."""
+    log = _changelog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("updated_at", "_seq")
+    v = (
+        log.filter(F.col("op") != "d")
+        .select("updated_at", F.lead("updated_at").over(w).alias("valid_to"))
+    )
+    h = log.agg(F.max("updated_at").alias("horizon"))
+    sweep = (
+        v.crossJoin(F.broadcast(h))
+        .select(
+            "valid_to",
+            "horizon",
+            F.explode(F.array(*[F.lit(d) for d in (1, 7, 30)])).alias(
+                "retention_days"
+            ),
+        )
+    )
+    kept = F.col("valid_to").isNull() | (
+        F.col("valid_to")
+        >= F.col("horizon") - F.expr("make_interval(0, 0, 0, retention_days, 0, 0, 0)")
+    )
+    return sweep.groupBy("retention_days").agg(
+        F.count("*").cast("long").alias("versions_total"),
+        F.count(F.when(kept, 1)).cast("long").alias("versions_kept"),
+        F.expr(
+            "(10000 * count(if(valid_to IS NULL OR valid_to >= horizon"
+            " - make_interval(0, 0, 0, retention_days, 0, 0, 0), 1, null)))"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("kept_bp"),
+    )
+
+
+@register(
+    "q_tail_sampling",
+    oracle=f"""
+    WITH err_users AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    ),
+    tagged AS (
+      SELECT e.user_id, e.event_id,
+             CASE WHEN eu.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_err_user,
+             CASE WHEN {_hex_bucket_sql("md5(CAST(e.user_id AS VARCHAR))", 2)} < 26
+                  THEN 1 ELSE 0 END AS head_sampled
+      FROM events e LEFT JOIN err_users eu ON e.user_id = eu.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM err_users) AS BIGINT) AS n_error_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events_total,
+           CAST(SUM(is_err_user) AS BIGINT) AS n_kept_error_traces,
+           CAST(SUM(CASE WHEN is_err_user = 0 AND head_sampled = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_baseline,
+           CAST(10000 * (SUM(is_err_user)
+                + SUM(CASE WHEN is_err_user = 0 AND head_sampled = 1
+                           THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+             AS kept_share_bp
+    FROM tagged
+    """,
+)
+def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-based trace sampling (the observability-pipeline policy):
+    keep EVERY event of any user whose trace contains an error
+    (decided after seeing the whole trace — the 'tail'), plus a ~10%
+    deterministic hash baseline of the untroubled users (26/256) for
+    normal-behavior reference — the policy that keeps error context
+    complete while shedding the boring majority, vs head sampling
+    which drops 90% of error context too.  The baseline hashes the
+    USER key, so kept traces stay referentially whole
+    (q_linked_sample's closure property).
+
+    100 TB plan: the error-user set is a key-grain distinct that
+    joins back as a hash semi-join (broadcastable while error users
+    are rare; the LEFT JOIN + flag form also prices the overlap);
+    the baseline decision is row-local hashing; one 1-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    err_users = (
+        e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    )
+    n_err = err_users.agg(F.count("*").cast("long").alias("n_error_users"))
+    tagged = e.join(
+        err_users.withColumn("is_err_user", F.lit(1)), "user_id", "left"
+    ).select(
+        F.coalesce("is_err_user", F.lit(0)).alias("is_err_user"),
+        F.when(
+            _hex_bucket_col(F.md5(F.col("user_id").cast("string")), 2) < 26, 1
+        )
+        .otherwise(0)
+        .alias("head_sampled"),
+    )
+    agg = tagged.agg(
+        F.count("*").cast("long").alias("n_events_total"),
+        F.sum("is_err_user").cast("long").alias("n_kept_error_traces"),
+        F.sum(
+            F.when((F.col("is_err_user") == 0) & (F.col("head_sampled") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_kept_baseline"),
+    )
+    return n_err.crossJoin(F.broadcast(agg)).select(
+        "n_error_users",
+        "n_events_total",
+        "n_kept_error_traces",
+        "n_kept_baseline",
+        F.expr(
+            "(10000 * (n_kept_error_traces + n_kept_baseline)) div n_events_total"
+        )
+        .cast("long")
+        .alias("kept_share_bp"),
+    )
+
+
+@register(
+    "q_content_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, d.tl[t.k] AS w, t.k AS i
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS tl
+            FROM documents) d,
+           unnest(generate_series(1, len(d.tl))) t(k)
+    ),
+    marked AS (
+      SELECT doc_id, source, w, i,
+             CASE WHEN {_hex_bucket_sql("md5(w)", 2)} % 32 = 0
+                  THEN 1 ELSE 0 END AS is_boundary
+      FROM toks
+    ),
+    chunked AS (
+      SELECT doc_id, source, w, i,
+             SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_id
+      FROM marked
+    ),
+    chunks AS (
+      SELECT doc_id, source, chunk_id,
+             md5(string_agg(w, ' ' ORDER BY i)) AS chash,
+             CAST(SUM(octet_length(encode(w))) + COUNT(*) - 1 AS BIGINT)
+               AS chunk_bytes
+      FROM chunked GROUP BY doc_id, source, chunk_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chash) AS BIGINT) AS n_unique_chunks,
+           CAST(SUM(chunk_bytes) AS BIGINT) AS bytes_total,
+           CAST(SUM(CASE WHEN rn = 1 THEN chunk_bytes ELSE 0 END) AS BIGINT)
+             AS bytes_unique,
+           CAST(10000 * (SUM(chunk_bytes)
+                - SUM(CASE WHEN rn = 1 THEN chunk_bytes ELSE 0 END))
+                // SUM(chunk_bytes) AS BIGINT) AS dedup_savings_bp
+    FROM (
+      SELECT source, chash, chunk_bytes,
+             row_number() OVER (PARTITION BY source, chash
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    )
+    GROUP BY source
+    """,
+)
+def q_content_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS/borg family):
+    chunk boundaries are declared wherever a token's hash lands in a
+    1/32 bucket — boundaries are a function of CONTENT, not position,
+    so an insertion early in a document shifts only the chunk it
+    lands in and every later chunk still dedups (fixed-size chunking
+    — q_chunk_docs — loses alignment after any edit; q_dup_ranges
+    needs exact window matches).  Per source: chunk count, distinct
+    chunks, and the byte savings content-addressed storage of the
+    chunks would realize.
+
+    100 TB plan: boundary test is a row-local hash on the exploded
+    token stream; chunk assembly is a per-doc cumulative window
+    (doc-bounded) + per-chunk string_agg; dedup is one hash-grain
+    groupBy.  The chunk table IS the content-addressed store's
+    manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("i", "w"),
+    )
+    marked = toks.select(
+        "doc_id",
+        "source",
+        "w",
+        "i",
+        F.when(_hex_bucket_col(F.md5(F.col("w")), 2) % 32 == 0, 1)
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = marked.select(
+        "doc_id",
+        "source",
+        "w",
+        "i",
+        F.sum("is_boundary").over(wcum).alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("w")))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("chash"),
+        (F.sum(F.octet_length("w")) + F.count("*") - 1)
+        .cast("long")
+        .alias("chunk_bytes"),
+    )
+    wrn = Window.partitionBy("source", "chash").orderBy("doc_id", "chunk_id")
+    ranked = chunks.select(
+        "source",
+        "chunk_bytes",
+        F.row_number().over(wrn).alias("rn"),
+        "chash",
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("chash").cast("long").alias("n_unique_chunks"),
+        F.sum("chunk_bytes").cast("long").alias("bytes_total"),
+        F.sum(F.when(F.col("rn") == 1, F.col("chunk_bytes")).otherwise(0))
+        .cast("long")
+        .alias("bytes_unique"),
+    )
+    return agg.select(
+        "source",
+        "n_chunks",
+        "n_unique_chunks",
+        "bytes_total",
+        "bytes_unique",
+        F.expr("(10000 * (bytes_total - bytes_unique)) div bytes_total")
+        .cast("long")
+        .alias("dedup_savings_bp"),
+    )
+
+
+@register(
+    "q_storage_tiering",
+    oracle="""
+    WITH last_sold AS (
+      SELECT l_partkey, MAX(l_shipdate) AS last_ship,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    h AS (SELECT MAX(l_shipdate) AS horizon FROM lineitem),
+    tiered AS (
+      SELECT CASE
+               WHEN last_ship >= horizon - INTERVAL 30 DAY THEN 'hot'
+               WHEN last_ship >= horizon - INTERVAL 90 DAY THEN 'warm'
+               ELSE 'cold' END AS tier,
+             n_rows, rev_cents
+      FROM last_sold CROSS JOIN h
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(n_rows) AS BIGINT) AS n_lineitems,
+           CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+           CAST(10000 * SUM(n_rows)
+                // (SELECT COUNT(*) FROM lineitem) AS BIGINT) AS row_share_bp
+    FROM tiered GROUP BY tier
+    """,
+)
+def q_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/warm/cold storage-tiering plan: classify parts by recency
+    of their last sale (30/90-day fences against the data's own
+    horizon) and size each tier in rows and revenue — the table
+    behind 'move cold partitions to object storage' (q_never_sold is
+    the coldest edge; q_hot_cold_keys ranks keys, this sizes the
+    TIERS the mover actually operates on).
+
+    100 TB plan: part-grain collapse with map-side MAX/SUM partial
+    aggs, a 1-row horizon broadcast, a 3-row rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    last_sold = li.groupBy("l_partkey").agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    h = li.agg(F.max("l_shipdate").alias("horizon"))
+    tot = li.agg(F.count("*").alias("t"))
+    tiered = last_sold.crossJoin(F.broadcast(h)).select(
+        F.when(
+            F.col("last_ship") >= F.col("horizon") - F.expr("INTERVAL 30 DAY"),
+            "hot",
+        )
+        .when(
+            F.col("last_ship") >= F.col("horizon") - F.expr("INTERVAL 90 DAY"),
+            "warm",
+        )
+        .otherwise("cold")
+        .alias("tier"),
+        "n_rows",
+        "rev_cents",
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("n_rows").cast("long").alias("n_lineitems"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "n_parts",
+            "n_lineitems",
+            "rev_cents",
+            F.expr("(10000 * n_lineitems) div t")
+            .cast("long")
+            .alias("row_share_bp"),
+        )
+    )
