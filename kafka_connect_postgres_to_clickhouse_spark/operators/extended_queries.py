@@ -21521,3 +21521,244 @@ def q_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("row_share_bp"),
         )
     )
+
+
+@register(
+    "q_hill_tail_index",
+    oracle="""
+    WITH top_v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY o_totalprice DESC) AS rn
+      FROM orders ORDER BY o_totalprice DESC LIMIT 101
+    ),
+    s AS (
+      SELECT rn, cents,
+             CAST(round(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT) AS s_v
+      FROM top_v
+    ),
+    cut AS (SELECT cents AS xmin_cents, s_v AS s_min FROM s WHERE rn = 101)
+    SELECT CAST(100 AS BIGINT) AS k,
+           CAST(MAX(cut.xmin_cents) AS BIGINT) AS xmin_cents,
+           CAST(SUM(s.s_v - cut.s_min) // 100 AS BIGINT) AS hill_microln
+    FROM s CROSS JOIN cut WHERE s.rn <= 100
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail index (Hill 1975) over the
+    top-100 order values: mean of ln(x_(i)/x_(k+1)) — the
+    extreme-value-theory number that says HOW heavy the revenue tail
+    is (tail exponent alpha = 1/hill; q_zipf_slope fits the
+    rank-frequency law of tokens, this fits the VALUE tail of money).
+    Reported on the exact integer micro-ln grid (ln once per order
+    statistic, the q_perplexity discipline; no division by a float).
+
+    100 TB plan: the top-101 head comes from TakeOrderedAndProject
+    (partial per-partition heaps, never a global sort); everything
+    after runs on 101 rows."""
+    o = _t(spark, sf_dir, "orders")
+    top_v = (
+        o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .orderBy(F.col("cents").desc())
+        .limit(101)
+    )
+    ranked = top_v.select(
+        "cents",
+        F.row_number().over(Window.orderBy(F.col("cents").desc())).alias("rn"),
+        F.round(F.ln(F.col("cents").cast("double")) * 1000000)
+        .cast("long")
+        .alias("s_v"),
+    )
+    cut = ranked.filter(F.col("rn") == 101).select(
+        F.col("cents").alias("xmin_cents"), F.col("s_v").alias("s_min")
+    )
+    return (
+        ranked.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(cut))
+        .agg(
+            F.lit(100).cast("long").alias("k"),
+            F.max("xmin_cents").cast("long").alias("xmin_cents"),
+            F.expr("sum(s_v - s_min) div 100").cast("long").alias("hill_microln"),
+        )
+    )
+
+
+@register(
+    "q_mann_whitney_u",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT cents, CAST(SUM(in_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - in_a) AS BIGINT) AS cb
+      FROM p GROUP BY cents
+    ),
+    c AS (
+      SELECT cents, ca, cb,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+      FROM g
+    ),
+    r AS (
+      SELECT ca, cb, 2 * cum_lt + (ca + cb) + 1 AS r2
+      FROM c
+    )
+    SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(cb) AS BIGINT) AS n_b,
+           CAST(SUM(ca * r2) - SUM(ca) * (SUM(ca) + 1) AS BIGINT) AS u2_a,
+           CAST(SUM(cb * r2) - SUM(cb) * (SUM(cb) + 1) AS BIGINT) AS u2_b,
+           CAST(2 * SUM(ca) * SUM(cb) AS BIGINT) AS u2_sum_check
+    FROM r
+    """,
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test statistic between the parity
+    arms' purchase values, EXACTLY: pooled average ranks with ties
+    live on the half-integer grid, so everything is carried as
+    2x-rank integers (r2 = 2*cum_below + tie_size + 1) and the U
+    statistics are pure BIGINT — the NONPARAMETRIC twin of
+    q_welch_ttest (which trusts means) and the test you reach for
+    when q_decimal_grid_audit says the values are heavy-tailed.
+    Identity U_a + U_b = n_a * n_b ships as a verification column.
+
+    100 TB plan: value-grain collapse (map-side), one cumulative
+    window over the domain-bounded cents grid, 1-row output."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    g = p.groupBy("cents").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(wcum), F.lit(0)).alias(
+            "cum_lt"
+        ),
+    )
+    r = c.select("ca", "cb", (2 * F.col("cum_lt") + F.col("ca") + F.col("cb") + 1).alias("r2"))
+    return r.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        (F.sum(F.col("ca") * F.col("r2")) - F.sum("ca") * (F.sum("ca") + 1))
+        .cast("long")
+        .alias("u2_a"),
+        (F.sum(F.col("cb") * F.col("r2")) - F.sum("cb") * (F.sum("cb") + 1))
+        .cast("long")
+        .alias("u2_b"),
+        (2 * F.sum("ca") * F.sum("cb")).cast("long").alias("u2_sum_check"),
+    )
+
+
+@register(
+    "q_simpsons_check",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    strata AS (
+      SELECT event_type AS stratum,
+             CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN in_a = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS sum_a,
+             CAST(SUM(CASE WHEN in_a = 0 THEN cents ELSE 0 END) AS BIGINT)
+               AS sum_b
+      FROM v GROUP BY event_type
+      UNION ALL
+      SELECT 'OVERALL',
+             CAST(SUM(in_a) AS BIGINT), CAST(SUM(1 - in_a) AS BIGINT),
+             CAST(SUM(CASE WHEN in_a = 1 THEN cents ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN in_a = 0 THEN cents ELSE 0 END) AS BIGINT)
+      FROM v
+    ),
+    flagged AS (
+      SELECT *,
+             CAST(CASE WHEN sum_a * n_b > sum_b * n_a THEN 1 ELSE 0 END
+                  AS BIGINT) AS a_gt_b
+      FROM strata
+    )
+    SELECT f.stratum, f.n_a, f.n_b, f.sum_a, f.sum_b, f.a_gt_b,
+           CAST(CASE WHEN f.a_gt_b <> o.a_gt_b THEN 1 ELSE 0 END AS BIGINT)
+             AS flips_vs_overall
+    FROM flagged f
+    CROSS JOIN (SELECT a_gt_b FROM flagged WHERE stratum = 'OVERALL') o
+    """,
+)
+def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: compare which arm (even vs odd
+    user hash) has the higher mean event value OVERALL against the
+    winner WITHIN each stratum (event type) — a stratum whose
+    direction flips against the aggregate is the classic
+    confounded-aggregation trap (the reason q_ab_test stratifies and
+    q_training_mix re-weights).  Mean comparisons are exact integer
+    cross-multiplications (sum_a * n_b vs sum_b * n_a — no division,
+    no floats).
+
+    100 TB plan: one scan feeds both the stratum grain and the
+    overall row (grouping-sets shape); the flip flag joins the
+    bounded stratum table to one broadcast overall row."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def stats(df: DataFrame, label) -> DataFrame:
+        return df.agg(
+            label.alias("stratum"),
+            F.sum("in_a").cast("long").alias("n_a"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+            F.sum(F.when(F.col("in_a") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("sum_a"),
+            F.sum(F.when(F.col("in_a") == 0, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("sum_b"),
+        )
+
+    strata = v.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("in_a") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sum_a"),
+        F.sum(F.when(F.col("in_a") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sum_b"),
+    ).unionByName(stats(v, F.lit("OVERALL")))
+    flagged = strata.withColumn(
+        "a_gt_b",
+        F.when(
+            F.col("sum_a") * F.col("n_b") > F.col("sum_b") * F.col("n_a"), 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    overall = flagged.filter(F.col("stratum") == "OVERALL").select(
+        F.col("a_gt_b").alias("o_dir")
+    )
+    return flagged.crossJoin(F.broadcast(overall)).select(
+        "stratum",
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        "a_gt_b",
+        F.when(F.col("a_gt_b") != F.col("o_dir"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("flips_vs_overall"),
+    )

@@ -276,6 +276,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_abc_classes": "cumsum over distinct-revenue grain "
     "(bounded by the cents grid, not the corpus)",
     "q_error_budget_burn": "cumsum over day grain (bounded by the calendar)",
+    "q_hill_tail_index": "row_number over a LIMIT-101 head "
+    "(TakeOrderedAndProject)",
+    "q_mann_whitney_u": "rank cumsum over value-cents grain "
+    "(bounded by the cents grid, not the corpus)",
 }
 
 
