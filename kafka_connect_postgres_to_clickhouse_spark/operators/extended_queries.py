@@ -21762,3 +21762,150 @@ def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flips_vs_overall"),
     )
+
+
+@register(
+    "q_media_wav_resample",
+    oracle="""
+    SELECT doc_id,
+           CAST(80 AS BIGINT) AS n_samples_out,
+           CAST(8000 AS BIGINT) AS rate_out,
+           CAST(floor(round(((doc_id % 128) / 128.0) * 32767) / 2) AS BIGINT)
+             AS peak_v,
+           CAST(floor(round(((doc_id % 128) / 128.0) * 32767) / 2) / 32768.0
+                AS DOUBLE) AS peak
+    FROM documents
+    """,
+)
+def q_media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLE end-to-end: per doc, encode a 160-sample 16 kHz
+    WAV alternating amplitude (doc_id % 128)/128 with silence (a
+    square wave), 2:1-decimate it ON THE INT16 GRID
+    (``decimate_pcm`` — floor-average of each sample pair), re-decode
+    the 8 kHz result and emit its peak sample.  Each output sample is
+    exactly floor(q/2) for q = round(amp * 32767), so the oracle is a
+    closed-form SQL expression — the resample path joins
+    decode/resize/frame-sample as a driver-gated REAL media
+    transformation (the audio twin of q_media_resize).
+
+    100 TB plan: Arrow-batched mapInPandas, payloads never shuffle,
+    embarrassingly parallel per batch — the q_media_decode_wav
+    layout."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import decimate_pcm, decode_wav, encode_wav
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                amp = (int(i) % 128) / 128.0
+                sig = np.zeros(160)
+                sig[::2] = amp
+                wav = encode_wav(sig, rate=16000)
+                res = decimate_pcm(wav, factor=2)
+                samples, rate = decode_wav(res)
+                peak_v = int(round(float(samples.max()) * 32768.0))
+                out.append(
+                    (int(i), len(samples), rate, peak_v, peak_v / 32768.0)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples_out", "rate_out", "peak_v", "peak"],
+            )
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, n_samples_out long, rate_out long, peak_v long, peak double",
+    )
+
+
+@register(
+    "q_join_ttl_loss",
+    oracle="""
+    WITH vp AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    m AS (
+      SELECT user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view
+      FROM vp
+    ),
+    p AS (
+      SELECT epoch(ts) - epoch(prev_view) AS gap_s
+      FROM m WHERE event_type = 'purchase'
+    )
+    SELECT ttl_h,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(*) FILTER (WHERE gap_s IS NOT NULL
+                                    AND gap_s <= 3600 * ttl_h) AS BIGINT)
+             AS n_matched,
+           CAST(COUNT(*) FILTER (WHERE gap_s IS NULL
+                                    OR gap_s > 3600 * ttl_h) AS BIGINT)
+             AS n_lost,
+           CAST(10000 * COUNT(*) FILTER (WHERE gap_s IS NULL
+                                            OR gap_s > 3600 * ttl_h)
+                // COUNT(*) AS BIGINT) AS lost_bp
+    FROM p CROSS JOIN (SELECT unnest([1, 6, 24]) AS ttl_h)
+    GROUP BY ttl_h
+    """,
+)
+def q_join_ttl_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join TTL loss: a view->purchase attribution join
+    buffers views in state for the TTL — per candidate TTL (1/6/24 h),
+    the purchases whose most recent prior view falls OUTSIDE the
+    buffer and would silently lose attribution.  The counterpart to
+    q_state_ttl_sweep (which prices what retention COSTS; this prices
+    what shrinking it LOSES) — together they are the state-TTL
+    tradeoff; q_conversion_lag is the underlying lag distribution.
+    Tie rule: a view stamped at the purchase's own instant is prior
+    (1-preceding frame over (ts, type) order puts 'purchase' after
+    'view' at equal ts).
+
+    100 TB plan: one last-non-null window over the per-user event
+    partitioning computes every gap once; the 3-TTL sweep explodes
+    purchase rows only (bounded), collapsing map-side."""
+    e = _t(spark, sf_dir, "events")
+    vp = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = vp.select(
+        "event_type",
+        "ts",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("prev_view"),
+    )
+    p = m.filter(F.col("event_type") == "purchase").select(
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_view")).alias("gap_s")
+    )
+    sweep = p.select(
+        "gap_s",
+        F.explode(F.array(*[F.lit(t) for t in (1, 6, 24)])).alias("ttl_h"),
+    )
+    lost = F.col("gap_s").isNull() | (F.col("gap_s") > 3600 * F.col("ttl_h"))
+    return sweep.groupBy("ttl_h").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.count(F.when(~lost, 1)).cast("long").alias("n_matched"),
+        F.count(F.when(lost, 1)).cast("long").alias("n_lost"),
+        F.expr(
+            "(10000 * count(if(gap_s IS NULL OR gap_s > 3600 * ttl_h, 1, null)))"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("lost_bp"),
+    )

@@ -107,6 +107,38 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+def decimate_pcm(payload: bytes, factor: int = 2) -> bytes:
+    """k:1 PCM sample-rate decimation ON THE INTEGER SAMPLE GRID:
+    decode the 16-bit mono PCM frames, floor-average each group of
+    ``factor`` consecutive int16 samples, re-encode at rate/factor.
+
+    Integer-domain on purpose: a float resampler (decode to [-1,1],
+    interpolate, re-quantize) stacks two rounding steps whose ties
+    are engine-divergent; floor((v0+...+vk-1)/k) on int16 values is
+    one exact integer op the q_media_wav_resample oracle reproduces
+    verbatim in SQL.  A trailing partial group is dropped (the
+    polyphase convention for a one-shot decimator)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("decimate_pcm expects 16-bit mono PCM")
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    n = (len(v) // factor) * factor
+    groups = v[:n].reshape(-1, factor)
+    out = np.floor_divide(groups.sum(axis=1), factor)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate // factor)
+        w.writeframes(out.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24/32-bit BI_RGB BMP bytes -> (h, w, 3) uint8 RGB.
 

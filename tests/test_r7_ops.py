@@ -203,3 +203,42 @@ def test_compression_never_beats_entropy_or_raw(spark, key):
         total_g = sum(r.gorilla_bits for r in rows)
         total_raw = sum(r.raw_bits for r in rows)
         assert total_g < total_raw  # timestamps are regular enough to win
+
+
+def test_decimate_pcm_integer_grid_and_guards():
+    import io
+    import wave
+
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decimate_pcm,
+        decode_wav,
+        encode_wav,
+    )
+
+    sig = np.zeros(11)
+    sig[::2] = 100 / 128.0  # odd length: trailing partial group drops
+    res = decimate_pcm(encode_wav(sig, rate=16000), factor=2)
+    samples, rate = decode_wav(res)
+    assert rate == 8000 and len(samples) == 5
+    q = round((100 / 128.0) * 32767)
+    assert int(round(float(samples.max()) * 32768.0)) == q // 2
+
+    # negative samples: floor (not truncate-toward-zero) semantics
+    neg = decimate_pcm(encode_wav(np.full(4, -0.5), rate=16000), factor=2)
+    s2, _ = decode_wav(neg)
+    v = round(-0.5 * 32767)  # -16384 (away from zero)
+    assert int(round(float(s2[0]) * 32768.0)) == (2 * v) // 2 == v
+
+    # guards: stereo / 8-bit payloads are rejected, not mis-decoded
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decimate_pcm(buf.getvalue())
