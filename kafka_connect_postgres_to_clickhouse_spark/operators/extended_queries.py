@@ -18176,21 +18176,34 @@ def q_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     dlq_offsets = parsed.filter(F.col("_corrupt")).select("_seq")
     replayed = parse_envelope(wire.join(dlq_offsets, "_seq"), schema)
 
-    def fold_counts(df: DataFrame, out: str) -> DataFrame:
-        kept = df.filter(F.col("op") != "d")
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("updated_at").desc(), F.col("_seq").desc()
-        )
-        return (
-            kept.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .groupBy("account_type")
-            .agg(F.count("*").cast("long").alias(out))
-        )
-
+    # Both folds in ONE user_id shuffle: the final winner is max_by
+    # over all kept rows, the partial winner is the same aggregate
+    # FILTERed to the clean rows — no second window pass, no union
+    # re-shuffle (the two-fold form paid the user_id exchange twice).
     cols = ["_seq", "op", "user_id", "username", "account_type", "updated_at"]
-    pc = fold_counts(clean.select(*cols), "n_partial")
-    fc = fold_counts(clean.select(*cols).unionByName(replayed.select(*cols)), "n_final")
+    u = (
+        clean.select(*cols)
+        .withColumn("is_clean", F.lit(1))
+        .unionByName(replayed.select(*cols).withColumn("is_clean", F.lit(0)))
+        .filter(F.col("op") != "d")
+    )
+    per_user = u.groupBy("user_id").agg(
+        F.expr(
+            "max_by(account_type, struct(updated_at, _seq))"
+        ).alias("final_type"),
+        F.expr(
+            "max_by(account_type, struct(updated_at, _seq))"
+            " FILTER (WHERE is_clean = 1)"
+        ).alias("partial_type"),
+    )
+    fc = per_user.groupBy(F.col("final_type").alias("account_type")).agg(
+        F.count("*").cast("long").alias("n_final")
+    )
+    pc = (
+        per_user.filter(F.col("partial_type").isNotNull())
+        .groupBy(F.col("partial_type").alias("account_type"))
+        .agg(F.count("*").cast("long").alias("n_partial"))
+    )
     return fc.join(pc, "account_type", "left").select(
         "account_type",
         F.coalesce("n_partial", F.lit(0)).cast("long").alias("n_partial"),
