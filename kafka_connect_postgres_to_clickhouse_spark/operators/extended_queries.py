@@ -21922,3 +21922,183 @@ def q_join_ttl_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lost_bp"),
     )
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    fw AS (SELECT user_id, MIN(week) AS first_week FROM w GROUP BY user_id),
+    cur AS (
+      SELECT w.user_id, w.week,
+             CASE WHEN fw.first_week = w.week THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS was_active
+      FROM w
+      JOIN fw ON fw.user_id = w.user_id
+      LEFT JOIN w p ON p.user_id = w.user_id
+                   AND p.week = w.week - INTERVAL 7 DAY
+    ),
+    churn AS (
+      SELECT w.week + INTERVAL 7 DAY AS week, COUNT(*) AS n_churned
+      FROM w LEFT JOIN w nxt ON nxt.user_id = w.user_id
+                            AND nxt.week = w.week + INTERVAL 7 DAY
+      WHERE nxt.user_id IS NULL
+        AND w.week < (SELECT MAX(week) FROM w)
+      GROUP BY 1
+    )
+    SELECT cur.week,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN is_new = 0 AND was_active = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN is_new = 0 AND was_active = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(MAX(churn.n_churned), 0) AS BIGINT) AS n_churned
+    FROM cur LEFT JOIN churn ON churn.week = cur.week
+    GROUP BY cur.week
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the new/retained/resurrected/churned
+    decomposition every growth team reports): per week, actives split
+    into first-ever users, continuing users, and returners after a
+    gap — plus the churn OUT of the previous week — with the identity
+    active = new + retained + resurrected holding exactly.
+    q_new_vs_returning is the day-grain binary cut; q_retention is
+    cohort-shaped; this is the week-over-week state machine that
+    explains WHY the active count moved.
+
+    100 TB plan: the (user, week) activity grain is one map-side
+    distinct collapse of the fact table; first-week is a user-grain
+    MIN; prev/next-week flags are key-grain self-equi-joins on
+    (user, week) — all on the same hash partitioning; output is
+    calendar-bounded."""
+    e = _t(spark, sf_dir, "events")
+    w = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    fw = w.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    p = w.select(
+        "user_id", (F.col("week") + F.expr("INTERVAL 7 DAY")).alias("week")
+    ).withColumn("was_active", F.lit(1))
+    cur = (
+        w.join(fw, "user_id")
+        .join(p, ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("first_week") == F.col("week"), 1)
+            .otherwise(0)
+            .alias("is_new"),
+            F.coalesce("was_active", F.lit(0)).alias("was_active"),
+        )
+    )
+    maxw = w.agg(F.max("week").alias("maxw"))
+    nxt = w.select(
+        "user_id", (F.col("week") - F.expr("INTERVAL 7 DAY")).alias("week")
+    ).withColumn("still_active", F.lit(1))
+    churn = (
+        w.join(nxt, ["user_id", "week"], "left")
+        .crossJoin(F.broadcast(maxw))
+        .filter(F.col("still_active").isNull() & (F.col("week") < F.col("maxw")))
+        .groupBy((F.col("week") + F.expr("INTERVAL 7 DAY")).alias("week"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    agg = cur.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum(
+            F.when((F.col("is_new") == 0) & (F.col("was_active") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when((F.col("is_new") == 0) & (F.col("was_active") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    return agg.join(churn, "week", "left").select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+    )
+
+
+@register(
+    "q_dedup_transitivity",
+    oracle=SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    p AS (
+      SELECT doc_a AS a, doc_b AS b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE 2 * c >= sa.n + sb.n - c
+    ),
+    adj AS (SELECT a AS m, b AS x FROM p UNION ALL SELECT b, a FROM p),
+    wedge AS (
+      SELECT e1.x AS a, e1.m AS m, e2.x AS c
+      FROM adj e1 JOIN adj e2 ON e1.m = e2.m AND e1.x < e2.x
+    )
+    SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(COUNT(*) FILTER (WHERE cl.a IS NOT NULL) AS BIGINT)
+             AS n_closed,
+           CAST(10000 * COUNT(*) FILTER (WHERE cl.a IS NOT NULL)
+                // COUNT(*) AS BIGINT) AS closure_bp
+    FROM wedge LEFT JOIN p cl ON cl.a = wedge.a AND cl.b = wedge.c
+    """,
+)
+def q_dedup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-dup pair graph: near-duplicate
+    similarity is NOT transitive (a~b and b~c do not imply a~c — a
+    chain of 60%-overlapping edits drifts arbitrarily far), and this
+    measures by how much: of all wedges (a-m-c sharing a hub), the
+    fraction closed by a direct a~c edge.  A low closure rate is the
+    quantitative justification for clustering duplicates by CONNECTED
+    COMPONENTS (q_dedup_clusters) rather than cliques — and the
+    warning that CC clusters over-merge chains (q_cluster_sizes shows
+    the tail this produces).  Graph twin: q_graph_triangles closes
+    co-purchase wedges; this closes the DUP graph's.
+
+    100 TB plan: rides the session-materialized verified pair table
+    (built once by the PPJoin pipeline); wedge enumeration joins the
+    adjacency on the hub key (hub-degree bounded by near-dup cluster
+    size, not corpus size); closure is one more key-grain equi-join."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    adj = pairs.select(F.col("a").alias("m"), F.col("b").alias("x")).unionAll(
+        pairs.select(F.col("b").alias("m"), F.col("a").alias("x"))
+    )
+    e1, e2 = adj.alias("e1"), adj.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.m") == F.col("e2.m")) & (F.col("e1.x") < F.col("e2.x")),
+    ).select(F.col("e1.x").alias("wa"), F.col("e2.x").alias("wc"))
+    cl = pairs.select(F.col("a").alias("wa"), F.col("b").alias("wc")).withColumn(
+        "closed", F.lit(1)
+    )
+    n_edges = pairs.agg(F.count("*").cast("long").alias("n_edges"))
+    agg = wedge.join(cl, ["wa", "wc"], "left").agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.count(F.when(F.col("closed").isNotNull(), 1))
+        .cast("long")
+        .alias("n_closed"),
+    )
+    return n_edges.crossJoin(F.broadcast(agg)).select(
+        "n_edges",
+        "n_wedges",
+        "n_closed",
+        F.expr("(10000 * n_closed) div n_wedges").cast("long").alias("closure_bp"),
+    )
