@@ -22102,3 +22102,255 @@ def q_dedup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.expr("(10000 * n_closed) div n_wedges").cast("long").alias("closure_bp"),
     )
+
+
+@register(
+    "q_topk_time_shard_bias",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev,
+             date_trunc('week', CAST(l_shipdate AS TIMESTAMP)) AS shard
+      FROM lineitem
+      GROUP BY l_partkey, date_trunc('week', CAST(l_shipdate AS TIMESTAMP))
+    ),
+    true_top AS (
+      SELECT l_partkey FROM (
+        SELECT l_partkey, SUM(rev) AS total,
+               row_number() OVER (ORDER BY SUM(rev) DESC, l_partkey) AS rn
+        FROM rev GROUP BY l_partkey
+      ) WHERE rn <= 10
+    ),
+    shard_top AS (
+      SELECT DISTINCT l_partkey FROM (
+        SELECT shard, l_partkey,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY rev DESC, l_partkey) AS rn
+        FROM rev
+      ) WHERE rn <= 10
+    ),
+    merged_top AS (
+      SELECT l_partkey FROM (
+        SELECT r.l_partkey, SUM(r.rev) AS total,
+               row_number() OVER (ORDER BY SUM(r.rev) DESC, r.l_partkey) AS rn
+        FROM rev r JOIN shard_top st ON st.l_partkey = r.l_partkey
+        GROUP BY r.l_partkey
+      ) WHERE rn <= 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM shard_top) AS BIGINT)
+             AS n_candidates,
+           CAST((SELECT COUNT(*) FROM true_top t
+                 JOIN merged_top m ON m.l_partkey = t.l_partkey) AS BIGINT)
+             AS n_correct_of_10,
+           CAST((SELECT COUNT(*) FROM true_top t
+                 WHERE t.l_partkey NOT IN (SELECT l_partkey FROM shard_top))
+                AS BIGINT) AS n_true_top_never_candidate
+    """,
+)
+def q_topk_time_shard_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-shard top-k bias, quantified: computing 'top-10 parts
+    by revenue' as top-10 WITHIN each week then merging misses keys
+    whose revenue is broad but never weekly-spectacular — the classic
+    distributed-aggregation bug when data is sharded by TIME instead
+    of by the GROUP KEY (hash-sharding by key makes per-shard sums
+    complete and the merge exact — q_topk_two_phase's correct
+    protocol; q_event_topk_hourly is safe for the same reason).
+    Reports the candidate-set size, how many of the true top-10 the
+    biased merge still finds, and how many were never even candidates.
+
+    100 TB plan: the (key, week) grain collapse is one partial agg;
+    per-shard heads are shard-partitioned rank windows; the true
+    top-10 is a TakeOrdered head over key-grain sums.  The audit
+    itself demonstrates both the wrong and the right shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(
+        "l_partkey",
+        F.date_trunc("week", F.col("l_shipdate").cast("timestamp")).alias("shard"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    totals = rev.groupBy("l_partkey").agg(F.sum("rev").alias("total"))
+    true_top = (
+        totals.orderBy(F.col("total").desc(), "l_partkey")
+        .limit(10)
+        .select("l_partkey")
+    )
+    wshard = Window.partitionBy("shard").orderBy(F.col("rev").desc(), "l_partkey")
+    shard_top = (
+        rev.withColumn("rn", F.row_number().over(wshard))
+        .filter(F.col("rn") <= 10)
+        .select("l_partkey")
+        .distinct()
+    )
+    merged_top = (
+        totals.join(shard_top, "l_partkey")
+        .orderBy(F.col("total").desc(), "l_partkey")
+        .limit(10)
+        .select("l_partkey")
+    )
+    n_cand = shard_top.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_corr = true_top.join(merged_top, "l_partkey").agg(
+        F.count("*").cast("long").alias("n_correct_of_10")
+    )
+    n_missed = true_top.join(shard_top, "l_partkey", "left_anti").agg(
+        F.count("*").cast("long").alias("n_true_top_never_candidate")
+    )
+    return (
+        n_cand.crossJoin(F.broadcast(n_corr)).crossJoin(F.broadcast(n_missed))
+    )
+
+
+@register(
+    "q_medoid_doc",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label, t.k AS dim,
+             CAST(round(CAST(embedding[t.k] AS DOUBLE) * 1000) AS BIGINT) AS xs3
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(k)
+    ),
+    d2 AS (
+      SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+             CAST(SUM((a.xs3 - b.xs3) * (a.xs3 - b.xs3)) AS BIGINT) AS sq
+      FROM x a JOIN x b ON a.label = b.label AND a.dim = b.dim
+                        AND a.vec_id <> b.vec_id
+      GROUP BY a.label, a.vec_id, b.vec_id
+    ),
+    sums AS (
+      SELECT label, va AS vec_id, CAST(SUM(sq) AS BIGINT) AS sum_sqdist
+      FROM d2 GROUP BY label, va
+    ),
+    best AS (
+      SELECT label, vec_id, sum_sqdist,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY sum_sqdist, vec_id) AS rn
+      FROM sums
+    )
+    SELECT label, vec_id AS medoid_id, sum_sqdist
+    FROM best WHERE rn = 1
+    """,
+)
+def q_medoid_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid (exemplar) per label: the member vector minimizing the
+    sum of squared distances to its cluster-mates — the REAL point a
+    human inspects when naming a cluster (the centroid —
+    q_embed_centroid — is a synthetic average that may resemble no
+    actual document; k-medoids' selection step).  Distances are exact
+    integers on the 1e3 grid; ties break on vec_id.
+
+    100 TB plan: the pairwise step is CONFINED WITHIN labels (the
+    SemDeDup containment argument — (n/k)^2 per cluster, never n^2
+    global), computed as a dim-aligned self-join partial agg; the
+    argmin is a label-partitioned rank over member grain."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000)"
+        " as bigint))"
+    )
+    v = emb.select("vec_id", "label", xs.alias("xs"))
+    a, b = v.alias("a"), v.alias("b")
+    sq = F.expr(
+        "aggregate(zip_with(a.xs, b.xs, (p, q) -> (p - q) * (p - q)),"
+        " cast(0 as bigint), (acc, t) -> acc + t)"
+    )
+    d2 = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(F.col("a.label").alias("label"), F.col("a.vec_id").alias("vec_id"), sq.alias("sq"))
+    sums = d2.groupBy("label", "vec_id").agg(
+        F.sum("sq").cast("long").alias("sum_sqdist")
+    )
+    wbest = Window.partitionBy("label").orderBy("sum_sqdist", "vec_id")
+    return (
+        sums.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("vec_id").alias("medoid_id"), "sum_sqdist")
+    )
+
+
+@register(
+    "q_diff_in_diff",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS arm,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre' ELSE 'post' END
+               AS period,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    cells AS (
+      SELECT arm, period, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM v GROUP BY arm, period
+    )
+    SELECT arm, period, n, sum_cents,
+           CAST(sum_cents AS DOUBLE) / n AS mean_cents,
+           (SELECT (CAST(tp.sum_cents AS DOUBLE) / tp.n
+                    - CAST(tr.sum_cents AS DOUBLE) / tr.n)
+                 - (CAST(cp.sum_cents AS DOUBLE) / cp.n
+                    - CAST(cr.sum_cents AS DOUBLE) / cr.n)
+            FROM cells tp, cells tr, cells cp, cells cr
+            WHERE tp.arm = 'treat' AND tp.period = 'post'
+              AND tr.arm = 'treat' AND tr.period = 'pre'
+              AND cp.arm = 'control' AND cp.period = 'post'
+              AND cr.arm = 'control' AND cr.period = 'pre')
+             AS did_effect_cents
+    FROM cells
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger shape): the
+    treatment effect = (treat_post - treat_pre) - (control_post -
+    control_pre) on mean purchase value across the mid-month cut —
+    the causal workhorse when assignment isn't randomized per event
+    (q_ab_test assumes it is; q_simpsons_check shows why raw deltas
+    mislead).  The 2x2 cells carry exact integer (n, sum); the four
+    means and the effect are deterministic IEEE divisions of exact
+    integers, repeated identically on every output row.
+
+    100 TB plan: one filtered scan to a 4-cell partial agg; the
+    effect is driver-free arithmetic over 4 broadcast numbers."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "treat").otherwise("control").alias("arm"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "pre")
+        .otherwise("post")
+        .alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = v.groupBy("arm", "period").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+    def cell(arm: str, period: str, alias: str) -> DataFrame:
+        return cells.filter(
+            (F.col("arm") == arm) & (F.col("period") == period)
+        ).select(
+            (F.col("sum_cents").cast("double") / F.col("n")).alias(alias)
+        )
+
+    eff = (
+        cell("treat", "post", "m_tp")
+        .crossJoin(F.broadcast(cell("treat", "pre", "m_tr")))
+        .crossJoin(F.broadcast(cell("control", "post", "m_cp")))
+        .crossJoin(F.broadcast(cell("control", "pre", "m_cr")))
+        .select(
+            (
+                (F.col("m_tp") - F.col("m_tr")) - (F.col("m_cp") - F.col("m_cr"))
+            ).alias("did_effect_cents")
+        )
+    )
+    return cells.crossJoin(F.broadcast(eff)).select(
+        "arm",
+        "period",
+        "n",
+        "sum_cents",
+        (F.col("sum_cents").cast("double") / F.col("n")).alias("mean_cents"),
+        "did_effect_cents",
+    )
