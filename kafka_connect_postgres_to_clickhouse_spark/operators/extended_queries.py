@@ -22354,3 +22354,167 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_cents").cast("double") / F.col("n")).alias("mean_cents"),
         "did_effect_cents",
     )
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    slopes AS (
+      SELECT b.y - a.y AS dy, b.x - a.x AS dx,
+             CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+      FROM d a JOIN d b ON b.x > a.x
+    ),
+    ranked AS (
+      SELECT dy, dx, slope,
+             row_number() OVER (ORDER BY slope, dy, dx) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN 2 * rn >= n + 1 THEN dy END) AS BIGINT)
+             AS med_dy,
+           CAST(MIN(CASE WHEN 2 * rn >= n + 1 THEN dx END) AS BIGINT)
+             AS med_dx,
+           MIN(CASE WHEN 2 * rn >= n + 1 THEN slope END)
+             AS slope_cents_per_day
+    FROM ranked
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise day-slopes
+    of daily revenue — the estimator whose 29% breakdown point
+    shrugs off the outlier days that drag q_ols_regression's
+    least-squares line (Sen 1968).  The median element is selected by
+    a deterministic total order (IEEE slope of exact integer pairs,
+    tie-broken by the integer dy, dx themselves), and the winning
+    pair ships as exact integers alongside the double.
+
+    100 TB plan: the fact table collapses to day grain FIRST (the
+    only fact-volume shuffle); the pairwise slope set is
+    calendar-bounded (30 days -> 435 pairs) and the rank runs over
+    that bounded grain — the pairwise step never touches row-level
+    data.  For multi-year spans, pre-bucket days to weeks: same
+    estimator, same bound."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    wr = Window.orderBy("slope", "dy", "dx")
+    wall = Window.partitionBy()
+    ranked = slopes.select(
+        "dy",
+        "dx",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    med = F.when(2 * F.col("rn") >= F.col("n") + 1, True)
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(F.when(med, F.col("dy"))).cast("long").alias("med_dy"),
+        F.min(F.when(med, F.col("dx"))).cast("long").alias("med_dx"),
+        F.min(F.when(med, F.col("slope"))).alias("slope_cents_per_day"),
+    )
+
+
+@register(
+    "q_rolling_mode_7d",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    sweep AS (
+      SELECT d.day + to_days(CAST(k AS INTEGER)) AS as_of, d.event_type, d.c
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k)
+      WHERE d.day + to_days(CAST(k AS INTEGER)) <= (SELECT MAX(day) FROM d)
+    ),
+    win AS (
+      SELECT as_of, event_type, CAST(SUM(c) AS BIGINT) AS c7
+      FROM sweep GROUP BY as_of, event_type
+    ),
+    best AS (
+      SELECT as_of, event_type, c7,
+             row_number() OVER (PARTITION BY as_of
+                                ORDER BY c7 DESC, event_type) AS rn
+      FROM win
+    )
+    SELECT as_of AS day, event_type AS mode_type, c7 AS mode_count
+    FROM best WHERE rn = 1
+    """,
+)
+def q_rolling_mode_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling MODE: for every day, the plurality event
+    type over the preceding week — the categorical rolling statistic
+    Spark's RANGE frames cannot express (frames aggregate numbers;
+    mode needs a per-window argmax over categories).  Instead of a
+    window at all, each (day, type) count EXPLODES to the <=7 as-of
+    days it contributes to (the q_state_ttl_sweep bounded-fanout
+    trick), turning the rolling window into two plain partial aggs +
+    one day-partitioned argmax over the bounded type domain.
+
+    100 TB plan: day-grain collapse first; 7x bounded explode on
+    day-grain rows only (never fact rows); argmax per day over <=5
+    candidate types."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    maxd = d.agg(F.max("day").alias("maxd"))
+    sweep = (
+        d.select(
+            "event_type",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "day",
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            (F.col("day") + F.expr("make_interval(0, 0, 0, k, 0, 0, 0)")).alias(
+                "asof"
+            ),
+            "event_type",
+            "c",
+            "maxd",
+        )
+        .filter(F.col("asof") <= F.col("maxd"))
+    )
+    win = sweep.groupBy("asof", "event_type").agg(
+        F.sum("c").cast("long").alias("c7")
+    )
+    wbest = Window.partitionBy("asof").orderBy(F.col("c7").desc(), "event_type")
+    return (
+        win.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("asof").alias("day"),
+            F.col("event_type").alias("mode_type"),
+            F.col("c7").alias("mode_count"),
+        )
+    )

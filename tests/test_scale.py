@@ -278,6 +278,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_error_budget_burn": "cumsum over day grain (bounded by the calendar)",
     "q_hill_tail_index": "row_number over a LIMIT-101 head "
     "(TakeOrderedAndProject)",
+    "q_theil_sen": "rank over day-pair grain (bounded by the calendar: "
+    "30 days -> 435 pairs)",
     "q_mann_whitney_u": "rank cumsum over value-cents grain "
     "(bounded by the cents grid, not the corpus)",
 }
