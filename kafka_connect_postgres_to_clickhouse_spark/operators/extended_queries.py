@@ -22518,3 +22518,204 @@ def q_rolling_mode_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c7").alias("mode_count"),
         )
     )
+
+
+@register(
+    "q_heaps_law",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    firsts AS (SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+    dec AS (
+      SELECT i AS decile,
+             CAST((SELECT n_docs FROM nd) * i // 10 AS BIGINT) AS doc_cut
+      FROM (SELECT unnest(generate_series(1, 10)) AS i)
+    )
+    SELECT decile, doc_cut,
+           CAST((SELECT COUNT(*) FROM toks WHERE doc_id < dec.doc_cut)
+                AS BIGINT) AS tokens_seen,
+           CAST((SELECT COUNT(*) FROM firsts WHERE first_doc < dec.doc_cut)
+                AS BIGINT) AS vocab_cum
+    FROM dec
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct
+    vocabulary vs cumulative tokens at 10 corpus checkpoints (by
+    doc_id ingest order) — the scaling law (V ~ K*n^beta) that
+    forecasts how vocabulary, BPE merge tables, and dictionary-codec
+    sizes grow with corpus scale (q_zipf_slope is the frequency law
+    at a fixed size; this is the GROWTH law; q_vocab_oov prices one
+    snapshot).  Exact at every checkpoint: a token's first-seen doc
+    is a token-grain MIN, and each decile counts first-seens below
+    its cut — NO running-distinct over an unbounded stream.
+
+    100 TB plan: token-grain partial-agg MIN (the only fact-volume
+    shuffle) + a 10-row decile probe joined as broadcast conditions;
+    token totals per decile collapse map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    nd = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dec = (
+        nd.select(
+            F.explode(F.sequence(F.lit(1).cast("long"), F.lit(10).cast("long"))).alias(
+                "decile"
+            ),
+            "n_docs",
+        )
+        .select("decile", F.expr("(n_docs * decile) div 10").cast("long").alias("doc_cut"))
+    )
+    tk = (
+        toks.crossJoin(F.broadcast(dec))
+        .filter(F.col("doc_id") < F.col("doc_cut"))
+        .groupBy("decile", "doc_cut")
+        .agg(F.count("*").cast("long").alias("tokens_seen"))
+    )
+    vc = (
+        firsts.crossJoin(F.broadcast(dec))
+        .filter(F.col("first_doc") < F.col("doc_cut"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("vocab_cum"))
+    )
+    return tk.join(vc, "decile").select(
+        "decile", "doc_cut", "tokens_seen", "vocab_cum"
+    )
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+    WITH a AS (SELECT c_nationkey AS nationkey FROM customer
+               WHERE c_acctbal > 0),
+    b AS (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000),
+    ea AS (SELECT nationkey FROM a EXCEPT ALL SELECT s_nationkey FROM b),
+    ia AS (SELECT nationkey FROM a INTERSECT ALL SELECT s_nationkey FROM b)
+    SELECT op, nationkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM (
+      SELECT 'except_all' AS op, nationkey FROM ea
+      UNION ALL
+      SELECT 'intersect_all', nationkey FROM ia
+    )
+    GROUP BY op, nationkey
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+    per-row multiplicity arithmetic — a key appearing 5x on the left
+    and 2x on the right survives EXCEPT ALL exactly 3x and
+    INTERSECT ALL exactly 2x (the DISTINCT variants q_except /
+    q_intersect collapse all of that to membership).  The semantics
+    matter wherever rows are units of WORK (billing events,
+    reconciliation deltas) rather than facts about membership.
+
+    100 TB plan: Spark plans both as key-grain count aggregation +
+    generate (multiplicity arithmetic, no row-by-row anti matching);
+    output collapses to (op, key, multiplicity) grain."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = s.filter(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ea = a.exceptAll(b).select(F.lit("except_all").alias("op"), "nationkey")
+    ia = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "nationkey")
+    return (
+        ea.unionByName(ia)
+        .groupBy("op", "nationkey")
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+    )
+
+
+@register(
+    "q_impute_median",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT event_type, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+    cu AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM g
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(MIN(CASE WHEN 2 * cum >= n THEN cents END) AS BIGINT)
+               AS impute_cents
+      FROM cu GROUP BY event_type
+    ),
+    base AS (
+      SELECT e.event_type,
+             COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE e.value IS NULL) AS n_nulls,
+             CAST(SUM(COALESCE(CAST(round(e.value * 100) AS BIGINT),
+                               med.impute_cents)) AS BIGINT) AS filled_sum
+      FROM events e JOIN med ON med.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT base.event_type,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           med.impute_cents,
+           CAST(100 * filled_sum // n_rows AS BIGINT) AS filled_mean_x100
+    FROM base JOIN med ON med.event_type = base.event_type
+    """,
+)
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation (the robust null-fill of feature pipelines):
+    per event type, fill missing values with the type's EXACT lower
+    median (two-phase on the cents grid — the q_weighted_median
+    machinery with unit weights) and report the post-fill mean.
+    Median, not mean, so the fill is idempotent under re-imputation
+    and outlier-proof (q_null_profile finds the nulls; this closes
+    them; q_robust_scaler is the scaling sibling).
+
+    100 TB plan: value-grain collapse, type-partitioned cum window
+    over the domain-bounded grid, then one broadcast of the tiny
+    per-type median table back onto the fact scan."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = v.groupBy("event_type", "cents").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("cents")
+    wall = Window.partitionBy("event_type")
+    cu = g.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = cu.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("impute_cents")
+    )
+    base = e.join(F.broadcast(med), "event_type").groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).cast("long").alias("n_nulls"),
+        F.sum(
+            F.coalesce(
+                F.round(F.col("value") * 100).cast("long"), F.col("impute_cents")
+            )
+        )
+        .cast("long")
+        .alias("filled_sum"),
+    )
+    return base.join(med, "event_type").select(
+        "event_type",
+        "n_rows",
+        "n_nulls",
+        "impute_cents",
+        F.expr("(100 * filled_sum) div n_rows")
+        .cast("long")
+        .alias("filled_mean_x100"),
+    )
