@@ -22719,3 +22719,232 @@ def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("filled_mean_x100"),
     )
+
+
+@register(
+    "q_chunking_mask_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, d.tl[t.k] AS w, t.k AS i
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tl
+            FROM documents) d,
+           unnest(generate_series(1, len(d.tl))) t(k)
+    ),
+    hashed AS (
+      SELECT doc_id, i,
+             {_hex_bucket_sql("md5(w)", 2)} AS hb,
+             {_hex_bucket_sql("md5(w)", 6)} AS ident
+      FROM toks
+    ),
+    sweep AS (
+      SELECT hashed.*, m.mask,
+             CASE WHEN hb % m.mask = 0 THEN 1 ELSE 0 END AS is_boundary
+      FROM hashed CROSS JOIN (SELECT unnest([8, 32, 128]) AS mask) m
+    ),
+    chunks AS (
+      SELECT doc_id, mask, chunk_id,
+             COUNT(*) AS chunk_toks,
+             CAST(SUM(ident * CAST(i AS BIGINT)) - (MIN(i) - 1) * SUM(ident)
+                  AS BIGINT) AS sig
+      FROM (
+        SELECT doc_id, mask, i, ident,
+               SUM(is_boundary) OVER (PARTITION BY doc_id, mask
+                                      ORDER BY i) AS chunk_id
+        FROM sweep
+      )
+      GROUP BY doc_id, mask, chunk_id
+    )
+    SELECT mask,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT (sig, chunk_toks)) AS BIGINT) AS n_unique,
+           CAST(100 * SUM(chunk_toks) // COUNT(*) AS BIGINT)
+             AS avg_chunk_toks_x100,
+           CAST(10000 * (COUNT(*) - COUNT(DISTINCT (sig, chunk_toks)))
+                // COUNT(*) AS BIGINT) AS dup_chunk_bp
+    FROM chunks GROUP BY mask
+    """,
+)
+def q_chunking_mask_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking MASK sweep: boundary probability 1/8,
+    1/32, 1/128 -> expected chunk sizes ~8/32/128 tokens — the CDC
+    storage tuning curve (small chunks find more duplication but pay
+    more per-chunk overhead; large chunks the reverse; q_content_
+    chunking fixes one point, this sweeps the knob like
+    q_bloom_fpr_sweep sweeps m).  Chunk identity here is a
+    position-weighted 24-bit-token-hash signature plus the length —
+    computed from THREE PLAIN AGGREGATES (sum(ident*i) shifted by
+    min(i)) with no per-chunk string assembly, which is what makes a
+    3-way sweep affordable (fingerprint-grade identity; the single
+    fixed-mask q_content_chunking keeps the exact md5-of-text
+    identity).  Both engines compute the identical signature, so the
+    sweep is still value-exact.
+
+    100 TB plan: one tokenization + one md5 per token (boundary and
+    identity are two prefixes of the same digest), 3x bounded
+    explode, doc-bounded cumulative chunk ids, aggregate-only chunk
+    signatures, hash-grain dedup per mask."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i0", "w")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        _hex_bucket_col(F.md5(F.col("w")), 2).alias("hb"),
+        _hex_bucket_col(F.md5(F.col("w")), 6).cast("long").alias("ident"),
+    )
+    sweep = toks.select(
+        "doc_id",
+        "i",
+        "ident",
+        F.explode(F.array(*[F.lit(m) for m in (8, 32, 128)])).alias("mask"),
+        "hb",
+    ).select(
+        "doc_id",
+        "mask",
+        "i",
+        "ident",
+        F.when(F.col("hb") % F.col("mask") == 0, 1).otherwise(0).alias(
+            "is_boundary"
+        ),
+    )
+    wcum = (
+        Window.partitionBy("doc_id", "mask")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = sweep.select(
+        "doc_id",
+        "mask",
+        "i",
+        "ident",
+        F.sum("is_boundary").over(wcum).alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "mask", "chunk_id").agg(
+        F.count("*").alias("chunk_toks"),
+        (
+            F.sum(F.col("ident") * F.col("i"))
+            - (F.min("i") - 1) * F.sum("ident")
+        )
+        .cast("long")
+        .alias("sig"),
+    )
+    key = F.concat_ws("|", F.col("sig"), F.col("chunk_toks"))
+    return chunks.groupBy("mask").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct(key).cast("long").alias("n_unique"),
+        F.expr("(100 * sum(chunk_toks)) div count(*)")
+        .cast("long")
+        .alias("avg_chunk_toks_x100"),
+        F.expr(
+            "(10000 * (count(*) - count(DISTINCT concat_ws('|', sig, chunk_toks))))"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("dup_chunk_bp"),
+    )
+
+
+
+@register(
+    "q_array_hof",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tl FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(tl, w -> len(w) > 5)) AS BIGINT)
+             AS n_long_tokens,
+           CAST(CASE WHEN len(list_filter(tl, w -> regexp_matches(w, '[0-9]')))
+                          > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_digit,
+           CAST(CASE WHEN len(list_filter(tl, w -> len(w) >= 1))
+                          = len(tl) THEN 1 ELSE 0 END AS BIGINT)
+             AS all_nonempty,
+           CAST(list_aggregate(list_transform(tl, w -> len(w)), 'sum')
+                AS BIGINT) AS total_chars,
+           CAST(list_aggregate(list_transform(tl, w -> len(w)), 'max')
+                AS BIGINT) AS max_token_len
+    FROM t
+    """,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface: FILTER (count of long
+    tokens), EXISTS (any digit-bearing token), FORALL (no empty
+    tokens), AGGREGATE (total characters), and TRANSFORM feeding
+    ARRAY_MAX — the lambda-expression family that keeps per-row array
+    work inside whole-stage codegen where a Python UDF would drop to
+    interpreted row processing (q_array_ops covers the non-lambda
+    builders; these are the lambdas).
+
+    100 TB plan: all row-local, zero shuffle, one pruned column."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(t, lambda w: F.length(w) > 5))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.exists(t, lambda w: w.rlike("[0-9]"))
+        .cast("long")
+        .alias("has_digit"),
+        F.forall(t, lambda w: F.length(w) >= 1)
+        .cast("long")
+        .alias("all_nonempty"),
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_max(F.transform(t, lambda w: F.length(w).cast("long"))).alias(
+            "max_token_len"
+        ),
+    )
+
+
+@register(
+    "q_collation_compare",
+    oracle="""
+    WITH u AS (
+      SELECT 'p_type' AS col, p_type AS s FROM part
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+    )
+    SELECT col,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS ndv_binary,
+           CAST(COUNT(DISTINCT lower(s)) AS BIGINT) AS ndv_lcase,
+           CAST(COUNT(DISTINCT s) - COUNT(DISTINCT lower(s)) AS BIGINT)
+             AS case_only_variants
+    FROM u GROUP BY col
+    """,
+)
+def q_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: distinct counts under UTF8_BINARY
+    vs UTF8_LCASE collation — values that differ ONLY by case
+    collapse under the case-insensitive collation, and the gap is
+    exactly the dirty-dimension signal (the 'URGENT' vs 'urgent'
+    class of bug) that q_data_contract then enforces away.  The
+    collated comparison happens in the aggregate itself via
+    ``F.collate`` — not a lower() projection — exercising the engine's
+    collation-aware hashing; the oracle's lower() twin is
+    value-identical for ASCII dimension data.
+
+    100 TB plan: pruned single-column scans, distinct partial aggs."""
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    u = (
+        p.select(F.lit("p_type").alias("col"), F.col("p_type").alias("s"))
+        .unionAll(o.select(F.lit("o_orderpriority"), F.col("o_orderpriority")))
+        .unionAll(c.select(F.lit("c_mktsegment"), F.col("c_mktsegment")))
+    )
+    return u.groupBy("col").agg(
+        F.countDistinct("s").cast("long").alias("ndv_binary"),
+        F.countDistinct(F.collate(F.col("s"), "UTF8_LCASE"))
+        .cast("long")
+        .alias("ndv_lcase"),
+        (
+            F.countDistinct("s")
+            - F.countDistinct(F.collate(F.col("s"), "UTF8_LCASE"))
+        )
+        .cast("long")
+        .alias("case_only_variants"),
+    )
