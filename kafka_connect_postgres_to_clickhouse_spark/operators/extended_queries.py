@@ -22948,3 +22948,230 @@ def q_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("case_only_variants"),
     )
+
+
+@register(
+    "q_oof_target_encoding",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey % 5 AS fold,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cell AS (
+      SELECT segment, fold, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM spend GROUP BY segment, fold
+    ),
+    cat AS (
+      SELECT segment, CAST(SUM(n) AS BIGINT) AS cn,
+             CAST(SUM(s) AS BIGINT) AS cs
+      FROM cell GROUP BY segment
+    )
+    SELECT cell.segment, cell.fold, cell.n,
+           CAST(cat.cn - cell.n AS BIGINT) AS n_oof,
+           CAST(cat.cs - cell.s AS BIGINT) AS s_oof,
+           CAST(cat.cs - cell.s AS DOUBLE) / (cat.cn - cell.n)
+             AS oof_mean_cents,
+           CAST(cat.cs AS DOUBLE) / cat.cn AS leaky_mean_cents
+    FROM cell JOIN cat USING (segment)
+    """,
+)
+def q_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding: each fold's category encoding is
+    computed from the OTHER folds only ((cat_sum - fold_sum) /
+    (cat_n - fold_n)) — the leakage-safe variant of q_target_encoding,
+    whose full-data mean lets every row see its own label (the exact
+    failure q_dim_leakage and q_temporal_split_audit flag in other
+    guises).  The leaky all-data mean ships alongside so the gap IS
+    the leak's size.  All subtractions are on exact integer (n, sum)
+    cells; the two means are deterministic IEEE divisions.
+
+    100 TB plan: one (category, fold)-grain partial agg; category
+    totals roll up from those K cells, NOT a second scan; every
+    fold's encoding is a subtraction — the standard K-fold trick of
+    computing K leave-one-out aggregates from one pass."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_custkey") % 5).alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cell = spend.groupBy("segment", "fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    cat = cell.groupBy("segment").agg(
+        F.sum("n").cast("long").alias("cn"), F.sum("s").cast("long").alias("cs")
+    )
+    return cell.join(cat, "segment").select(
+        "segment",
+        "fold",
+        "n",
+        (F.col("cn") - F.col("n")).cast("long").alias("n_oof"),
+        (F.col("cs") - F.col("s")).cast("long").alias("s_oof"),
+        (
+            (F.col("cs") - F.col("s")).cast("double")
+            / (F.col("cn") - F.col("n"))
+        ).alias("oof_mean_cents"),
+        (F.col("cs").cast("double") / F.col("cn")).alias("leaky_mean_cents"),
+    )
+
+
+@register(
+    "q_price_elasticity",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(round(ln(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(round(l_quantity) AS BIGINT)) * 1000000)
+               AS BIGINT) AS y
+      FROM lineitem WHERE l_quantity >= 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS HUGEINT)::VARCHAR
+             AS beta_num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS HUGEINT)::VARCHAR
+             AS beta_den,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+             AS elasticity
+    FROM pts
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand: the OLS slope of ln(qty)
+    on ln(price) — the econometric constant-elasticity model (a 1%
+    price move shifts quantity by beta%).  The q_perplexity ln
+    discipline at the MOMENT level: both logs are quantized to
+    1e-6-scaled BIGINTs per row value, the four OLS moments are exact
+    integer sums, and the slope's numerator/denominator ship as exact
+    decimal STRINGS (they exceed int64; the hash-safe way to carry
+    int128 across engines) next to the one IEEE division.
+
+    100 TB plan: one pruned two-column scan to a 1-row moment
+    aggregate — the OLS shape of q_ols_regression with the log grid
+    on top."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.filter(F.col("l_quantity") >= 1).select(
+        F.round(
+            F.ln(F.round(F.col("l_extendedprice") * 100).cast("long")) * 1000000
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.ln(F.round(F.col("l_quantity")).cast("long")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+    sxx = F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+    num = (n * sxy - sx.cast("decimal(38,0)") * sy).cast("decimal(38,0)")
+    den = (n * sxx - sx.cast("decimal(38,0)") * sx).cast("decimal(38,0)")
+    return pts.agg(
+        n.cast("long").alias("n"),
+        num.cast("string").alias("beta_num"),
+        den.cast("string").alias("beta_den"),
+        (num.cast("double") / den.cast("double")).alias("elasticity"),
+    )
+
+
+@register(
+    "q_tree_split",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT cents, CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(1 - pos) AS BIGINT) AS q
+      FROM v GROUP BY cents
+    ),
+    c AS (
+      SELECT cents,
+             SUM(p) OVER w AS pl, SUM(q) OVER w AS ql,
+             SUM(p) OVER () AS pt, SUM(q) OVER () AS qt
+      FROM g WINDOW w AS (ORDER BY cents)
+    ),
+    scored AS (
+      SELECT cents, pl, ql, pt - pl AS pr, qt - ql AS qr,
+             2 * (pl * ql * (pt - pl + qt - ql)
+                  + (pt - pl) * (qt - ql) * (pl + ql)) AS g_scaled
+      FROM c WHERE pl + ql > 0 AND (pt - pl) + (qt - ql) > 0
+    )
+    SELECT cents AS split_cents, CAST(pl AS BIGINT) AS n_pos_left,
+           CAST(ql AS BIGINT) AS n_neg_left, CAST(pr AS BIGINT) AS n_pos_right,
+           CAST(qr AS BIGINT) AS n_neg_right,
+           CAST(g_scaled AS BIGINT) AS gini_scaled
+    FROM scored ORDER BY g_scaled, cents LIMIT 1
+    """,
+)
+def q_tree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split finding, EXACT: the threshold on event
+    value that best separates purchases from errors by weighted Gini
+    impurity — the inner loop of every tree/GBM learner, done as
+    integer arithmetic: with class counts (p,q) on each side,
+    minimizing nL*giniL + nR*giniR is equivalent to minimizing
+    2*(pl*ql*nR + pr*qr*nL) (multiply through by nL*nR — positive, so
+    the argmin is unchanged and EXACT; no impurity fractions ever
+    materialize).  Ties break to the smaller threshold.
+
+    100 TB plan: value-grain class counts (map-side collapse), one
+    cumulative window over the domain-bounded cents grid, an integer
+    argmin via TakeOrdered(1)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(
+        F.col("event_type").isin("purchase", "error") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(1 - F.col("pos")).cast("long").alias("q"),
+    )
+    wc = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    c = g.select(
+        "cents",
+        F.sum("p").over(wc).alias("pl"),
+        F.sum("q").over(wc).alias("ql"),
+        F.sum("p").over(wall).alias("pt"),
+        F.sum("q").over(wall).alias("qt"),
+    )
+    scored = c.select(
+        "cents",
+        "pl",
+        "ql",
+        (F.col("pt") - F.col("pl")).alias("pr"),
+        (F.col("qt") - F.col("ql")).alias("qr"),
+        (
+            2
+            * (
+                F.col("pl") * F.col("ql")
+                * (F.col("pt") - F.col("pl") + F.col("qt") - F.col("ql"))
+                + (F.col("pt") - F.col("pl"))
+                * (F.col("qt") - F.col("ql"))
+                * (F.col("pl") + F.col("ql"))
+            )
+        ).alias("g_scaled"),
+    ).filter(
+        (F.col("pl") + F.col("ql") > 0) & (F.col("pr") + F.col("qr") > 0)
+    )
+    return (
+        scored.orderBy("g_scaled", "cents")
+        .limit(1)
+        .select(
+            F.col("cents").alias("split_cents"),
+            F.col("pl").cast("long").alias("n_pos_left"),
+            F.col("ql").cast("long").alias("n_neg_left"),
+            F.col("pr").cast("long").alias("n_pos_right"),
+            F.col("qr").cast("long").alias("n_neg_right"),
+            F.col("g_scaled").cast("long").alias("gini_scaled"),
+        )
+    )

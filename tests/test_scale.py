@@ -280,6 +280,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "(TakeOrderedAndProject)",
     "q_theil_sen": "rank over day-pair grain (bounded by the calendar: "
     "30 days -> 435 pairs)",
+    "q_tree_split": "class-count cumsum over value-cents grain "
+    "(bounded by the cents grid, not the corpus)",
     "q_mann_whitney_u": "rank cumsum over value-cents grain "
     "(bounded by the cents grid, not the corpus)",
 }
