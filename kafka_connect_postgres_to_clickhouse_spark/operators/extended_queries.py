@@ -23175,3 +23175,290 @@ def q_tree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g_scaled").cast("long").alias("gini_scaled"),
         )
     )
+
+
+@register(
+    "q_roc_points",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT cents, CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(1 - pos) AS BIGINT) AS q
+      FROM v GROUP BY cents
+    ),
+    c AS (
+      SELECT cents, p, q,
+             SUM(p) OVER w AS cum_p, SUM(q) OVER w AS cum_q,
+             SUM(p) OVER () AS pt, SUM(q) OVER () AS qt
+      FROM g WINDOW w AS (ORDER BY cents DESC)
+    ),
+    auc AS (
+      -- rank-sum identity: sum over thresholds of q*(cum_p - p/2),
+      -- doubled to stay integer (ties get the half-step credit)
+      SELECT CAST(SUM(q * (2 * cum_p - p)) AS BIGINT) AS auc2,
+             MAX(pt) AS pt, MAX(qt) AS qt
+      FROM c
+    )
+    SELECT c.cents AS threshold_cents,
+           CAST(c.cum_p AS BIGINT) AS tp, CAST(c.cum_q AS BIGINT) AS fp,
+           CAST(10000 * c.cum_p // c.pt AS BIGINT) AS tpr_bp,
+           CAST(10000 * c.cum_q // c.qt AS BIGINT) AS fpr_bp,
+           CAST(auc.auc2 AS BIGINT) AS auc2_scaled,
+           CAST(auc.auc2 AS DOUBLE) / (2.0 * auc.pt * auc.qt) AS auc
+    FROM c CROSS JOIN auc
+    WHERE c.cents % 2000 = 0
+    """,
+)
+def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + EXACT AUC for 'high value predicts purchase (vs
+    error)': TPR/FPR at the $20-grid thresholds, plus the exact AUC
+    via the rank-sum identity (AUC = P(score_pos > score_neg) +
+    P(=)/2), carried DOUBLED so tie half-credits stay integer — the
+    classifier-evaluation layer over the same cumulative machinery as
+    q_tree_split (which picks ONE operating point; this prices them
+    all; q_mann_whitney_u is the same statistic as a hypothesis
+    test).
+
+    100 TB plan: value-grain class counts, one descending cumsum over
+    the domain-bounded cents grid, 1-row AUC aggregate broadcast to
+    the sampled threshold rows."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(
+        F.col("event_type").isin("purchase", "error") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(1 - F.col("pos")).cast("long").alias("q"),
+    )
+    wc = Window.orderBy(F.col("cents").desc())
+    wall = Window.partitionBy()
+    c = g.select(
+        "cents",
+        "p",
+        "q",
+        F.sum("p").over(wc).alias("cum_p"),
+        F.sum("q").over(wc).alias("cum_q"),
+        F.sum("p").over(wall).alias("pt"),
+        F.sum("q").over(wall).alias("qt"),
+    )
+    auc = c.agg(
+        F.sum(F.col("q") * (2 * F.col("cum_p") - F.col("p")))
+        .cast("long")
+        .alias("auc2"),
+        F.max("pt").alias("apt"),
+        F.max("qt").alias("aqt"),
+    )
+    return (
+        c.filter(F.col("cents") % 2000 == 0)
+        .crossJoin(F.broadcast(auc))
+        .select(
+            F.col("cents").alias("threshold_cents"),
+            F.col("cum_p").cast("long").alias("tp"),
+            F.col("cum_q").cast("long").alias("fp"),
+            F.expr("(10000 * cum_p) div pt").cast("long").alias("tpr_bp"),
+            F.expr("(10000 * cum_q) div qt").cast("long").alias("fpr_bp"),
+            F.col("auc2").cast("long").alias("auc2_scaled"),
+            (F.col("auc2").cast("double") / (2.0 * F.col("apt") * F.col("aqt"))).alias(
+                "auc"
+            ),
+        )
+    )
+
+
+@register(
+    "q_fk_inference",
+    oracle="""
+    WITH cands AS (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS cand,
+             CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+               AS ndv_child,
+             CAST((SELECT COUNT(DISTINCT o.o_custkey) FROM orders o
+                   JOIN customer c ON c.c_custkey = o.o_custkey) AS BIGINT)
+               AS n_contained
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+             CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(DISTINCT l.l_orderkey) FROM lineitem l
+                   JOIN orders o ON o.o_orderkey = l.l_orderkey) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey',
+             CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(DISTINCT l.l_partkey) FROM lineitem l
+                   JOIN part p ON p.p_partkey = l.l_partkey) AS BIGINT)
+      UNION ALL
+      SELECT 'events.user_id->customer.c_custkey',
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT),
+             CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                   JOIN customer c ON c.c_custkey = e.user_id) AS BIGINT)
+    )
+    SELECT cand, ndv_child, n_contained,
+           CAST(10000 * n_contained // ndv_child AS BIGINT) AS containment_bp,
+           CAST(CASE WHEN 100 * n_contained >= 99 * ndv_child
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_fk_candidate
+    FROM cands
+    """,
+)
+def q_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key INFERENCE by inclusion-dependency profiling: for
+    candidate (child, parent) column pairs, the share of distinct
+    child values contained in the parent — >=99% flags an FK
+    candidate (schema discovery over undocumented data; ref_integrity
+    ENFORCES known FKs, this DISCOVERS them, including rejecting the
+    tempting-but-false events.user_id -> customer.c_custkey pair
+    whose id ranges only partially overlap).
+
+    100 TB plan: per pair one key-grain distinct on each side and a
+    key-grain semi-join (all map-side-collapsed partial aggs) — never
+    row-level containment; output is 4 rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    e = _t(spark, sf_dir, "events")
+
+    def pair(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        ch = child.select(F.col(ck).alias("k")).distinct()
+        pa = parent.select(F.col(pk).alias("k")).distinct()
+        ndv = ch.agg(F.count("*").cast("long").alias("ndv_child"))
+        cont = ch.join(pa, "k").agg(
+            F.count("*").cast("long").alias("n_contained")
+        )
+        return ndv.crossJoin(F.broadcast(cont)).select(
+            F.lit(name).alias("cand"), "ndv_child", "n_contained"
+        )
+
+    u = (
+        pair("orders.o_custkey->customer.c_custkey", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            pair(
+                "lineitem.l_orderkey->orders.o_orderkey",
+                li,
+                "l_orderkey",
+                o,
+                "o_orderkey",
+            )
+        )
+        .unionByName(
+            pair("lineitem.l_partkey->part.p_partkey", li, "l_partkey", p, "p_partkey")
+        )
+        .unionByName(
+            pair("events.user_id->customer.c_custkey", e, "user_id", c, "c_custkey")
+        )
+    )
+    return u.select(
+        "cand",
+        "ndv_child",
+        "n_contained",
+        F.expr("(10000 * n_contained) div ndv_child")
+        .cast("long")
+        .alias("containment_bp"),
+        F.when(100 * F.col("n_contained") >= 99 * F.col("ndv_child"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_fk_candidate"),
+    )
+
+
+@register(
+    "q_lift_curve",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+    ),
+    g AS (SELECT cents, COUNT(*) AS c, CAST(SUM(pos) AS BIGINT) AS p
+          FROM v GROUP BY cents),
+    cu AS (
+      SELECT cents, c, p,
+             SUM(c) OVER w AS cum, SUM(p) OVER w AS cum_p,
+             SUM(c) OVER () AS n, SUM(p) OVER () AS np
+      FROM g WINDOW w AS (ORDER BY cents DESC)
+    ),
+    dec AS (
+      SELECT i AS decile,
+             CAST(MIN(CASE WHEN 10 * cum >= i * n THEN cum END) AS BIGINT)
+               AS cum_n,
+             CAST(MIN(CASE WHEN 10 * cum >= i * n THEN cum_p END) AS BIGINT)
+               AS cum_pos,
+             CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(np) AS BIGINT) AS np
+      FROM cu CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS i)
+      GROUP BY i
+    )
+    SELECT decile, cum_n, cum_pos,
+           CAST(10000 * cum_pos // cum_n AS BIGINT) AS cum_rate_bp,
+           CAST(10000 * cum_pos * n // (CAST(cum_n AS HUGEINT) * np)
+                AS BIGINT) AS cum_lift_x10000
+    FROM dec
+    """,
+)
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lift (gains) curve: rank events by value DESC, and
+    at each population decile report the purchase rate of the head
+    vs the base rate — 'the top 10% by score captures X times its
+    share of positives', THE business-facing model-quality chart
+    (q_roc_points is the classifier view of the same ranking;
+    q_coverage_curve is its token-frequency cousin).  Decile
+    boundaries come from the same value-domain cumulative technique
+    as q_equidepth_hist — exact, monotone, and never a per-row global
+    rank.
+
+    100 TB plan: value-grain class counts, one descending cumsum over
+    the cents grid, a 10-probe literal explode."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(
+        F.col("event_type").isin("purchase", "error") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = v.groupBy("cents").agg(
+        F.count("*").alias("c"), F.sum("pos").cast("long").alias("p")
+    )
+    wc = Window.orderBy(F.col("cents").desc())
+    wall = Window.partitionBy()
+    cu = g.select(
+        "cents",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("p").over(wc).alias("cum_p"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum("p").over(wall).alias("np"),
+    )
+    probes = cu.select(
+        "cum",
+        "cum_p",
+        "n",
+        "np",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.lit(10).cast("long"))).alias(
+            "decile"
+        ),
+    )
+    hit_n = F.when(10 * F.col("cum") >= F.col("decile") * F.col("n"), F.col("cum"))
+    hit_p = F.when(
+        10 * F.col("cum") >= F.col("decile") * F.col("n"), F.col("cum_p")
+    )
+    dec = probes.groupBy("decile").agg(
+        F.min(hit_n).cast("long").alias("cum_n"),
+        F.min(hit_p).cast("long").alias("cum_pos"),
+        F.max("n").cast("long").alias("n"),
+        F.max("np").cast("long").alias("np"),
+    )
+    return dec.select(
+        "decile",
+        "cum_n",
+        "cum_pos",
+        F.expr("(10000 * cum_pos) div cum_n").cast("long").alias("cum_rate_bp"),
+        F.expr(
+            "cast((10000 * cast(cum_pos as decimal(38,0)) * n)"
+            " div (cast(cum_n as decimal(38,0)) * np) as bigint)"
+        ).alias("cum_lift_x10000"),
+    )

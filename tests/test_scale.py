@@ -282,6 +282,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     "30 days -> 435 pairs)",
     "q_tree_split": "class-count cumsum over value-cents grain "
     "(bounded by the cents grid, not the corpus)",
+    "q_roc_points": "class-count cumsum over value-cents grain "
+    "(bounded by the cents grid, not the corpus)",
+    "q_lift_curve": "class-count cumsum over value-cents grain "
+    "(bounded by the cents grid, not the corpus)",
     "q_mann_whitney_u": "rank cumsum over value-cents grain "
     "(bounded by the cents grid, not the corpus)",
 }
