@@ -23462,3 +23462,92 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (cast(cum_n as decimal(38,0)) * np) as bigint)"
         ).alias("cum_lift_x10000"),
     )
+
+
+@register(
+    "q_csv_tolerate",
+    oracle=CHANGELOG_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE _seq % 89 = 0) AS BIGINT) AS n_corrupt,
+           CAST(COUNT(*) FILTER (WHERE _seq % 89 <> 0) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN _seq % 89 <> 0 THEN user_id ELSE 0 END)
+                AS BIGINT) AS sum_user_id_parsed
+    FROM changelog
+    """,
+)
+def q_csv_tolerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV poison-row tolerance: serialize the changelog to CSV wire
+    lines, corrupt every 89th by stripping its delimiters (the
+    classic mangled-row shape), parse back with ``from_csv`` in
+    PERMISSIVE mode, and count quarantined vs recovered rows plus a
+    checksum over the recovered payload — the CSV twin of
+    q_corrupt_tolerate's JSON path (errors.tolerance=all for the CSV
+    converter; q_csv_wire prices the happy path).  A delimiter-less
+    line parses its whole text into column 1 and NULLs the rest, so
+    'corrupt' is detected as a NULL second column — deterministic,
+    and exactly the rows the oracle marks by offset.
+
+    100 TB plan: row-local serialize + parse (no shuffle), one 1-row
+    aggregate."""
+    log = _changelog(spark, sf_dir).select("_seq", "user_id", "username")
+    line = F.concat_ws(
+        ",", F.col("user_id").cast("string"), F.col("username")
+    )
+    corrupted = F.when(
+        F.col("_seq") % 89 == 0, F.regexp_replace(line, ",", " ")
+    ).otherwise(line)
+    parsed = log.select(
+        "_seq",
+        F.from_csv(
+            corrupted, F.lit("user_id BIGINT, username STRING"), {"mode": "PERMISSIVE"}
+        ).alias("rec"),
+    ).select("_seq", F.col("rec.user_id").alias("uid"), F.col("rec.username").alias("un"))
+    is_corrupt = F.col("un").isNull()
+    return parsed.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.count(F.when(is_corrupt, 1)).cast("long").alias("n_corrupt"),
+        F.count(F.when(~is_corrupt, 1)).cast("long").alias("n_parsed"),
+        F.sum(F.when(~is_corrupt, F.col("uid")).otherwise(0))
+        .cast("long")
+        .alias("sum_user_id_parsed"),
+    )
+
+
+@register(
+    "q_decimal_sum_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,2)))
+                AS VARCHAR) AS total_decimal,
+           CAST(CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2)))
+                     AS DECIMAL(16,6)) AS VARCHAR) AS avg_decimal
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_decimal_sum_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation surface: cast the money column to
+    DECIMAL(12,2) and aggregate IN DECIMAL — Spark widens the sum to
+    DECIMAL(22,2) (precision+10) and never loses a cent, the type
+    discipline the int-cents idiom used elsewhere emulates manually
+    (q_typemap_roundtrip proves decimals survive the wire; this
+    proves they survive AGGREGATION).  Results ship as canonical
+    decimal STRINGS — the hash-safe cross-engine carrier for
+    fixed-point values (both engines print '123.40' for
+    DECIMAL(...,2), no float formatting drift).
+
+    100 TB plan: one pruned two-column scan, priority-grain partial
+    agg; decimal sums combine map-side exactly like longs."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("total_decimal"),
+        F.avg(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(16,6)")
+        .cast("string")
+        .alias("avg_decimal"),
+    )
