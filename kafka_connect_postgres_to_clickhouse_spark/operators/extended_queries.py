@@ -23551,3 +23551,199 @@ def q_decimal_sum_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("avg_decimal"),
     )
+
+
+@register(
+    "q_param_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1998-01-01' AND o_totalprice > 250000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL surface (Spark 4 ``spark.sql(..., args=)``):
+    the same revenue rollup driven through NAMED PARAMETER MARKERS
+    (:cutoff_date, :min_price) instead of string interpolation — the
+    injection-safe templating every query service needs (literals
+    arrive as typed parameters, the plan is cached by shape).  The
+    oracle pins the identical constants inline.
+
+    100 TB plan: identical to the literal form — parameters fold into
+    the pushed filters (PushedFilters shows both), one pruned scan,
+    priority-grain partial agg."""
+    df = load_table(spark, sf_dir, "orders")
+    df.createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders_param_v
+        WHERE o_orderdate >= :cutoff_date AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff_date": "1998-01-01", "min_price": 250000.0},
+    )
+
+
+@register(
+    "q_transpose_stats",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY o_orderpriority
+    ),
+    cols AS (
+      SELECT 'n_orders' AS key, k, n_orders AS v FROM s
+      UNION ALL
+      SELECT 'revenue_cents', k, revenue_cents FROM s
+    )
+    SELECT key,
+           CAST(MAX(CASE WHEN k = '1-URGENT' THEN v END) AS BIGINT)
+             AS "1-URGENT",
+           CAST(MAX(CASE WHEN k = '2-HIGH' THEN v END) AS BIGINT) AS "2-HIGH",
+           CAST(MAX(CASE WHEN k = '3-MEDIUM' THEN v END) AS BIGINT)
+             AS "3-MEDIUM",
+           CAST(MAX(CASE WHEN k = '4-NOT SPECIFIED' THEN v END) AS BIGINT)
+             AS "4-NOT SPECIFIED",
+           CAST(MAX(CASE WHEN k = '5-LOW' THEN v END) AS BIGINT) AS "5-LOW"
+    FROM cols GROUP BY key
+    """,
+)
+def q_transpose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` surface (new in Spark 4): flip a
+    priority-grain stats table so metrics become rows and priorities
+    become columns — the orientation every ops dashboard wants for a
+    small summary (and the inverse of q_pivot/q_unpivot, which
+    reshape VALUES; transpose reshapes the FRAME).  The first column
+    becomes the header; Spark requires the transposed values to share
+    one least-common type, so both metrics are BIGINT.
+
+    100 TB plan: transpose is driver-side by design — ONLY legal on a
+    bounded aggregate (5 rows here); the upstream rollup is the usual
+    partial agg.  The oracle is the manual conditional-pivot twin."""
+    o = _t(spark, sf_dir, "orders")
+    s = (
+        o.groupBy(F.col("o_orderpriority").alias("k"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    return s.transpose()
+
+
+@register(
+    "q_canonical_policy_compare",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, n_chars, string_split(lower(text), ' ') AS t
+      FROM documents
+    ),
+    blocked AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_slice(t, 1, 5), ' ')) AS block,
+             md5(text) AS chash
+      FROM toks WHERE len(t) >= 5
+    ),
+    multi AS (
+      SELECT block FROM blocked GROUP BY block HAVING COUNT(*) > 1
+    ),
+    g AS (SELECT b.* FROM blocked b JOIN multi USING (block)),
+    w AS (
+      SELECT block,
+             MIN(doc_id) AS w_minid,
+             MIN(CASE WHEN rn_len = 1 THEN doc_id END) AS w_longest,
+             MIN(CASE WHEN rn_hash = 1 THEN doc_id END) AS w_hash
+      FROM (
+        SELECT block, doc_id,
+               row_number() OVER (PARTITION BY block
+                                  ORDER BY n_chars DESC, doc_id) AS rn_len,
+               row_number() OVER (PARTITION BY block
+                                  ORDER BY chash, doc_id) AS rn_hash
+        FROM g
+      )
+      GROUP BY block
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (WHERE w_minid = w_longest) AS BIGINT)
+             AS agree_minid_longest,
+           CAST(COUNT(*) FILTER (WHERE w_minid = w_hash) AS BIGINT)
+             AS agree_minid_hash,
+           CAST(COUNT(*) FILTER (WHERE w_longest = w_hash) AS BIGINT)
+             AS agree_longest_hash,
+           CAST(COUNT(*) FILTER (WHERE w_minid = w_longest
+                                   AND w_minid = w_hash) AS BIGINT)
+             AS agree_all
+    FROM w
+    """,
+)
+def q_canonical_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-selection policy bake-off: within prefix-blocked
+    candidate groups (same first-5-token block, >1 member), how often
+    do the three standard survivorship policies pick the SAME winner —
+    min-id (stable/reproducible), longest (content-maximal, the
+    q_dedup_keep_best rule), and content-hash-min (order-free under
+    re-sharding)?  Disagreement counts ARE the governance decision:
+    policies that rarely agree mean the canonical set churns when the
+    policy changes (q_survivorship_merge merges FIELDS; this picks
+    the surviving ROW).
+
+    100 TB plan: blocking key is a row-local hash of a token prefix;
+    winners are block-partitioned rank windows over candidate-bounded
+    groups; one 1-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    blocked = d.filter(F.size(t) >= 5).select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.array_join(F.slice(t, 1, 5), " ")).alias("block"),
+        F.md5("text").alias("chash"),
+    )
+    multi = blocked.groupBy("block").count().filter(F.col("count") > 1).select("block")
+    g = blocked.join(multi, "block")
+    wlen = Window.partitionBy("block").orderBy(F.col("n_chars").desc(), "doc_id")
+    whash = Window.partitionBy("block").orderBy("chash", "doc_id")
+    ranked = g.select(
+        "block",
+        "doc_id",
+        F.row_number().over(wlen).alias("rn_len"),
+        F.row_number().over(whash).alias("rn_hash"),
+    )
+    w = ranked.groupBy("block").agg(
+        F.min("doc_id").alias("w_minid"),
+        F.min(F.when(F.col("rn_len") == 1, F.col("doc_id"))).alias("w_longest"),
+        F.min(F.when(F.col("rn_hash") == 1, F.col("doc_id"))).alias("w_hash"),
+    )
+    return w.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.count(F.when(F.col("w_minid") == F.col("w_longest"), 1))
+        .cast("long")
+        .alias("agree_minid_longest"),
+        F.count(F.when(F.col("w_minid") == F.col("w_hash"), 1))
+        .cast("long")
+        .alias("agree_minid_hash"),
+        F.count(F.when(F.col("w_longest") == F.col("w_hash"), 1))
+        .cast("long")
+        .alias("agree_longest_hash"),
+        F.count(
+            F.when(
+                (F.col("w_minid") == F.col("w_longest"))
+                & (F.col("w_minid") == F.col("w_hash")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("agree_all"),
+    )
