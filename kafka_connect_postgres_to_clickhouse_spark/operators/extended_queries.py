@@ -23747,3 +23747,256 @@ def q_canonical_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("agree_all"),
     )
+
+
+@register(
+    "q_media_bmp_rotate",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS out_w,
+           CAST(4 AS BIGINT) AS out_h,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS corner_tl,
+           CAST(doc_id % 256 AS BIGINT) AS corner_tr
+    FROM documents
+    """,
+)
+def q_media_bmp_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image ROTATION end-to-end: per doc, encode a 4x2 24-bit
+    BMP whose top row is level doc_id%256 and bottom row
+    (doc_id*7)%256, rotate it 90 degrees clockwise (np.rot90 on the
+    decoded array), re-encode through the BMP writer, re-decode the
+    rotated payload and probe its corners — dims swap to 2x4, the new
+    top-left is the old bottom-left (level b) and the new top-right
+    the old top-left (level a), all closed-form.  Rotation joins
+    decode / resize / resample / frame-sample as a real media
+    transformation with a round-trip proof (the payload after
+    rotation must still parse).
+
+    100 TB plan: Arrow-batched mapInPandas, payloads never shuffle,
+    <=256 distinct payloads memoized per task."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import decode_bmp, encode_bmp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        memo: dict = {}
+
+        def rotated(key: int):
+            r = memo.get(key)
+            if r is None:
+                px = np.zeros((2, 4, 3), dtype=np.uint8)
+                px[0, :, :] = key % 256
+                px[1, :, :] = (key * 7) % 256
+                rot = np.rot90(decode_bmp(encode_bmp(px)), k=-1)  # clockwise
+                out = decode_bmp(encode_bmp(rot))
+                r = memo[key] = (
+                    out.shape[1],
+                    out.shape[0],
+                    int(out[0, 0, 0]),
+                    int(out[0, out.shape[1] - 1, 0]),
+                )
+            return r
+
+        for pdf in batches:
+            rows = [(int(i),) + rotated(int(i) % 256) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "corner_tl", "corner_tr"]
+            )
+
+    return d.mapInPandas(
+        run, "doc_id long, out_w long, out_h long, corner_tl long, corner_tr long"
+    )
+
+
+@register(
+    "q_gif_frame_delta",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(doc_id % 4 AS INTEGER), 1)) AS fn
+      FROM documents
+    )
+    SELECT doc_id, CAST(fn AS BIGINT) AS frame_no,
+           CAST(abs(CAST((doc_id + 17 * (fn + 1)) % 256 AS BIGINT)
+                    - CAST((doc_id + 17 * fn) % 256 AS BIGINT)) AS BIGINT)
+             AS mean_abs_delta
+    FROM f
+    """,
+)
+def q_gif_frame_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame differencing (scene-change / motion proxy) over REAL
+    multi-frame GIFs: decode every frame of each animation and emit
+    the mean absolute pixel delta between consecutive frames — the
+    primitive behind shot-boundary detection and keyframe selection
+    (q_media_frames_gif proves sampled demux; this proves
+    CONSECUTIVE-frame decode and the temporal derivative).  Solid
+    17-level-stepped frames make each delta closed-form, including
+    the 239-valued wraparound steps the abs() must survive.
+
+    100 TB plan: Arrow-batched mapInPandas; the per-doc frame
+    expansion happens map-side; <=256 distinct payloads memoized per
+    task; one numpy diff per animation."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import decode_gif, encode_gif
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        memo: dict = {}
+
+        def deltas(key: int):
+            r = memo.get(key)
+            if r is None:
+                frames = [
+                    np.full((4, 4, 3), (key + 17 * f) % 256, dtype=np.uint8)
+                    for f in range(2 + key % 4)
+                ]
+                dec = decode_gif(encode_gif(frames))
+                arr = np.stack([f.astype(np.int64) for f in dec])
+                d_ = np.abs(np.diff(arr, axis=0)).reshape(len(dec) - 1, -1)
+                r = memo[key] = [int(round(x)) for x in d_.mean(axis=1)]
+            return r
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                for fn, dv in enumerate(deltas(int(i) % 256)):
+                    rows.append((int(i), fn, dv))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "mean_abs_delta"]
+            )
+
+    return d.mapInPandas(run, "doc_id long, frame_no long, mean_abs_delta long")
+
+
+@register(
+    "q_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
+      FROM u
+    ),
+    theta AS (
+      SELECT n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS th,
+             CAST(sx AS DOUBLE) / n AS xbar
+      FROM m
+    ),
+    arm_sums AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y
+      FROM u GROUP BY arm
+    )
+    SELECT arm, n_users, sum_y,
+           CAST(sum_y AS DOUBLE) / n_users AS mean_y,
+           CAST(sum_y AS DOUBLE) / n_users
+             - theta.th * (CAST(sum_x AS DOUBLE) / n_users - theta.xbar)
+             AS mean_y_cuped
+    FROM arm_sums CROSS JOIN theta
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng 2013): adjust each user's
+    post-period spend by theta x their PRE-period spend (theta =
+    cov(X,Y)/var(X)) before comparing arms — pre-period behavior is
+    unaffected by treatment, so subtracting its explained component
+    shrinks variance without biasing the effect; the adjusted arm
+    means land closer together exactly where the raw means differ by
+    pre-existing imbalance (q_diff_in_diff handles the same confound
+    with period differencing; q_welch_ttest tests the raw means).
+    Moments are exact integer sums (int128 where products demand it);
+    theta and the adjusted means are deterministic IEEE arithmetic on
+    those exact integers, with the adjustment applied to ARM MEANS via
+    linearity (never a per-row double sum, which would be
+    partition-order-dependent).
+
+    100 TB plan: one (user)-grain partial agg builds (x, y); moments
+    are a 1-row aggregate broadcast back; arm means are a 2-row
+    rollup."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cut, F.round(F.col("value") * 100).cast("long"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= cut, F.round(F.col("value") * 100).cast("long"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "treat")
+            .otherwise("control")
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    theta = m.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy"))
+            .cast("double")
+            / (
+                F.col("n") * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+            ).cast("double")
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+    )
+    arm_sums = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    # CUPED mean via linearity: mean(y - th*(x - xbar)) == mean_y -
+    # th*(mean_x - xbar).  Computing it from the EXACT integer arm
+    # sums keeps the float work on 2 scalar rows — a per-row double
+    # sum would be partition-order-dependent and hash-unstable.
+    return arm_sums.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "n_users",
+        "sum_y",
+        (F.col("sum_y").cast("double") / F.col("n_users")).alias("mean_y"),
+        (
+            F.col("sum_y").cast("double") / F.col("n_users")
+            - F.col("th")
+            * (F.col("sum_x").cast("double") / F.col("n_users") - F.col("xbar"))
+        ).alias("mean_y_cuped"),
+    )
