@@ -22240,32 +22240,50 @@ def q_medoid_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual document; k-medoids' selection step).  Distances are exact
     integers on the 1e3 grid; ties break on vec_id.
 
-    100 TB plan: the pairwise step is CONFINED WITHIN labels (the
-    SemDeDup containment argument — (n/k)^2 per cluster, never n^2
-    global), computed as a dim-aligned self-join partial agg; the
-    argmin is a label-partitioned rank over member grain."""
+    100 TB plan: NO pairwise join — sum_b ||a-b||^2 = n*||a||^2 + S2
+    - 2*a.S1 (the self term is zero, so including it changes
+    nothing), where (n, S1 component sums, S2 total sumsq) are ONE
+    per-label moment aggregate that BROADCASTS back; each member then
+    scores itself row-locally and a label-partitioned argmin
+    finishes.  O(n*d) exact integers instead of the O(n^2/k * d)
+    pairwise form — the same moment identity the oracle's independent
+    pairwise derivation cross-checks."""
     emb = _t(spark, sf_dir, "embeddings")
     xs = F.expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1000)"
         " as bigint))"
     )
     v = emb.select("vec_id", "label", xs.alias("xs"))
-    a, b = v.alias("a"), v.alias("b")
-    sq = F.expr(
-        "aggregate(zip_with(a.xs, b.xs, (p, q) -> (p - q) * (p - q)),"
-        " cast(0 as bigint), (acc, t) -> acc + t)"
+    x = v.select(
+        "vec_id", "label", F.posexplode("xs").alias("dim", "xs3")
     )
-    d2 = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(F.col("a.label").alias("label"), F.col("a.vec_id").alias("vec_id"), sq.alias("sq"))
-    sums = d2.groupBy("label", "vec_id").agg(
-        F.sum("sq").cast("long").alias("sum_sqdist")
+    dimsum = x.groupBy("label", "dim").agg(F.sum("xs3").alias("s1"))
+    label_m = x.groupBy("label").agg(
+        F.countDistinct("vec_id").alias("n_l"),
+        F.sum(F.col("xs3") * F.col("xs3")).alias("s2"),
+    )
+    per_vec = (
+        x.join(F.broadcast(dimsum), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("xs3") * F.col("xs3")).alias("a2"),
+            F.sum(F.col("xs3") * F.col("s1")).alias("a_dot_s1"),
+        )
+    )
+    scored = per_vec.join(F.broadcast(label_m), "label").select(
+        "label",
+        "vec_id",
+        (
+            F.col("n_l") * F.col("a2")
+            + F.col("s2")
+            - 2 * F.col("a_dot_s1")
+        )
+        .cast("long")
+        .alias("sum_sqdist"),
     )
     wbest = Window.partitionBy("label").orderBy("sum_sqdist", "vec_id")
     return (
-        sums.withColumn("rn", F.row_number().over(wbest))
+        scored.withColumn("rn", F.row_number().over(wbest))
         .filter(F.col("rn") == 1)
         .select("label", F.col("vec_id").alias("medoid_id"), "sum_sqdist")
     )
@@ -23999,4 +24017,98 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("th")
             * (F.col("sum_x").cast("double") / F.col("n_users") - F.col("xbar"))
         ).alias("mean_y_cuped"),
+    )
+
+
+@register(
+    "q_dp_epsilon_sweep",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM events GROUP BY event_type
+    ),
+    eps AS (SELECT unnest([1, 2, 10]) AS eps_x10)
+    SELECT event_type, CAST(eps_x10 AS BIGINT) AS eps_x10, true_count,
+           -- two-sided geometric noise E|noise| = 2p/(1-p^2) with
+           -- p = exp(-eps); closed form evaluated on 3 eps points
+           CAST(round(2 * exp(-eps_x10 / 10.0)
+                      / (1 - exp(-eps_x10 / 10.0) * exp(-eps_x10 / 10.0))
+                      * 1000000) AS BIGINT) AS exp_abs_err_x1e6,
+           CAST(round(2 * exp(-eps_x10 / 10.0)
+                      / (1 - exp(-eps_x10 / 10.0) * exp(-eps_x10 / 10.0))
+                      / true_count * 100000000) AS BIGINT)
+             AS rel_err_x1e8
+    FROM counts CROSS JOIN eps
+    """,
+)
+def q_dp_epsilon_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy budget sweep: for epsilon in 0.1/0.2/1.0,
+    the expected absolute error of a two-sided-geometric count
+    release (E|noise| = 2p/(1-p^2), p = e^-eps) against each topic's
+    true count — the privacy-utility curve that picks the budget
+    (q_dp_geometric_counts releases ONE mechanism draw; this prices
+    the knob, the sweep-the-parameter pattern of q_lateness_sweep /
+    q_bloom_fpr_sweep).  Relative error in 1e-8 units says which
+    topics survive which budget: big counts tolerate eps=0.1, sparse
+    ones don't.  The closed form is evaluated as the same
+    deterministic IEEE expression in both engines on 3 literal
+    points, scaled and rounded once.
+
+    100 TB plan: one topic-grain count, a 3-point literal sweep —
+    the utility table costs nothing beyond the counts it protects."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    sweep = counts.select(
+        "event_type",
+        "true_count",
+        F.explode(F.array(*[F.lit(x) for x in (1, 2, 10)])).alias("eps_x10"),
+    )
+    p = F.exp(-F.col("eps_x10") / 10.0)
+    eabs = 2 * p / (1 - p * p)
+    return sweep.select(
+        "event_type",
+        F.col("eps_x10").cast("long").alias("eps_x10"),
+        "true_count",
+        F.round(eabs * 1000000).cast("long").alias("exp_abs_err_x1e6"),
+        F.round(eabs / F.col("true_count") * 100000000)
+        .cast("long")
+        .alias("rel_err_x1e8"),
+    )
+
+
+@register(
+    "q_sha256_manifest",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id, sha256(text) AS digest FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_digests,
+           MIN(digest) AS min_digest,
+           MAX(digest) AS max_digest
+    FROM d GROUP BY source
+    """,
+)
+def q_sha256_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA-256 content manifest per source: doc counts, distinct
+    digests (exact-dup count under a COLLISION-RESISTANT hash — the
+    audit-grade sibling of the md5 used for speed everywhere else),
+    and the min/max digests as the manifest's order-free summary —
+    what a data-delivery contract actually pins (supply-chain
+    attestation, not just dedup).  Spark's sha2(x, 256) and DuckDB's
+    sha256() agree byte-for-byte on the hex form, so the manifest is
+    engine-portable.
+
+    100 TB plan: row-local hashing, source-grain partial agg with
+    map-side distinct collapse."""
+    d = load_table(spark, sf_dir, "documents")
+    dig = d.select("source", F.sha2(F.col("text"), 256).alias("digest"))
+    return dig.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("digest").cast("long").alias("n_distinct_digests"),
+        F.min("digest").alias("min_digest"),
+        F.max("digest").alias("max_digest"),
     )
