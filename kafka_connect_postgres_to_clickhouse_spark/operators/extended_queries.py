@@ -24112,3 +24112,186 @@ def q_sha256_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("digest").alias("min_digest"),
         F.max("digest").alias("max_digest"),
     )
+
+
+@register(
+    "q_magic_sniff",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif'
+                  ELSE 'wav' END AS true_fmt
+      FROM documents
+    )
+    SELECT CASE true_fmt WHEN 'bmp' THEN '424D' WHEN 'gif' THEN '47494638'
+                ELSE '52494646' END AS magic_hex,
+           true_fmt AS sniffed_fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(COUNT(DISTINCT CASE WHEN true_fmt = 'wav'
+                                     THEN (doc_id % 256) % 128
+                                     ELSE doc_id % 256 END) AS BIGINT)
+             AS n_distinct_payloads
+    FROM m GROUP BY true_fmt
+    """,
+)
+def q_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary format sniffing IN SQL: generate a mixed bag of real
+    BMP/GIF/WAV payloads, then detect each file's format from its
+    magic bytes with PLAIN COLUMN EXPRESSIONS — hex(substring(payload,
+    1, 4)) prefix-matched against 'BM' / 'GIF8' / 'RIFF' — no UDF in
+    the detection path (the point: binary columns are first-class in
+    the engine; q_multimodal_meta trusts a metadata column, this
+    checks the BYTES).  Payload identity via md5 over BINARY gives
+    the distinct-payload count (the memoized <=256 variants per
+    format by construction).
+
+    100 TB plan: payload synthesis is the Arrow-batched test harness;
+    the sniff itself is row-local substring+hex, the rollup a 3-key
+    partial agg — exactly how a real lake-side format audit runs."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..streaming.multimodal import encode_bmp, encode_gif, encode_wav
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def mk(batches):
+        memo: dict = {}
+
+        def payload(i: int) -> bytes:
+            key = (i % 3, i % 256)
+            p = memo.get(key)
+            if p is None:
+                level = i % 256
+                if i % 3 == 0:
+                    p = encode_bmp(np.full((4, 4, 3), level, dtype=np.uint8))
+                elif i % 3 == 1:
+                    p = encode_gif([np.full((4, 4, 3), level, dtype=np.uint8)])
+                else:
+                    p = encode_wav(np.full(16, (level % 128) / 128.0))
+                memo[key] = p
+            return p
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [payload(int(i)) for i in pdf["doc_id"]]}
+            )
+
+    raw = d.mapInPandas(mk, "doc_id long, payload binary")
+    head = F.hex(F.expr("substring(payload, 1, 4)"))
+    sniffed = (
+        F.when(head.startswith("424D"), "bmp")
+        .when(head.startswith("47494638"), "gif")
+        .when(head.startswith("52494646"), "wav")
+        .otherwise("unknown")
+    )
+    magic = (
+        F.when(head.startswith("424D"), "424D")
+        .when(head.startswith("47494638"), "47494638")
+        .when(head.startswith("52494646"), "52494646")
+        .otherwise("????")
+    )
+    return raw.select(
+        magic.alias("magic_hex"),
+        sniffed.alias("sniffed_fmt"),
+        F.md5("payload").alias("pmd5"),
+    ).groupBy("magic_hex", "sniffed_fmt").agg(
+        F.count("*").cast("long").alias("n_payloads"),
+        F.countDistinct("pmd5").cast("long").alias("n_distinct_payloads"),
+    )
+
+
+@register(
+    "q_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('join', 'spark', 'window') GROUP BY doc_id, w),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM tf GROUP BY doc_id
+    ),
+    r1 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY total_tf DESC, doc_id)
+               AS rank1
+      FROM (SELECT * FROM per_doc ORDER BY total_tf DESC, doc_id LIMIT 50)
+    ),
+    r2 AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY n_terms DESC, total_tf DESC, doc_id) AS rank2
+      FROM (SELECT * FROM per_doc
+            ORDER BY n_terms DESC, total_tf DESC, doc_id LIMIT 50)
+    ),
+    fused AS (
+      SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + rank1), 0.0)
+               + COALESCE(1.0 / (60 + rank2), 0.0) AS rrf,
+             COALESCE(rank1, 0) AS rank1, COALESCE(rank2, 0) AS rank2
+      FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+    )
+    SELECT doc_id, CAST(rank1 AS BIGINT) AS rank1,
+           CAST(rank2 AS BIGINT) AS rank2, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack 2009): merge two retrieval
+    rankings — raw term frequency vs coverage-first (distinct query
+    terms, then tf) — by summing 1/(60+rank), the fusion rule that
+    beats either ranker without score calibration (ranks, not
+    scores, so incompatible scoring scales fuse cleanly; q_bm25 and
+    q_tfidf_rank are single rankers, this is the ensemble layer).
+    The reciprocal terms are row-local IEEE on small integers —
+    deterministic; absent-from-a-list docs contribute 0 by the RRF
+    convention.
+
+    100 TB plan: one posting scan feeds both rankers; each head is a
+    TakeOrdered LIMIT-50 (partial per-partition heaps); ranks are
+    windows over 50-row heads; fusion is a 50x50 full-outer join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    tf = (
+        toks.filter(F.col("w").isin("join", "spark", "window"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    h1 = per_doc.orderBy(F.col("total_tf").desc(), "doc_id").limit(50)
+    r1 = h1.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("total_tf").desc(), "doc_id"))
+        .alias("rank1"),
+    )
+    h2 = per_doc.orderBy(
+        F.col("n_terms").desc(), F.col("total_tf").desc(), "doc_id"
+    ).limit(50)
+    r2 = h2.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("n_terms").desc(), F.col("total_tf").desc(), "doc_id"
+            )
+        )
+        .alias("rank2"),
+    )
+    fused = r1.join(r2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank1", F.lit(0)).cast("long").alias("rank1"),
+        F.coalesce("rank2", F.lit(0)).cast("long").alias("rank2"),
+        (
+            F.coalesce(1.0 / (60 + F.col("rank1")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank2")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10).select(
+        "doc_id", "rank1", "rank2", "rrf"
+    )
