@@ -24295,3 +24295,101 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10).select(
         "doc_id", "rank1", "rank2", "rrf"
     )
+
+
+@register(
+    "q_ndcg",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('join', 'spark', 'window') GROUP BY doc_id, w),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf,
+             CAST(COUNT(*) AS BIGINT) AS rel
+      FROM tf GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, rel,
+             row_number() OVER (ORDER BY total_tf DESC, doc_id) AS pos
+      FROM (SELECT * FROM per_doc ORDER BY total_tf DESC, doc_id LIMIT 10)
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+      FROM (SELECT * FROM per_doc ORDER BY rel DESC, doc_id LIMIT 10)
+    ),
+    dcg AS (SELECT CAST(SUM(CAST(round(rel / log2(pos + 1.0) * 1000000000)
+                              AS BIGINT)) AS BIGINT) AS dcg_n FROM ranked),
+    idcg AS (SELECT CAST(SUM(CAST(round(rel / log2(pos + 1.0) * 1000000000)
+                               AS BIGINT)) AS BIGINT) AS idcg_n FROM ideal)
+    SELECT CAST((SELECT COUNT(*) FROM ranked) AS BIGINT) AS k,
+           CAST((SELECT SUM(rel) FROM ranked) AS BIGINT) AS rel_sum_at_k,
+           dcg.dcg_n AS dcg_nano, idcg.idcg_n AS idcg_nano,
+           CAST(dcg.dcg_n AS DOUBLE) / idcg.idcg_n AS ndcg
+    FROM dcg, idcg
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 (Jarvelin 2002): evaluate the term-frequency ranker
+    against graded relevance (grade = distinct query terms matched,
+    0-3) — DCG discounts each position by 1/log2(pos+1) and
+    normalizes by the ideal ordering's DCG; THE ranking-quality
+    metric, closing the IR-eval family (q_rrf_fusion builds ensembles,
+    q_roc_points/q_lift_curve grade binary rankers, this grades
+    GRADED retrieval).  Each discounted term is quantized to a 1e-9
+    integer grid BEFORE summing (a raw double sum over even 10 rows
+    is addition-order-fragile across engines), so DCG/IDCG are exact
+    BIGINTs and the single division is deterministic IEEE.
+
+    100 TB plan: one posting scan, two TakeOrdered LIMIT-10 heads
+    (partial heaps), all float work on 20 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    per_doc = (
+        toks.filter(F.col("w").isin("join", "spark", "window"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.count("*").cast("long").alias("rel"),
+        )
+    )
+    ranked = (
+        per_doc.orderBy(F.col("total_tf").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("total_tf").desc(), "doc_id"))
+            .alias("pos"),
+        )
+    )
+    ideal = (
+        per_doc.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+            .alias("pos"),
+        )
+    )
+    term = F.round(F.col("rel") / F.log2(F.col("pos") + 1.0) * 1000000000).cast(
+        "long"
+    )
+    dcg = ranked.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("rel").cast("long").alias("rel_sum_at_k"),
+        F.sum(term).cast("long").alias("dcg_nano"),
+    )
+    idcg = ideal.agg(F.sum(term).cast("long").alias("idcg_nano"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "k",
+        "rel_sum_at_k",
+        "dcg_nano",
+        "idcg_nano",
+        (F.col("dcg_nano").cast("double") / F.col("idcg_nano")).alias("ndcg"),
+    )

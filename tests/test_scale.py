@@ -286,6 +286,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "(bounded by the cents grid, not the corpus)",
     "q_rrf_fusion": "rank over LIMIT-50 ranker heads "
     "(TakeOrderedAndProject)",
+    "q_ndcg": "rank over LIMIT-10 ranker heads (TakeOrderedAndProject)",
     "q_lift_curve": "class-count cumsum over value-cents grain "
     "(bounded by the cents grid, not the corpus)",
     "q_mann_whitney_u": "rank cumsum over value-cents grain "
