@@ -24393,3 +24393,100 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg_nano",
         (F.col("dcg_nano").cast("double") / F.col("idcg_nano")).alias("ndcg"),
     )
+
+
+@register(
+    "q_regr_builtins",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+    )
+    SELECT CAST(regr_count(y, x) AS BIGINT) AS n_days,
+           CAST(round(regr_slope(y, x) * 1000) AS BIGINT)
+             AS slope_millicents_per_day,
+           CAST(round(regr_intercept(y, x) / 100) AS BIGINT)
+             AS intercept_dollars_x1,
+           CAST(round(regr_r2(y, x) * 1000000) AS BIGINT) AS r2_x1e6,
+           CAST(round(corr(y, x) * 1000000) AS BIGINT) AS corr_x1e6
+    FROM d
+    """,
+)
+def q_regr_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in regression-aggregate surface (regr_slope /
+    regr_intercept / regr_r2 / regr_count / corr): the SQL-standard
+    OLS aggregates over the daily-revenue trend — the engine-native
+    twin of the hand-rolled moment implementations (q_ols_regression,
+    q_price_elasticity, q_theil_sen's robust cousin).  Inputs are
+    day-grain INTEGER-VALUED doubles (index, cents sum), so every
+    internal sum is exactly representable; the engines' formula
+    variants can still differ in final ulps through their divisions,
+    so all outputs are quantized (the repo's ln-quantization risk
+    contract, stated rather than hidden).
+
+    100 TB plan: day-grain collapse first (the only fact-volume
+    shuffle); the regression aggregates run over calendar-bounded
+    rows."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .alias("xd")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(F.col("xd").cast("double").alias("x"), "y")
+    )
+    return d.agg(
+        F.regr_count("y", "x").cast("long").alias("n_days"),
+        F.round(F.regr_slope("y", "x") * 1000)
+        .cast("long")
+        .alias("slope_millicents_per_day"),
+        F.round(F.regr_intercept("y", "x") / 100)
+        .cast("long")
+        .alias("intercept_dollars_x1"),
+        F.round(F.regr_r2("y", "x") * 1000000).cast("long").alias("r2_x1e6"),
+        F.round(F.corr("y", "x") * 1000000).cast("long").alias("corr_x1e6"),
+    )
+
+
+@register(
+    "q_logical_bit_aggs",
+    oracle="""
+    SELECT event_type,
+           bool_and(value IS NOT NULL) AS all_valued,
+           bool_or(value > 400) AS any_big,
+           CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_nulls,
+           CAST(bit_and(user_id) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(user_id) AS BIGINT) AS key_bit_or,
+           CAST(bit_xor(user_id) AS BIGINT) AS key_bit_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def q_logical_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical and bitwise AGGREGATE surface: bool_and / bool_or
+    (SQL-standard EVERY/ANY), count_if, and bit_and / bit_or /
+    bit_xor folds over the key column — all order-insensitive and
+    exactly deterministic (the bit_xor fold is the same
+    order-free-checksum primitive q_table_checksum builds its
+    reconciliation on; q_bit_funcs covers the ROW-level bit ops,
+    these are the AGGREGATE forms).
+
+    100 TB plan: one scan, type-grain partial aggs — every one of
+    these folds combines map-side."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+        F.bool_or(F.col("value") > 400).alias("any_big"),
+        F.count_if(F.col("value").isNull()).cast("long").alias("n_nulls"),
+        F.bit_and("user_id").cast("long").alias("key_bit_and"),
+        F.bit_or("user_id").cast("long").alias("key_bit_or"),
+        F.bit_xor("user_id").cast("long").alias("key_bit_xor"),
+    )
