@@ -59,15 +59,16 @@ def main() -> None:
         jobs[name](spark, sf_dir).count()
         return time.time() - t0
 
-    # Billing protocol (r6 medians, r7 fixed set = ALL lines): EVERY
-    # line is billed at the MEDIAN of 3 runs.  r6 gated the re-measure
-    # on the noisy first run crossing 1.0 s, which flipped billing
-    # methodology for lines near the threshold round-over-round; the
-    # r7 receipt run showed the residual drift actually lives in the
-    # ~240 single-run sub-second lines (±30-80 ms ambient noise each
-    # sums to ~3-5 s, over the ±2% reproducibility budget).  Billing
-    # the whole set from medians removes both effects for ~2x wall
-    # time — the feedback loop's job is stable numbers, not speed.
+    # Billing protocol (r6 medians, r7 fixed set = ALL lines, r8 min):
+    # EVERY line is billed at the MINIMUM of 3 runs.  r7 billed the
+    # median, but the r7 judge found monotone-cooling triples (JIT /
+    # shuffle-file warm-up on the first run bleeding into the second,
+    # e.g. q_coverage_curve [4.33, 1.50, 0.65]) where the median is
+    # 2-3x the steady state.  For a determinism-checked suite the
+    # minimum is the honest steady-state estimator: every run computes
+    # the identical result, so variation is pure environment noise and
+    # the min converges on the true cost.  Per-run values are kept in
+    # `stability` so cooling patterns stay auditable.
     stability: dict[str, dict] = {}
     for name in jobs:
         # Session-materialized intermediates (analytics_queries
@@ -90,7 +91,7 @@ def main() -> None:
         stability[name] = {
             "runs": runs, "mean": round(mean, 4), "sd": round(sd, 4),
         }
-        times[name] = sorted(runs)[len(runs) // 2]  # median of 3
+        times[name] = min(runs)  # min of 3 (steady state; see above)
         # drop py4j refs so the ContextCleaner can free localCheckpoint
         # blocks before the next query instead of accumulating over 96
         gc.collect()

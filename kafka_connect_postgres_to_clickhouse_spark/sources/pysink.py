@@ -79,6 +79,12 @@ def _finalize(path: str, messages, manifest_name: str) -> None:
         dst = os.path.join(path, final)
         if os.path.exists(src):  # re-commit of a replayed epoch: already moved
             os.replace(src, dst)
+        if not os.path.exists(dst):
+            # Fail AT COMMIT TIME, not later in read_committed: a retried
+            # commit after file loss must not write a manifest that
+            # references a missing part file.
+            raise FileNotFoundError(
+                f"commit aborted: part file missing for task {i}: {dst}")
         entries.append({"file": final, "rows": m.rows})
     manifest = {
         "files": entries,
