@@ -13748,44 +13748,60 @@ def q_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns via two UDF calls sharing the same trim rule; the mean is
     one IEEE division.
 
-    100 TB plan: GROUPED_AGG ships each group's (cents, orderkey)
-    pairs through Arrow once; groups are priority-grain (5 of them) —
-    for unbounded groups the histogram-cum-sum trim (q_winsorize)
-    is the stated swap.  Only (priority, cents, orderkey) shuffles."""
+    100 TB plan (r8 — the r7 verdict's histogram-cum-sum swap,
+    implemented): the GROUPED_AGG UDF no longer sees raw rows.  The
+    corpus collapses map-side to the (priority, cents) HISTOGRAM — a
+    combinable partial agg, one shuffle — and the UDF aggregates
+    histogram rows, whose count per group is bounded by the distinct
+    price grid (value-domain-bounded, corpus-independent; the cents
+    grid cannot grow with row count).  The rank-based trim is exactly
+    recoverable from the histogram because rank ties share the same
+    cents value: tied rows contribute equal amounts, so WHICH tied
+    rows the (cents, orderkey) order drops never changes the dropped
+    SUM — per histogram row, dropped-low = clip(k - cum_below, 0,
+    cnt) and dropped-high = clip(cum - (n - k), 0, cnt).  No Arrow
+    batch ever carries O(corpus) rows."""
+    import numpy as np  # noqa: PLC0415 - executor-side import
     import pandas as pd  # noqa: PLC0415 - executor-side import
     from pyspark.sql.functions import PandasUDFType, pandas_udf  # noqa: PLC0415
 
     # explicit functionType: the module's deferred annotations (PEP 563)
     # would otherwise make infer_eval_type resolve `pd` in module globals
     @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def trimmed_sum(cents, keys):
-        df = pd.DataFrame({"c": cents, "k": keys}).sort_values(["c", "k"])
-        k = len(df) // 10
-        kept = df.iloc[k : len(df) - k]
-        return int(kept["c"].sum())
-
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def trimmed_count(cents, keys):
-        k = len(cents) // 10
-        return int(len(cents) - 2 * k)
+    def hist_trimmed_sum(cents, cnt):
+        df = pd.DataFrame({"c": cents, "cnt": cnt}).sort_values("c")
+        n = int(df["cnt"].sum())
+        k = n // 10
+        cum = df["cnt"].cumsum()
+        cum_below = cum - df["cnt"]
+        total = int((df["c"] * df["cnt"]).sum())
+        drop_low = int((df["c"] * np.clip(k - cum_below, 0, df["cnt"])).sum())
+        drop_high = int((df["c"] * np.clip(cum - (n - k), 0, df["cnt"])).sum())
+        return total - drop_low - drop_high
 
     # grouped-agg pandas UDFs cannot mix with built-in aggregates in one
-    # .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the group size is a third
-    # pandas aggregate rather than F.count
+    # .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the group size is a second
+    # pandas aggregate rather than F.sum
     @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def group_count(cents, keys):
-        return int(len(cents))
+    def hist_n(cents, cnt):
+        return int(cnt.sum())
 
     o = _t(spark, sf_dir, "orders")
-    base = o.select(
-        F.col("o_orderpriority").alias("priority"),
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
-        "o_orderkey",
+    hist = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("priority", "c")
+        .agg(F.count("*").alias("cnt"))
     )
-    agg = base.groupBy("priority").agg(
-        group_count("c", "o_orderkey").alias("n_orders"),
-        trimmed_sum("c", "o_orderkey").alias("kept_cents"),
-        trimmed_count("c", "o_orderkey").alias("kept_n"),
+    agg = hist.groupBy("priority").agg(
+        hist_n("c", "cnt").alias("n_orders"),
+        hist_trimmed_sum("c", "cnt").alias("kept_cents"),
+    )
+    agg = agg.withColumn(
+        "kept_n",
+        (F.col("n_orders") - 2 * F.floor(F.col("n_orders") / 10)).cast("long"),
     )
     return agg.select(
         "priority",
