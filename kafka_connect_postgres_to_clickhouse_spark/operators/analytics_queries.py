@@ -419,30 +419,55 @@ def _shingle_array_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays = _shingle_array_table(spark, sf_dir)
-    prefix = arrays.select(
-        "doc_id",
-        "n",
-        F.posexplode(F.slice("ids", 1, F.floor(F.col("n") / 2).cast("int") + 1)).alias(
-            "pos0", "sh_id"
-        ),
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    # PPJoin filters (exactness-preserving for t = 0.5):
-    # - length: J >= t needs min(na,nb) >= t * max(na,nb)
+
+    def prefix_frame(length: Column) -> DataFrame:
+        return arrays.select(
+            "doc_id",
+            "n",
+            F.posexplode(F.slice("ids", 1, length.cast("int"))).alias(
+                "pos0", "sh_id"
+            ),
+        )
+
+    # Asymmetric PPJoin prefixes (Xiao et al. 2008, exact for t=0.5):
+    # canonicalize each pair by the (n, doc_id) total order so side `a`
+    # is the smaller record.  The joint-prefix lemma needs prefixes of
+    # length |x| - alpha + 1 with alpha = ceil(t/(1+t)*(|x|+|y|)):
+    # since |a| <= |b|, alpha >= ceil(2t/(1+t)*|a|) = ceil(2|a|/3) and
+    # alpha >= ceil(t*|b|) = ceil(|b|/2), so `a` only needs its
+    # INDEX prefix floor(|a|/3)+1 and `b` its PROBE prefix
+    # floor(|b|/2)+1 — a third fewer exploded prefix tokens on the
+    # indexed side than the r7 symmetric floor(n/2)+1 both-sides shape.
+    # Measured at sf0.1: candidate COUNT is unchanged (547,696 — the
+    # synthetic corpus's matches live in the rare region both schemes
+    # keep), so local wall time is neutral; the gain is the 1/3
+    # smaller indexed-side explode -> shuffle volume, which is what
+    # the equi-join pays for at cluster scale.
+    a = prefix_frame(F.floor(F.col("n") / 3) + 1).alias("a")
+    b = prefix_frame(F.floor(F.col("n") / 2) + 1).alias("b")
+    # Remaining PPJoin filters (exactness-preserving for t = 0.5):
+    # - length: J >= t needs |a| * 2 >= |b| (a is the smaller side)
     # - positional: overlap upper bound 1 + min(na-posa, nb-posb) must
     #   reach the required overlap ceil(t/(1+t) * (na+nb)) = ceil((na+nb)/3)
     na, nb = F.col("a.n"), F.col("b.n")
     required = F.expr("CAST(ceil((a.n + b.n) / 3.0) AS INT)")
     ubound = 1 + F.least(na - (F.col("a.pos0") + 1), nb - (F.col("b.pos0") + 1))
+    smaller_first = (na < nb) | (
+        (na == nb) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
     cands = (
         a.join(
             b,
             (F.col("a.sh_id") == F.col("b.sh_id"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(na, nb) * 2 >= F.greatest(na, nb))
+            & smaller_first
+            & (na * 2 >= nb)
             & (ubound >= required),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # output contract is doc_a < doc_b regardless of size order
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
         .distinct()
     )
     # exact verification on the full (bijectively re-keyed) sets
