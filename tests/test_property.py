@@ -1062,3 +1062,80 @@ def test_avi_mjpeg_roundtrip_and_hostile():
         split_avi_frames(trimmed)
     with pytest.raises(ValueError, match="at least one frame"):
         encode_avi_mjpeg([], 1, 1)
+
+
+def test_gif_lzw_runaway_codes_and_jpeg_huffman_eof():
+    """The r7 verdict's remaining hostile-bitstream cases, asserted to
+    raise ValueError (never MemoryError / IndexError / KeyError):
+
+    - GIF LZW code-level attacks: a first code past the table, a code
+      jumping beyond table-size+1 (runaway dictionary reference), and
+      a stream that ends without EOI.
+    - JPEG Huffman/entropy EOF: the bit reader exhausting the payload
+      mid-scan, a real marker byte appearing inside coefficient data,
+      and a bit pattern matching no Huffman code up to length 16."""
+    import struct
+
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_gif,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # --- GIF: hand-packed LZW code streams (LSB-first, width 3 for
+    # min_code_size=2: table = 4 pixels + clear(4) + eoi(5))
+    pal = bytes([0, 0, 0, 85, 85, 85, 170, 170, 170, 255, 255, 255])
+    head = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0) + pal
+
+    def pack_codes(codes, width=3):
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def frame(codes):
+        comp = pack_codes(codes)
+        return (
+            b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+            + b"\x02"
+            + bytes([len(comp)])
+            + comp
+            + b"\x00"
+            + b"\x3b"
+        )
+
+    with pytest.raises(ValueError, match="first code not in table"):
+        decode_gif(head + frame([6]))  # table has 6 entries: codes 0..5
+    with pytest.raises(ValueError, match="code out of range"):
+        decode_gif(head + frame([0, 7]))  # next new code would be 6
+    with pytest.raises(ValueError, match="ended without EOI"):
+        decode_gif(head + frame([0, 1, 2, 3]))  # 4 pixels, no EOI code
+
+    # --- JPEG: entropy-level attacks on a known-good baseline stream
+    good = encode_jpeg(
+        np.arange(64, dtype=np.uint8).reshape(8, 8) * 3 % 256, quant=1
+    )
+    sos = good.find(b"\xff\xda")
+    (sos_len,) = struct.unpack_from(">H", good, sos + 2)
+    scan = sos + 2 + sos_len  # first entropy-coded byte
+
+    # bit reader exhausts the payload mid-MCU (no marker, just EOF)
+    with pytest.raises(ValueError, match="entropy stream truncated"):
+        decode_jpeg(good[: scan + 1])
+    # a real marker (EOI) byte pair inside coefficient data
+    with pytest.raises(ValueError, match="truncated at marker"):
+        decode_jpeg(good[:scan] + b"\xff\xd9" + good[scan:])
+    # 16 one-bits match no canonical Huffman code in the DC table
+    with pytest.raises(ValueError, match="invalid Huffman code|truncated"):
+        decode_jpeg(good[:scan] + b"\xff\x00\xff\x00\xff\x00" + good[scan:])
