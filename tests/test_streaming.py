@@ -1891,3 +1891,32 @@ def test_jsonl_sink_streaming_epochs(spark, tmp_path):
     for m in manifests:
         seqs.extend(r["seq"] for r in read_committed(out, m))
     assert sorted(seqs) == list(range(300))
+
+
+def test_jsonl_sink_commit_refuses_missing_part_file(tmp_path):
+    """A commit retried after part-file loss must fail AT COMMIT TIME
+    (no manifest referencing a missing file may ever be written), while
+    a replayed commit whose files were already renamed is idempotent."""
+    import json as _json
+
+    from kafka_connect_postgres_to_clickhouse_spark.sources.pysink import (
+        _FileCommit,
+        _finalize,
+        read_committed,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    with open(os.path.join(out, "_tmp-abc"), "w") as f:
+        f.write(_json.dumps({"id": 1}) + "\n")
+    msgs = [_FileCommit(temp_name="_tmp-abc", rows=1)]
+    _finalize(out, msgs, "_MANIFEST.json")
+    # replayed commit: temp already renamed, final exists -> idempotent
+    _finalize(out, msgs, "_MANIFEST.json")
+    assert len(read_committed(out, "_MANIFEST.json")) == 1
+
+    # lost part file: neither temp nor final exists -> commit refuses
+    lost = [_FileCommit(temp_name="_tmp-gone", rows=5)]
+    with pytest.raises(FileNotFoundError, match="commit aborted"):
+        _finalize(out, lost, "_MANIFEST2.json")
+    assert not os.path.exists(os.path.join(out, "_MANIFEST2.json"))
