@@ -24506,3 +24506,205 @@ def q_logical_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("user_id").cast("long").alias("key_bit_or"),
         F.bit_xor("user_id").cast("long").alias("key_bit_xor"),
     )
+
+
+@register(
+    "q_editdist_neardup",
+    oracle=f"""
+    WITH {CORPUS_SQL},
+    p AS (
+      SELECT doc_id, substr(lower(text), 1, 32) AS s FROM corpus
+      WHERE length(substr(lower(text), 1, 32)) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.s) - length(b.s)) <= 2
+     AND levenshtein(a.s, b.s) <= 2
+    """,
+)
+def q_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance near-dup join (levenshtein <= 2
+    on the 32-char normalized prefix) via PassJoin segment indexing
+    (Li et al., ICDE 2011 — public): partition each string into k+1=3
+    even segments; if ed(a,b) <= 2, at least one of a's segments
+    survives untouched and appears in b at a start shifted by at most
+    the net insertions/deletions before it (|shift| <= 2) — so an
+    equi-join on (segment_index, partner_length, segment_text) over a
+    bounded probe enumeration finds EVERY qualifying pair, and exact
+    levenshtein verifies candidates.  Completes the dedup family's
+    similarity axes: token-set (jaccard), bit-sketch (simhash),
+    window-exact (dup_ranges) — this is the typo/OCR-noise axis.
+
+    The DuckDB oracle is deliberately INDEPENDENT: brute-force
+    length-banded pairs + levenshtein, no shared candidate logic —
+    O(n^2) at oracle scale, which is the price of not re-encoding the
+    pigeonhole argument on both sides.
+
+    100 TB plan: 3 index rows and <= 75 probe rows per doc (both
+    O(1)); segments are >= 10 chars so postings are selective — no
+    hot-token explosion (the failure mode that rules out q-gram count
+    filtering at scale); the equi-join shuffles only (i, la, seg)
+    keys; exact verify touches candidates only, with the banded
+    levenshtein (threshold=2) costing O(k*len) per pair."""
+    c = (
+        _corpus(spark, sf_dir)
+        .select(
+            "doc_id", F.substring(F.lower(F.col("text")), 1, 32).alias("s")
+        )
+        .withColumn("L", F.length("s").cast("int"))
+        .filter(F.col("L") >= 3)
+    )
+    idx = c.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 2), i -> named_struct("
+                " 'i', CAST(i AS INT), 'la', L,"
+                " 'seg', substring(s, CAST(i*L div 3 AS INT) + 1,"
+                "        CAST((i+1)*L div 3 - i*L div 3 AS INT))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "s", "g.i", "g.la", "g.seg")
+    probe = c.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(GREATEST(L - 2, 3), L + 2), la ->"
+                " flatten(transform(sequence(0, 2), i ->"
+                "  filter(transform(sequence(-2, 2), sh -> named_struct("
+                "   'i', CAST(i AS INT), 'la', CAST(la AS INT),"
+                "   'p', CAST(i*la div 3 + sh AS INT),"
+                "   'len', CAST((i+1)*la div 3 - i*la div 3 AS INT))),"
+                "  x -> x.p >= 0 AND x.p + x.len <= L)))))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "s",
+        "g.i",
+        "g.la",
+        F.expr("substring(s, g.p + 1, g.len)").alias("seg"),
+    )
+    cands = (
+        idx.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.la") == F.col("b.la"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.least(F.col("a.s"), F.col("b.s")).alias("s_a"),
+            F.greatest(F.col("a.s"), F.col("b.s")).alias("s_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "edit_dist", F.levenshtein("s_a", "s_b", 2).cast("long")
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+def _greedy_coverage_oracle(k: int = 5) -> str:
+    """Chained-CTE rendering of k greedy max-coverage steps: s{j}
+    picks the not-yet-chosen doc with the most uncovered shingles
+    (ties -> min doc_id); c{j} is the covered-shingle set after it."""
+    parts = [SHINGLES_SQL]
+    for step in range(1, k + 1):
+        not_chosen = (
+            " AND doc_id NOT IN ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id FROM s{j}" for j in range(1, step)
+            )
+            + ")"
+            if step > 1
+            else ""
+        )
+        not_covered = (
+            f" AND sh NOT IN (SELECT sh FROM c{step - 1})" if step > 1 else ""
+        )
+        parts.append(
+            f", s{step} AS (SELECT doc_id, COUNT(*) AS gain FROM grams"
+            f" WHERE 1=1{not_chosen}{not_covered}"
+            f" GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        new_cover = (
+            f"SELECT sh FROM grams WHERE doc_id IN (SELECT doc_id FROM s{step})"
+        )
+        if step == 1:
+            parts.append(f", c1 AS ({new_cover})")
+        else:
+            parts.append(
+                f", c{step} AS (SELECT sh FROM c{step - 1} UNION {new_cover})"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS step,"
+        f" (SELECT doc_id FROM s{j}) AS doc_id,"
+        f" (SELECT gain FROM s{j}) AS gain,"
+        f" (SELECT COUNT(*) FROM c{j}) AS total_covered"
+        for j in range(1, k + 1)
+    )
+    return "".join(parts) + " " + selects
+
+
+@register("q_greedy_coverage", oracle=_greedy_coverage_oracle())
+def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage selection of 5 exemplar documents: each
+    step picks the document adding the most not-yet-covered distinct
+    3-gram shingles (ties -> lowest doc_id) — the classic (1-1/e)
+    submodular-coverage greedy (Nemhauser et al. 1978, public), the
+    data-curation primitive behind "pick a small seed set that spans
+    the corpus" (coreset/exemplar selection; the selection-side
+    complement of q_coverage_curve's measurement).
+
+    100 TB plan: k bounded iterations, each ONE pass over the shared
+    `postings` projection — per step a broadcast anti-join against
+    the covered-shingle set (bounded by the <=k chosen docs' shingle
+    union, kilobytes) then a map-side-combinable per-doc count with a
+    TakeOrdered(1) head; driver traffic is one (doc, gain) row per
+    step.  No corpus-sized state ever sits on one executor."""
+    from .analytics_queries import _materialize  # noqa: PLC0415
+
+    postings = _materialize(
+        spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir)
+    )
+    chosen: list[tuple[int, int, int, int]] = []
+    covered = None
+    total = 0
+    for step in range(1, 6):
+        cand = postings
+        if chosen:
+            cand = cand.filter(
+                ~F.col("doc_id").isin([c[1] for c in chosen])
+            ).join(F.broadcast(covered), "sh", "left_anti")
+        best = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        d, g = int(best[0]["doc_id"]), int(best[0]["gain"])
+        total += g
+        chosen.append((step, d, g, total))
+        new_cover = postings.filter(F.col("doc_id") == d).select("sh")
+        covered = (
+            new_cover
+            if covered is None
+            else covered.unionByName(new_cover).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        chosen, "step long, doc_id long, gain long, total_covered long"
+    )
