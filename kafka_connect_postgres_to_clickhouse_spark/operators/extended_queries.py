@@ -18629,12 +18629,16 @@ def q_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_gorilla_ts_bits",
     oracle="""
-    WITH s AS (
-      SELECT user_id, epoch(ts) AS t,
-             epoch(ts) - lag(epoch(ts)) OVER w AS delta,
-             lag(epoch(ts)) OVER w
-               - lag(epoch(ts), 2) OVER w AS prev_delta
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS te
       FROM events
+    ),
+    s AS (
+      SELECT user_id, te AS t,
+             te - lag(te) OVER w AS delta,
+             lag(te) OVER w - lag(te, 2) OVER w AS prev_delta
+      FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     b AS (
@@ -18681,8 +18685,10 @@ def q_gorilla_ts_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB plan: two lags over ONE (user, ts) window partitioning —
     per-key series, never global; bucket/bit assignment is row-local
-    integer arithmetic; one 6-key partial agg.  Epoch seconds are
-    exact integers in both engines."""
+    integer arithmetic; one 6-key partial agg.  Both engines pin the
+    WHOLE-second grain (Spark unix_timestamp floors; the oracle floors
+    epoch() explicitly — DuckDB's epoch() is a fractional DOUBLE and
+    the raw values diverge on sub-second timestamps)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = F.unix_timestamp("ts")
