@@ -19450,11 +19450,16 @@ def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_session_gap_sweep",
     oracle="""
-    WITH g AS (
-      SELECT user_id,
-             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_id)) AS gap_s
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS te
       FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             te - lag(te) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS gap_s
+      FROM e
     )
     SELECT gap_min,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -21874,7 +21879,10 @@ def q_media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vp
     ),
     p AS (
-      SELECT epoch(ts) - epoch(prev_view) AS gap_s
+      -- floor each endpoint before differencing: Spark unix_timestamp
+      -- floors to whole seconds; DuckDB epoch() keeps fractional
+      SELECT CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(prev_view)) AS BIGINT) AS gap_s
       FROM m WHERE event_type = 'purchase'
     )
     SELECT ttl_h,
@@ -24713,4 +24721,230 @@ def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         chosen, "step long, doc_id long, gain long, total_covered long"
+    )
+
+
+@register(
+    "q_kneser_ney_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    stream AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])
+                         ELSE [] END) AS bg
+      FROM toks
+    ),
+    types AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
+                     string_split(bg, ' ')[2] AS w2, COUNT(*) AS cbg
+              FROM stream GROUP BY 1, 2, 3),
+    ctx AS (SELECT w1, SUM(cbg) AS cw1, COUNT(*) AS fw FROM types GROUP BY 1),
+    bw AS (SELECT w2, COUNT(*) AS bwc FROM types GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t FROM types),
+    score AS (
+      SELECT bg,
+             CAST(round(ln(CAST((4 * cbg - 3) * t + 3 * fw * bwc AS DOUBLE)
+                           / CAST(4 * cw1 * t AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS s
+      FROM types JOIN ctx USING (w1) JOIN bw USING (w2) CROSS JOIN tt
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(s) AS BIGINT) AS nll_micro,
+           CAST(-SUM(s) // COUNT(*) AS BIGINT) AS mean_nll_micro
+    FROM stream JOIN score USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document (Kneser &
+    Ney 1995; Chen & Goodman 1998 sec. 3.3) — the estimator actually
+    used for n-gram LMs, vs q_bigram_lm's add-1 strawman.  With
+    discount D = 3/4 and all scored bigrams observed (c >= 1):
+
+        P(w2|w1) = (c(w1 w2) - D)/c(w1 .)
+                   + (D * N1+(w1 .)/c(w1 .)) * N1+(. w2)/N1+(. .)
+
+    which over the common denominator 4*c(w1.)*T is the exact integer
+    rational ((4*c - 3)*T + 3*fw*bw) / (4*cw1*T) — the continuation
+    probability N1+(. w2)/T is what makes "francisco" cheap only after
+    "san".  ln() once per bigram TYPE on that exact rational (both
+    numerator and denominator < 2^53, so the double quotient is
+    identical in both engines), quantized to a 1e-6 BIGINT; per-doc
+    sums are pure integer arithmetic (the q_perplexity discipline).
+
+    100 TB plan: bigram stream is a narrow per-row zip (shingles k=2,
+    no shuffle); types/ctx/bw are token-grain partial aggs; the score
+    join back to the stream is a HASH equi-join on the bigram key
+    (type tables exceed broadcast at corpus scale); T broadcasts as a
+    1-row aggregate; one groupBy(doc_id) finishes."""
+    d = load_table(spark, sf_dir, "documents")
+    stream = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
+    )
+    sp = F.split(F.col("bg"), " ")
+    types = (
+        stream.groupBy("bg")
+        .agg(F.count("*").alias("cbg"))
+        .select("bg", "cbg", sp[0].alias("w1"), sp[1].alias("w2"))
+    )
+    ctx = types.groupBy("w1").agg(
+        F.sum("cbg").alias("cw1"), F.count("*").alias("fw")
+    )
+    bw = types.groupBy("w2").agg(F.count("*").alias("bwc"))
+    tt = types.agg(F.count("*").alias("t"))
+    num = (4 * F.col("cbg") - 3) * F.col("t") + 3 * F.col("fw") * F.col("bwc")
+    den = 4 * F.col("cw1") * F.col("t")
+    score = (
+        types.join(ctx, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bg",
+            F.round(F.ln(num.cast("double") / den.cast("double")) * 1000000)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return (
+        stream.join(score, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (-F.sum("s")).cast("long").alias("nll_micro"),
+            F.expr("(-sum(s)) div count(*)").cast("long").alias("mean_nll_micro"),
+        )
+    )
+
+
+@register(
+    "q_hll_registers",
+    oracle="""
+    WITH reg AS (
+      SELECT substring(md5(CAST(event_id AS VARCHAR)), 1, 2) AS register,
+             substring(md5(CAST(event_id AS VARCHAR)), 3, 12) AS tail
+      FROM events
+    ),
+    rho AS (
+      SELECT register,
+             CASE WHEN ltrim(tail, '0') = '' THEN CAST(49 AS BIGINT)
+                  ELSE CAST(4 * (12 - length(ltrim(tail, '0')))
+                       + CASE WHEN substring(ltrim(tail, '0'), 1, 1) = '1'
+                                THEN 3
+                              WHEN substring(ltrim(tail, '0'), 1, 1)
+                                   IN ('2', '3') THEN 2
+                              WHEN substring(ltrim(tail, '0'), 1, 1)
+                                   IN ('4', '5', '6', '7') THEN 1
+                              ELSE 0 END + 1 AS BIGINT) END AS rho
+      FROM reg
+    ),
+    regs AS (SELECT register, MAX(rho) AS max_rho FROM rho GROUP BY register),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+             CAST(SUM(CAST(1 AS BIGINT)
+                      << CAST(49 - max_rho AS INTEGER)) AS BIGINT) AS s_present
+      FROM regs
+    ),
+    td AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS true_distinct
+           FROM events)
+    SELECT n_registers_hit,
+           CAST(256 - n_registers_hit AS BIGINT) AS zero_registers,
+           CAST(s_present + (256 - n_registers_hit)
+                * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS harmonic_scaled,
+           (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0
+             / CAST(s_present + (256 - n_registers_hit)
+                    * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS hll_estimate,
+           true_distinct,
+           CAST(round(10000.0
+                * ((0.7213 / (1 + 1.079 / 256.0)) * 65536.0
+                   * 562949953421312.0
+                   / CAST(s_present + (256 - n_registers_hit)
+                          * (CAST(1 AS BIGINT) << 49) AS DOUBLE)
+                   - true_distinct) / true_distinct) AS BIGINT) AS err_bp
+    FROM agg CROSS JOIN td
+    """,
+)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog over event_id, register-exact (Flajolet
+    et al. 2007): p=8 -> 256 registers addressed by the first md5 hex
+    pair; rho = 1 + leading zero BITS of the next 12 nibbles (computed
+    from hex digits: 4 per leading '0' nibble plus 3/2/1/0 inside the
+    first non-zero nibble); registers keep max(rho); the raw estimate
+    is alpha_256 * m^2 / sum(2^-M_j).  The harmonic sum is held as the
+    EXACT integer sum(2^(49-M_j)) (max 2^57, BIGINT-exact — doubles
+    would lose bits past 2^53), so the whole sketch state is
+    oracle-checked bit-for-bit and only the final published estimate
+    is a double.  This closes the q_agg_approx_distinct gap: that key
+    wraps Spark's opaque HLL++ (rows-only check); this one rebuilds
+    the sketch from public arithmetic and hash-checks every register
+    against DuckDB.
+
+    100 TB plan: md5 + nibble arithmetic are per-row map-side; the
+    only shuffle is the 256-key register max (map-side combine makes
+    partials 256 rows per task); true_distinct is one exact distinct
+    agg (itself shuffle-bounded by event_id cardinality); final join
+    is two 1-row aggregates."""
+    e = _t(spark, sf_dir, "events")
+    hx = F.md5(F.col("event_id").cast("string"))
+    reg = e.select(
+        hx.substr(1, 2).alias("register"), hx.substr(3, 12).alias("tail")
+    )
+    lt = F.expr("ltrim('0', tail)")
+    first_c = F.substring(lt, 1, 1)
+    rho = (
+        F.when(lt == "", F.lit(49))
+        .otherwise(
+            4 * (12 - F.length(lt))
+            + F.when(first_c == "1", 3)
+            .when(first_c.isin("2", "3"), 2)
+            .when(first_c.isin("4", "5", "6", "7"), 1)
+            .otherwise(0)
+            + 1
+        )
+        .cast("long")
+    )
+    regs = (
+        reg.select("register", rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    agg = regs.agg(
+        F.count("*").cast("long").alias("n_registers_hit"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - max_rho AS INT))")
+        )
+        .cast("long")
+        .alias("s_present"),
+    )
+    td = e.agg(F.countDistinct("event_id").cast("long").alias("true_distinct"))
+    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(256.0))
+    harmonic = (
+        F.col("s_present")
+        + (256 - F.col("n_registers_hit"))
+        * F.expr("shiftleft(CAST(1 AS BIGINT), 49)")
+    ).cast("long")
+    est = (
+        alpha * F.lit(65536.0) * F.lit(562949953421312.0)
+        / harmonic.cast("double")
+    )
+    return (
+        agg.crossJoin(F.broadcast(td))
+        .select(
+            "n_registers_hit",
+            (256 - F.col("n_registers_hit")).cast("long").alias(
+                "zero_registers"
+            ),
+            harmonic.alias("harmonic_scaled"),
+            est.alias("hll_estimate"),
+            "true_distinct",
+            F.round(
+                10000.0 * (est - F.col("true_distinct"))
+                / F.col("true_distinct")
+            )
+            .cast("long")
+            .alias("err_bp"),
+        )
     )
