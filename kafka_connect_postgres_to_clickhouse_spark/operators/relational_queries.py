@@ -353,7 +353,11 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_agg_approx_distinct", oracle=None)  # no exact oracle by design
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
-    distinct's shuffle would dominate; rows-only check by design."""
+    distinct's shuffle would dominate; rows-only check by design
+    (Spark's sketch is opaque).  The register-level algorithm itself
+    IS exactly oracle-checked: see q_hll_registers, which rebuilds a
+    p=8 HLL from public md5/nibble arithmetic and hash-matches every
+    register against DuckDB."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
