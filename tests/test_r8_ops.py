@@ -105,3 +105,81 @@ def test_editdist_neardup_finds_planted_typos(spark):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert 0 <= r["edit_dist"] <= 2
+
+
+def test_passjoin_complete_vs_brute_force_adversarial(spark, tmp_path):
+    """PassJoin completeness on an ADVERSARIAL corpus the fixtures
+    don't cover: small-alphabet strings (forced segment collisions),
+    planted distance-1/2 twins, distance-3 decoys that MUST be
+    absent, exact duplicates (distance 0), multi-byte unicode edits,
+    boundary lengths (3, 4, 32, 33+), and edits past the 32-char
+    prefix (prefix-identical -> distance 0).  Oracle: pure-Python
+    Levenshtein over the same normalized prefix, all pairs."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(8)
+    texts: list[str] = []
+    # small alphabet: many shared segments, the hash-join stress case
+    base = ["".join(rng.choice("ab") for _ in range(12)) for _ in range(8)]
+    texts += base
+    for s in base[:4]:
+        texts.append(s[:5] + "x" + s[6:])          # distance 1 (sub)
+        texts.append(s[:3] + s[4:] + "q")          # distance <= 2
+        texts.append("zz" + s[2:9] + "zzz" + s[9:])  # decoy, usually > 2
+    texts += [
+        "abc", "abd", "abcd",                      # len-3/4 boundary
+        "café au lait x",                     # unicode base
+        "cafè au lait x",                     # unicode sub, dist 1
+        "exactly the same text", "exactly the same text",  # dist 0
+        ("p" * 32) + "tail-one", ("p" * 32) + "tail-two",  # same prefix
+        "ab",                                      # len < 3: filtered out
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": "en",
+            "source": "adv",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    # the operator runs over the AUGMENTED corpus (+1M/+2M twins);
+    # replicate its normalization: lower, 32-char prefix, len >= 3
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (  # noqa: E501
+        _corpus,
+    )
+
+    prefixes = {
+        r["doc_id"]: r["s"]
+        for r in _corpus(spark, str(tmp_path))
+        .selectExpr("doc_id", "substring(lower(text), 1, 32) AS s")
+        .filter("length(s) >= 3")
+        .collect()
+    }
+    truth = {
+        (a, b, lev(prefixes[a], prefixes[b]))
+        for a, b in itertools.combinations(sorted(prefixes), 2)
+        if abs(len(prefixes[a]) - len(prefixes[b])) <= 2
+        and lev(prefixes[a], prefixes[b]) <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in _q("q_editdist_neardup")(spark, str(tmp_path)).collect()
+    }
+    assert got == truth
