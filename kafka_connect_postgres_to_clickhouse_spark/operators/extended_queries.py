@@ -18170,39 +18170,54 @@ def q_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     DLQ-and-replay loop is the documented operational recovery for a
     converter bug.
 
-    100 TB plan: the wire bytes ride the shared ``wire_envelopes``
-    spill (scanned, never re-serialized); the DLQ side is ~1/97 of
-    offsets re-joined to the spill on the unique _seq (one hash
-    partitioning, 1:1); both folds are window-over-user_id at key
-    grain — the same shuffle the flagship replay already pays."""
-    from .envelope import parse_envelope
+    100 TB plan: ONE serde pass, ONE scan.  The wire bytes ride the
+    shared ``wire_envelopes`` spill; the pristine topic bytes travel
+    alongside the corrupted view of them, and the replay re-parse is
+    a CaseWhen-gated from_json that evaluates ONLY on the ~1/97
+    quarantined rows — no offset join, no second scan of the spill
+    (the previous shape parsed the full corpus twice: once to fold
+    the clean rows, once just to learn the DLQ offsets).  Both folds
+    stay in ONE user_id shuffle via max_by + FILTER."""
+    from .envelope import debezium_value_schema, parse_envelope
     from .pipeline_queries import _users_payload_schema, _wire_envelopes
 
     schema = _users_payload_schema(spark, sf_dir)
     wire = _wire_envelopes(spark, sf_dir).select("_seq", "op", "value")
-    corrupted = wire.withColumn(
+    base = wire.withColumn("raw0", F.col("value")).withColumn(
         "value",
         F.when(F.col("_seq") % 97 == 0, F.substring("value", 1, 20)).otherwise(
             F.col("value")
         ),
     )
-    parsed = parse_envelope(corrupted, schema)
-    clean = parsed.filter(~F.col("_corrupt"))
-    # replay: re-fetch pristine bytes for the quarantined offsets
-    dlq_offsets = parsed.filter(F.col("_corrupt")).select("_seq")
-    replayed = parse_envelope(wire.join(dlq_offsets, "_seq"), schema)
-
-    # Both folds in ONE user_id shuffle: the final winner is max_by
-    # over all kept rows, the partial winner is the same aggregate
-    # FILTERed to the clean rows — no second window pass, no union
-    # re-shuffle (the two-fold form paid the user_id exchange twice).
-    cols = ["_seq", "op", "user_id", "username", "account_type", "updated_at"]
-    u = (
-        clean.select(*cols)
-        .withColumn("is_clean", F.lit(1))
-        .unionByName(replayed.select(*cols).withColumn("is_clean", F.lit(0)))
-        .filter(F.col("op") != "d")
+    # parse_envelope keeps every non-value column, so the pristine
+    # bytes (raw0) arrive next to the parse verdict of the corrupted
+    # view — corruption is still DERIVED from parse behavior
+    parsed = parse_envelope(base, schema).withColumn(
+        "_renv",
+        F.when(
+            F.col("_corrupt"),
+            F.from_json(
+                F.col("raw0").cast("string"),
+                debezium_value_schema(schema),
+                {"mode": "PERMISSIVE"},
+            ),
+        ),
     )
+
+    def healed(name, repl):
+        return F.when(F.col("_corrupt"), repl).otherwise(F.col(name)).alias(name)
+
+    u = parsed.select(
+        "_seq",
+        "op",
+        healed("user_id", F.col("_renv.payload.user_id")),
+        healed("username", F.col("_renv.payload.username")),
+        healed("account_type", F.col("_renv.payload.account_type")),
+        healed(
+            "updated_at", F.timestamp_micros(F.col("_renv.payload.updated_at"))
+        ),
+        F.when(F.col("_corrupt"), 0).otherwise(1).alias("is_clean"),
+    ).filter(F.col("op") != "d")
     per_user = u.groupBy("user_id").agg(
         F.expr(
             "max_by(account_type, struct(updated_at, _seq))"
