@@ -97,11 +97,28 @@ def main() -> None:
         gc.collect()
     total = round(sum(times.values()), 4)
 
+    # One-line run-to-run spread summary so cross-round comparisons can
+    # separate real regressions from ambient host noise (documented
+    # ~14-20% uniform swings, see BENCH_REPRO_r08.json) without digging
+    # through per-line `stability`.  spread = max/min per line.
+    spreads = sorted(
+        max(s["runs"]) / min(s["runs"]) for s in stability.values() if min(s["runs"]) > 0
+    )
+    stability_summary = {
+        "median_spread": round(spreads[len(spreads) // 2], 3),
+        "p90_spread": round(spreads[int(len(spreads) * 0.9)], 3),
+        "max_spread": round(spreads[-1], 3),
+    }
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # billing estimator is recorded so historical artifacts are
+        # self-describing: r6/r7 billed median-of-3, r8+ bill min-of-3
+        # (protocol change documented at the comment above run loop).
+        "billing": "min3",
         "queries": times,
+        "stability_summary": stability_summary,
         "stability": stability,
         "sf": sf,
     }
@@ -119,6 +136,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "billing": "min3",
                 "sf": sf,
                 "n_queries": len(times),
                 "queries": slowest,  # 20 slowest; full set in queries_file

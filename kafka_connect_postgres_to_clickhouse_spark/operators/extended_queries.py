@@ -24572,11 +24572,19 @@ def q_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole argument on both sides.
 
     100 TB plan: 3 index rows and <= 75 probe rows per doc (both
-    O(1)); segments are >= 10 chars so postings are selective — no
-    hot-token explosion (the failure mode that rules out q-gram count
-    filtering at scale); the equi-join shuffles only (i, la, seg)
-    keys; exact verify touches candidates only, with the banded
-    levenshtein (threshold=2) costing O(k*len) per pair."""
+    O(1)); for full-32-char prefixes (the overwhelming mass of a web
+    corpus — any doc with >= 32 normalized chars) segments are >= 10
+    chars, so those postings are selective — no hot-token explosion
+    (the failure mode that rules out q-gram count filtering at scale).
+    Docs SHORTER than 32 chars produce segments as short as 1 char;
+    the join key is (i, la, seg) so those short segments only collide
+    within the same (segment-slot, length) band — a population bounded
+    by the short-string tail, which at production scale would be
+    routed to a separate small length band (brute-forceable: the
+    length filter alone caps partners) rather than the posting join.
+    The equi-join shuffles only (i, la, seg) keys; exact verify
+    touches candidates only, with the banded levenshtein (threshold=2)
+    costing O(k*len) per pair."""
     c = (
         _corpus(spark, sf_dir)
         .select(
@@ -24896,6 +24904,16 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     wraps Spark's opaque HLL++ (rows-only check); this one rebuilds
     the sketch from public arithmetic and hash-checks every register
     against DuckDB.
+
+    NOTE: hll_estimate is the RAW estimator — deliberately WITHOUT
+    the small-range linear-counting correction (m*ln(m/V) when
+    zero_registers V > 0 and E <= 2.5m) the full HLL spec applies, so
+    at low cardinality err_bp can exceed the 1.04/sqrt(m) asymptotic
+    bound.  The published columns expose zero_registers precisely so
+    a consumer can apply (or audit) that branch; the sketch STATE
+    (registers, harmonic sum) is the oracle-checked contract, and the
+    estimate is kept raw so both engines publish the same closed-form
+    expression of that state.
 
     100 TB plan: md5 + nibble arithmetic are per-row map-side; the
     only shuffle is the 256-key register max (map-side combine makes
