@@ -127,3 +127,109 @@ def test_adpcm_hostile_streams():
     cut = decode_adpcm(full[:-2])
     assert len(cut) == 5  # header sample + 2 bytes x 2 nibbles
     assert (cut == decode_adpcm(full)[:5]).all()
+
+
+# ---------------------------------------------------------------------------
+# q_simsearch_graph
+
+
+def test_graph_ann_recall_vs_exact(spark):
+    """Recall@4 vs exact brute force, pooled over the 5 fixture
+    queries — deterministic (fixed fixtures, fixed tie-breaks), floor
+    matches the house LSH/IVF standard (test_analytics.py: >= 0.5)."""
+    from collections import defaultdict
+
+    got = defaultdict(set)
+    for r in _q("q_simsearch_graph")(spark, SF).collect():
+        got[r.query_id].add(r.vec_id)
+    exact = defaultdict(list)
+    rows = _q("q_simsearch_topk")(spark, SF).collect()
+    for r in sorted(rows, key=lambda r: (r.query_id, -r.cos_sim, r.vec_id)):
+        exact[r.query_id].append(r.vec_id)
+    hits = sum(len(set(ids[:4]) & got[q]) for q, ids in exact.items())
+    denom = 4 * len(exact)
+    assert denom == 20
+    assert hits / denom >= 0.5, f"graph-ANN recall@4 degraded: {hits}/{denom}"
+
+
+def test_graph_ann_beam_shape(spark):
+    """Each query's final beam is exactly 8 nodes ranked 1..8 with
+    non-increasing cosine, never containing the query itself (the
+    beam-search contract the oracle hash can't state on its own)."""
+    from collections import defaultdict
+
+    beams = defaultdict(list)
+    for r in _q("q_simsearch_graph")(spark, SF).collect():
+        beams[r.query_id].append(r)
+        assert r.vec_id != r.query_id
+    assert sorted(beams) == [0, 1, 2, 3, 4]
+    for q, rs in beams.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, 9))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# q_kn_trigram
+
+
+def test_kn_trigram_separates_fluent_from_rotated(spark):
+    """The trigram KN model must assign rotated (trigram-structure-
+    destroying, token-preserving) text fewer seen trigrams than real
+    text — the r8 bigram test shape one order up — and its per-doc
+    NLLs must be positive (probabilities < 1)."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_postgres_to_clickhouse_spark.functions.text import (
+        shingles,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    kn = _q("q_kn_trigram")(spark, SF)
+    agg = kn.agg(
+        F.min("nll_micro").alias("mn"), F.sum("n_trigrams").alias("n")
+    ).collect()[0]
+    assert agg["mn"] > 0 and agg["n"] > 0
+
+    d = load_table(spark, SF, "documents")
+    rot = d.select(
+        F.expr(
+            "array_join(concat(slice(split(lower(text), ' '), 2, 1000000),"
+            " slice(split(lower(text), ' '), 1, 1)), ' ')"
+        ).alias("text")
+    )
+    seen = (
+        d.select(F.explode(shingles(F.col("text"), 3)).alias("tg"))
+        .groupBy("tg")
+        .count()
+    )
+    n_real = (
+        d.select(F.explode(shingles(F.col("text"), 3)).alias("tg"))
+        .join(seen, "tg")
+        .count()
+    )
+    n_rot = (
+        rot.select(F.explode(shingles(F.col("text"), 3)).alias("tg"))
+        .join(seen, "tg")
+        .count()
+    )
+    assert n_rot < n_real
+
+
+def test_kn_trigram_sharper_than_bigram(spark):
+    """Higher order = more context = lower corpus mean NLL on text
+    both models saw (the reason to pay for the extra type table): the
+    trigram model's corpus-mean per-gram NLL must beat the bigram
+    model's on the same fixture."""
+    import pyspark.sql.functions as F
+
+    tri = _q("q_kn_trigram")(spark, SF).agg(
+        (F.sum("nll_micro") / F.sum("n_trigrams")).alias("m")
+    ).collect()[0]["m"]
+    bi = _q("q_kneser_ney_lm")(spark, SF).agg(
+        (F.sum("nll_micro") / F.sum("n_bigrams")).alias("m")
+    ).collect()[0]["m"]
+    assert tri < bi, (tri, bi)
