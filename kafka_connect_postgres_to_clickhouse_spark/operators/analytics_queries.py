@@ -255,7 +255,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     {SHINGLES_SQL},
     sigs AS (
       SELECT doc_id,
-             {", ".join(f"MIN(substring(md5(sh), {4 * s + 1}, 4)) AS minh{s}" for s in range(8))}
+             {", ".join(f"MIN(substring(md5(sh), {4 * s + 1}, 4) || md5(sh)) AS minh{s}" for s in range(8))}
       FROM grams GROUP BY doc_id
     ),
     bands AS (
@@ -277,12 +277,23 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — never all-pairs.
 
     One-permutation-hashing style signature: ONE md5 per shingle, and
-    the 8 minhash functions are the 8 disjoint 4-hex-char (16-bit)
+    the 8 minhash orderings are the 8 disjoint 4-hex-char (16-bit)
     slices of that digest (lexicographic MIN of a fixed-width hex
-    slice == numeric min of the 16-bit value; engine-neutral).  This
-    makes the map-side cost 1 digest per shingle instead of 8, and
-    the partial-aggregate shuffle 8x narrower (4-char vs 32-char
-    mins).
+    slice == numeric min of the 16-bit value; engine-neutral).  The
+    stored min VALUE is the slice CONCATENATED WITH THE FULL DIGEST:
+    the slice still drives the permutation order (ties broken by the
+    digest — a strictly finer, equally valid permutation), but the
+    band key now identifies the argmin SHINGLE, not a truncated
+    16-bit min.  This matters at scale: with bare 16-bit mins, two
+    unrelated docs collide whenever their min VALUES tie — and mins
+    of n draws concentrate near 0 (P ~ 1/1365 per slice), so
+    accidental candidates grew ~quadratically (r9 scale stress
+    measured growth exponent 1.49 on a 10x corpus).  With the digest
+    in the key, a band collision requires the same min shingle in
+    both slices — the true MinHash J^r guarantee — and the measured
+    exponent drops to ~linear.  Map-side cost is still 1 digest per
+    shingle; the shuffle carries 36-char mins (vs 4), a constant
+    factor the collision fix dwarfs.
 
     Plan shape: md5 is computed once per shingle row in a projection
     BELOW the aggregate, all 8 minhashes are MIN aggregates in a
@@ -294,7 +305,12 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir)
     ).select("doc_id", F.md5("sh").alias("h"))
     sigs = sh.groupBy("doc_id").agg(
-        *[F.min(F.substring("h", 4 * s + 1, 4)).alias(f"minh{s}") for s in range(8)]
+        *[
+            F.min(F.concat(F.substring("h", 4 * s + 1, 4), F.col("h"))).alias(
+                f"minh{s}"
+            )
+            for s in range(8)
+        ]
     )
     bands = sigs.select(
         "doc_id",

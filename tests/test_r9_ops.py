@@ -233,3 +233,69 @@ def test_kn_trigram_sharper_than_bigram(spark):
         (F.sum("nll_micro") / F.sum("n_bigrams")).alias("m")
     ).collect()[0]["m"]
     assert tri < bi, (tri, bi)
+
+
+# ---------------------------------------------------------------------------
+# SCALE_STRESS_r09: empirical growth exponents for the candidate joins
+
+
+def _stress():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "SCALE_STRESS_r09.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+STRESS_KEYS = {
+    "q_neardup_minhash",
+    "q_neardup_jaccard",
+    "q_simhash_neardup",
+    "q_fuzzy_dedup",
+    "q_editdist_neardup",
+    "q_semantic_dedup",
+}
+
+
+def test_scale_stress_artifact_shape():
+    """The artifact must cover all six generators at a true 10x of the
+    sf0.1 corpus in BOTH regimes (open = Heaps-faithful, closed =
+    adversarial shingle-space saturation)."""
+    d = _stress()
+    assert set(d["regimes"]) == {"open", "closed"}
+    for r in d["regimes"].values():
+        assert set(r["per_key"]) == STRESS_KEYS
+        assert r["corpus_sizes"]["10"]["documents"] == 10 * r["corpus_sizes"]["1"]["documents"]
+        assert r["corpus_sizes"]["10"]["embeddings"] == 10 * r["corpus_sizes"]["1"]["embeddings"]
+
+
+def test_scale_stress_open_regime_all_linear():
+    """Heaps-faithful 10x: every generator's verified-output rows AND
+    wall time must grow ~linearly (exponent 1.0 = linear, 2.0 =
+    quadratic; time gets headroom for the documented ~20% ambient
+    host noise, which is worth ~0.08 of exponent)."""
+    per_key = _stress()["regimes"]["open"]["per_key"]
+    for k, v in per_key.items():
+        assert v["exp_rows"] <= 1.05, (k, v["exp_rows"])
+        assert v["exp_sec"] <= 1.1, (k, v["exp_sec"])
+
+
+def test_scale_stress_closed_regime_bounds():
+    """Adversarial saturation 10x: verified OUTPUTS stay exactly
+    linear for every exact join; wall time stays sublinear for the
+    sketch/banded joins (minhash, simhash, fuzzy, semantic) and far
+    below quadratic for the prefix joins (PPJoin jaccard, PassJoin
+    editdist), whose df-inflation degradation is the documented
+    saturation mode."""
+    per_key = _stress()["regimes"]["closed"]["per_key"]
+    for k, v in per_key.items():
+        if k != "q_neardup_minhash":
+            assert v["exp_rows"] <= 1.05, (k, v["exp_rows"])
+    # minhash CANDIDATE output follows the LSH S-curve mass (see
+    # artifact notes) but the engine must still process it sublinearly
+    assert per_key["q_neardup_minhash"]["exp_sec"] <= 0.8
+    for k in ("q_simhash_neardup", "q_fuzzy_dedup", "q_semantic_dedup"):
+        assert per_key[k]["exp_sec"] <= 0.8, (k, per_key[k]["exp_sec"])
+    for k in ("q_neardup_jaccard", "q_editdist_neardup"):
+        assert per_key[k]["exp_sec"] <= 1.5, (k, per_key[k]["exp_sec"])
