@@ -255,6 +255,7 @@ STRESS_KEYS = {
     "q_fuzzy_dedup",
     "q_editdist_neardup",
     "q_semantic_dedup",
+    "q_neardup_cascade",
 }
 
 
@@ -295,7 +296,25 @@ def test_scale_stress_closed_regime_bounds():
     # minhash CANDIDATE output follows the LSH S-curve mass (see
     # artifact notes) but the engine must still process it sublinearly
     assert per_key["q_neardup_minhash"]["exp_sec"] <= 0.8
-    for k in ("q_simhash_neardup", "q_fuzzy_dedup", "q_semantic_dedup"):
+    for k in ("q_simhash_neardup", "q_fuzzy_dedup", "q_semantic_dedup",
+              "q_neardup_cascade"):
         assert per_key[k]["exp_sec"] <= 0.8, (k, per_key[k]["exp_sec"])
     for k in ("q_neardup_jaccard", "q_editdist_neardup"):
         assert per_key[k]["exp_sec"] <= 1.5, (k, per_key[k]["exp_sec"])
+
+
+# ---------------------------------------------------------------------------
+# q_neardup_cascade
+
+
+def test_cascade_recall_and_precision_vs_exact(spark):
+    """The cascade's verify predicate equals the exact join's, so
+    every cascade pair must appear in q_neardup_jaccard (precision
+    1.0 by construction — any miss is a bug in candidate plumbing),
+    and recall vs the full exact join must clear the LSH S-curve
+    floor (P(candidate | J=0.5) = 1-(1-J^2)^4 = 0.68; planted twins
+    have much higher J, so the fixture floor is far above it)."""
+    cas = {(r.doc_a, r.doc_b) for r in _q("q_neardup_cascade")(spark, SF).collect()}
+    full = {(r.doc_a, r.doc_b) for r in _q("q_neardup_jaccard")(spark, SF).collect()}
+    assert cas <= full, f"cascade emitted non-exact pairs: {sorted(cas - full)[:5]}"
+    assert len(cas) / len(full) >= 0.9, (len(cas), len(full))

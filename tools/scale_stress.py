@@ -87,6 +87,7 @@ KEYS = [
     "q_fuzzy_dedup",
     "q_editdist_neardup",
     "q_semantic_dedup",
+    "q_neardup_cascade",
 ]
 SCALES = [1, 3, 10]
 STRIDE = 10_000_000
