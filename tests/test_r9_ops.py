@@ -318,3 +318,22 @@ def test_cascade_recall_and_precision_vs_exact(spark):
     full = {(r.doc_a, r.doc_b) for r in _q("q_neardup_jaccard")(spark, SF).collect()}
     assert cas <= full, f"cascade emitted non-exact pairs: {sorted(cas - full)[:5]}"
     assert len(cas) / len(full) >= 0.9, (len(cas), len(full))
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_train
+
+
+def test_bpe_train_merge_invariants(spark):
+    """Classic-BPE invariants: 5 steps; pair counts monotonically
+    non-increasing (a new pair created by a merge is bounded by that
+    merge's count, and old pairs only lose occurrences); merged token
+    is the concatenation; no merge repeats (an (a,b) adjacency can
+    never be re-created once fused)."""
+    rows = sorted(_q("q_bpe_train")(spark, SF).collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == [1, 2, 3, 4, 5]
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    assert all(r.merged == r.sym_a + r.sym_b for r in rows)
+    assert len({(r.sym_a, r.sym_b) for r in rows}) == 5
+    assert all(r.pair_count > 0 for r in rows)
