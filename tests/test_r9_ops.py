@@ -337,3 +337,41 @@ def test_bpe_train_merge_invariants(spark):
     assert all(r.merged == r.sym_a + r.sym_b for r in rows)
     assert len({(r.sym_a, r.sym_b) for r in rows}) == 5
     assert all(r.pair_count > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# q_graph_ann_calibration / q_avro_framing
+
+
+def test_graph_calibration_monotone_in_width(spark):
+    """Wider beam => candidate set only grows => recall@4 must be
+    monotonically non-decreasing, and the width-8 row must agree with
+    the recall the width-8 operator itself achieves."""
+    rows = {r.beam_width: r for r in _q("q_graph_ann_calibration")(spark, SF).collect()}
+    assert set(rows) == {2, 8}
+    assert all(r.n_possible == 20 for r in rows.values())
+    assert rows[2].n_hits <= rows[8].n_hits
+    assert rows[8].recall_bp >= 5000  # the house ANN floor, in bp
+    for r in rows.values():
+        assert r.recall_bp == (10000 * r.n_hits) // r.n_possible
+
+
+def test_avro_framing_matches_reference_layout(spark):
+    """Frame bytes must be exactly magic 0x00 + 4-byte BE schema id 7
+    + the spec-encoded Avro body (reference encoder, field by field
+    against the q_avro_wire body proof)."""
+    frames = {
+        r["_seq"]: r
+        for r in _q("q_avro_framing")(spark, SF).orderBy("_seq").limit(10).collect()
+    }
+    bodies = {
+        r["_seq"]: r["wire_hex"]
+        for r in _q("q_avro_wire")(spark, SF).orderBy("_seq").limit(10).collect()
+    }
+    for seq, r in frames.items():
+        raw = bytes.fromhex(r["frame_hex"])
+        assert raw[0] == 0
+        assert int.from_bytes(raw[1:5], "big") == 7 == r["schema_id"]
+        assert r["magic_ok"] is True
+        assert raw[5:] == bytes.fromhex(bodies[seq])
+        assert r["n_bytes"] == len(raw)
