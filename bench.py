@@ -104,11 +104,15 @@ def main() -> None:
     spreads = sorted(
         max(s["runs"]) / min(s["runs"]) for s in stability.values() if min(s["runs"]) > 0
     )
-    stability_summary = {
-        "median_spread": round(spreads[len(spreads) // 2], 3),
-        "p90_spread": round(spreads[int(len(spreads) * 0.9)], 3),
-        "max_spread": round(spreads[-1], 3),
-    }
+    stability_summary = (
+        {
+            "median_spread": round(spreads[len(spreads) // 2], 3),
+            "p90_spread": round(spreads[int(len(spreads) * 0.9)], 3),
+            "max_spread": round(spreads[-1], 3),
+        }
+        if spreads
+        else None  # every line sub-clock-resolution: nothing to summarize
+    )
     payload = {
         "metric": "headline_queries_total",
         "value": total,

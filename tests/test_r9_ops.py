@@ -44,14 +44,24 @@ def _ref_avro_long(v: int) -> bytes:
 
 def test_avro_wire_bytes_match_reference_encoder(spark):
     """The query's expression-built wire bytes must equal a from-spec
-    Python Avro body encoding of the same record, field by field."""
-    rows = _q("q_avro_wire")(spark, SF).orderBy("_seq").limit(20).collect()
+    Python Avro body encoding of the same record, field by field.
+
+    Epoch micros are computed Spark-side (unix_micros) rather than from
+    the collected datetime: non-Arrow collect converts timestamps via
+    the driver OS timezone, so interpreting the naive datetime as UTC
+    fails spuriously on a non-UTC host."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        _q("q_avro_wire")(spark, SF)
+        .withColumn("_upd_us", F.unix_micros("updated_at"))
+        .orderBy("_seq")
+        .limit(20)
+        .collect()
+    )
     assert rows
     for r in rows:
-        upd_us = int(
-            r["updated_at"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()
-            * 1_000_000
-        )
+        upd_us = r["_upd_us"]
         uname = r["username"].encode()
         atype = r["account_type"].encode()
         expected = (
