@@ -383,6 +383,22 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The re-keyed postings are locally checkpointed because THREE DAG
     branches consume them (at cluster scale: a cached/checkpointed
     intermediate table).
+
+    Saturation guard (r10): prefix filtering assumes rare prefixes;
+    on an adversarially saturated shingle space (fixed vocabulary,
+    per-shingle df growing with the corpus) even the rarest prefixes
+    go hot and candidate time turns superquadratic-ish
+    (SCALE_STRESS_r09.json closed regime, exp_sec 1.43).  Prefix
+    postings with df > JACCARD_HOT_DF are therefore excluded from the
+    exact join and the affected doc population is routed through the
+    banded-MinHash candidate stage + the SAME exact verify (the
+    q_neardup_cascade path) — see _jaccard_pairs_build for the
+    missed-pair containment argument.  The cap never fires on the
+    natural test corpora (max observed prefix df 10 vs cap 32), so
+    the oracle-exact guarantee is untouched there; under saturation
+    wall time drops back to sketch-stage cost (exp < 1.0,
+    SCALE_STRESS_r10.json) with hot-pair recall bounded by the LSH
+    S-curve instead of 1.0.
     """
     # The verified pair table is itself a shared intermediate —
     # q_dedup_clusters consumes it verbatim — so the whole pipeline is
@@ -393,9 +409,11 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_array_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Re-keyed per-doc shingle-id arrays (doc_id, ids, n): every doc's
-    DISTINCT 3-gram shingles as a sorted array of dense longs ordered
-    rare-first by global (document frequency, shingle).
+    """Re-keyed per-doc shingle-id arrays (doc_id, ids, dfs, n): every
+    doc's DISTINCT 3-gram shingles as a sorted array of dense longs
+    ordered rare-first by global (document frequency, shingle), plus
+    the parallel global-df array (ascending, since id order IS df
+    order) feeding the saturation cap.
 
     This is the shared physical input of the whole set-similarity
     family — the Jaccard PPJoin (prefix = a plain slice because the
@@ -420,17 +438,43 @@ def _shingle_array_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("df"))
             .repartitionByRange(32, F.asc("df"), F.asc("sh"))
             .sortWithinPartitions(F.asc("df"), F.asc("sh"))
-            .select("sh", F.monotonically_increasing_id().alias("sh_id"))
+            .select("sh", F.col("df"), F.monotonically_increasing_id().alias("sh_id"))
             .localCheckpoint(eager=True)
         )
+        # dfs rides along, sorted WITH ids (id order == df order by
+        # construction), so any prefix's max global df is a plain
+        # element_at — the saturation statistic the PPJoin cap reads
+        # without re-aggregating the postings (see _jaccard_pairs_build).
+        z = F.sort_array(F.collect_list(F.struct("sh_id", "df")))
         return (
             postings.join(ids, "sh")
             .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("sh_id")).alias("ids"))
+            .agg(z.alias("z"))
+            .select(
+                "doc_id",
+                F.col("z.sh_id").alias("ids"),
+                F.col("z.df").alias("dfs"),
+            )
             .withColumn("n", F.size("ids"))
         )
 
     return _materialize(spark, sf_dir, "shingle_arrays", build)
+
+
+# Saturation guard for the PPJoin prefix stage: a prefix token whose
+# GLOBAL document frequency exceeds this cap is "hot" — candidate
+# pairs through it grow ~df^2, which is the measured closed-regime
+# blowup (SCALE_STRESS_r09.json: exp_sec 1.43 when the shingle space
+# saturates and "rarest" prefixes stop being rare).  Hot postings are
+# excluded from the exact prefix join; the pairs that could ONLY meet
+# through hot tokens are recovered by the banded-MinHash route (the
+# q_neardup_cascade candidate stage) and then verified EXACTLY.  The
+# cap is far above any natural-corpus PREFIX df (max observed global
+# df at sf0.001/0.01/0.1 is 25, and prefix tokens sit well below even
+# that), so on non-adversarial data the operator is the unmodified
+# exact PPJoin; the saturation probe itself is a projection over the
+# spilled arrays (dfs ascends with ids), costing one columnar scan.
+JACCARD_HOT_DF = 32
 
 
 def _jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,9 +484,15 @@ def _jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         return arrays.select(
             "doc_id",
             "n",
-            F.posexplode(F.slice("ids", 1, length.cast("int"))).alias(
-                "pos0", "sh_id"
-            ),
+            F.posexplode(
+                F.slice(F.arrays_zip("ids", "dfs"), 1, length.cast("int"))
+            ).alias("pos0", "t"),
+        ).select(
+            "doc_id",
+            "n",
+            "pos0",
+            F.col("t.ids").alias("sh_id"),
+            F.col("t.dfs").alias("df"),
         )
 
     # Asymmetric PPJoin prefixes (Xiao et al. 2008, exact for t=0.5):
@@ -459,8 +509,25 @@ def _jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep), so local wall time is neutral; the gain is the 1/3
     # smaller indexed-side explode -> shuffle volume, which is what
     # the equi-join pays for at cluster scale.
-    a = prefix_frame(F.floor(F.col("n") / 3) + 1).alias("a")
-    b = prefix_frame(F.floor(F.col("n") / 2) + 1).alias("b")
+    # Saturation statistic: a doc's probe prefix contains a hot token
+    # iff the LAST df in the prefix exceeds the cap (dfs ascends with
+    # ids) — a pure projection over the spilled arrays, no
+    # re-aggregation.  Driver-side adaptive branch on ONE
+    # aggregate-grain boolean (the AQE-skew-handling pattern): natural
+    # corpora take the pure exact PPJoin plan with no sketch stage in
+    # the DAG at all.
+    probe_len = (F.floor(F.col("n") / 2) + 1).cast("int")
+    doc_hot = F.element_at("dfs", F.least(probe_len, F.col("n"))) > JACCARD_HOT_DF
+    saturated = not arrays.filter(doc_hot).isEmpty()
+
+    a = prefix_frame(F.floor(F.col("n") / 3) + 1)
+    b = prefix_frame(F.floor(F.col("n") / 2) + 1)
+    if saturated:
+        # per-row posting filter, not an anti-join: df travels in the
+        # exploded prefix rows, so excluding hot postings is free
+        a = a.filter(F.col("df") <= JACCARD_HOT_DF)
+        b = b.filter(F.col("df") <= JACCARD_HOT_DF)
+    a, b = a.alias("a"), b.alias("b")
     # Remaining PPJoin filters (exactness-preserving for t = 0.5):
     # - length: J >= t needs |a| * 2 >= |b| (a is the smaller side)
     # - positional: overlap upper bound 1 + min(na-posa, nb-posb) must
@@ -486,6 +553,25 @@ def _jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    if saturated:
+        # Pairs whose EVERY shared prefix token is hot are invisible to
+        # the capped join; any such pair has a hot token in both docs'
+        # probe prefixes, so both ends live in H (docs carrying >= 1
+        # hot probe-prefix token).  Recover them through the banded-
+        # MinHash candidate stage restricted to H — the cascade route,
+        # whose closed-regime wall time is sublinear (exp 0.56) — and
+        # let the shared exact verify below keep precision at 1.0.
+        # Recall on the hot route is the LSH S-curve (1 at J=1, 0.68 at
+        # J=0.5) instead of PPJoin's guaranteed 1.0 — the documented
+        # exactness/saturation trade, taken ONLY for hot-token pairs
+        # under adversarial df inflation (rows stayed exactly equal to
+        # the uncapped join at 1x/3x/10x in SCALE_STRESS_r10.json).
+        h_docs = arrays.filter(doc_hot).select("doc_id")
+        mh = q_neardup_minhash(spark, sf_dir)
+        hot_cands = mh.join(
+            h_docs.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
+        ).join(h_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+        cands = cands.unionByName(hot_cands.select("doc_a", "doc_b")).distinct()
     # exact verification on the full (bijectively re-keyed) sets
     arr_a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("ids").alias("arr_a"))
     arr_b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("ids").alias("arr_b"))
