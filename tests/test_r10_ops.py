@@ -1,0 +1,185 @@
+"""Round-10 operator invariants: the saturation guards.
+
+The oracle gate proves value equality on natural corpora where the
+guards never fire; these tests FORCE each guard to fire on planted
+pathological fixtures and pin its contract:
+
+- q_editdist_neardup's symmetric-delete route is EXACT — on a corpus
+  with a >529-df shared segment the result must still equal brute
+  force, including pairs whose only intact segment is the hot one
+  (invisible to the capped equi-join by construction).
+- q_neardup_jaccard's hot route is a sketch (LSH S-curve recall), so
+  the pin is precision-1 + guaranteed recall of exact-duplicate pairs
+  (P(candidate | J=1) = 1), plus proof the fixture actually saturates
+  the cap.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(name):
+    from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (
+        load_all_queries,
+    )
+
+    return load_all_queries()[name].fn
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": "en",
+            "source": "hot",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def test_editdist_d2_route_equals_brute_force(spark, tmp_path):
+    """Force the per-key df crossover (EDITDIST_HOT_DF = 529): 560
+    base docs share an identical first segment, so after _corpus's
+    +1M/+2M augmentation its (i=0) posting df is far past 529 and the
+    hot keys leave the equi-join.  The planted twin pairs differ by
+    ONE edit in segment 1 and ONE in segment 2 — their only intact
+    segment is the hot one, so the capped join alone CANNOT see them;
+    only the symmetric-delete band can.  Result must equal pure-Python
+    brute force exactly (the route is exact, not a sketch)."""
+    head = "qqqqqqqqqqq"  # 11 chars: segment 0 of every 32-char prefix
+    texts = []
+    for i in range(260):
+        # 21-char unique tail -> total 32; tails differ pairwise by
+        # their embedded index digits (distance > 2 between families)
+        tail = f"u{i:04d}" + "abcdefghijklmnop"
+        s = head + tail
+        texts.append(s)
+        if i % 13 == 0:
+            # twin: substitute one char inside segment 1 (pos ~14) and
+            # one inside segment 2 (pos ~27) -> ed == 2, only segment
+            # 0 intact
+            t = list(s)
+            t[14] = "x" if t[14] != "x" else "y"
+            t[27] = "x" if t[27] != "x" else "y"
+            texts.append("".join(t))
+    _write_docs(tmp_path, texts)
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (  # noqa: E501
+        _corpus,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (  # noqa: E501
+        EDITDIST_HOT_DF,
+    )
+
+    prefixes = {
+        r["doc_id"]: r["s"]
+        for r in _corpus(spark, str(tmp_path))
+        .selectExpr("doc_id", "substring(lower(text), 1, 32) AS s")
+        .filter("length(s) >= 3")
+        .collect()
+    }
+    # the fixture must actually cross the route threshold
+    seg0_df = sum(1 for s in prefixes.values() if s[:10] == head[:10].lower())
+    assert seg0_df > EDITDIST_HOT_DF, seg0_df
+
+    truth = {
+        (a, b, _lev(prefixes[a], prefixes[b]))
+        for a, b in itertools.combinations(sorted(prefixes), 2)
+        if abs(len(prefixes[a]) - len(prefixes[b])) <= 2
+        and _lev(prefixes[a], prefixes[b]) <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in _q("q_editdist_neardup")(spark, str(tmp_path)).collect()
+    }
+    assert got == truth
+    # and the planted hot-only twins are non-trivially present
+    assert any(d == 2 for _, _, d in truth)
+
+
+def test_jaccard_cap_engages_with_precision_and_exact_dup_recall(
+    spark, tmp_path
+):
+    """Force JACCARD_HOT_DF: a 5-word vocabulary over 220 docs makes
+    every 3-gram shingle's global df cross the cap, so the PPJoin
+    drops all hot postings and the minhash hot route carries the
+    pairs.  Pins: (a) the fixture saturates (max prefix df > cap);
+    (b) precision 1.0 — every reported pair verifies at true Jaccard
+    >= 0.5 (exact verify is shared by both routes); (c) recall 1.0 on
+    exact-duplicate pairs (identical shingle sets collide in every
+    minhash band)."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = []
+    for i in range(110):
+        body = " ".join(words[(i + j) % 5] for j in range(12))
+        texts.append(body)
+        texts.append(body)  # exact duplicate -> J = 1.0 pair
+    _write_docs(tmp_path, texts)
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (  # noqa: E501
+        JACCARD_HOT_DF,
+        _corpus,
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    grams = {
+        r["doc_id"]: frozenset(r["g"])
+        for r in _corpus(spark, str(tmp_path))
+        .select("doc_id", shingles(F.lower(F.col("text")), 3).alias("g"))
+        .collect()
+    }
+    # (a) saturation: some shingle df crosses the cap
+    from collections import Counter
+
+    df_counts = Counter(sh for g in grams.values() for sh in g)
+    assert max(df_counts.values()) > JACCARD_HOT_DF
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _q("q_neardup_jaccard")(spark, str(tmp_path)).collect()
+    }
+
+    def jac(a, b):
+        ga, gb = grams[a], grams[b]
+        return len(ga & gb) / len(ga | gb) if ga | gb else 0.0
+
+    # (b) precision 1.0
+    for (a, b), j in got.items():
+        assert a < b
+        assert abs(jac(a, b) - j) < 1e-12
+        assert j >= 0.5
+    # (c) exact-duplicate recall 1.0
+    for a, b in itertools.combinations(sorted(grams), 2):
+        if grams[a] and grams[a] == grams[b]:
+            assert (a, b) in got, (a, b)
+
+
+def test_bpe_apply_consistency(spark):
+    """q_bpe_apply invariants: fertility >= 1.0 (a word is >= 1
+    subword), subtoken totals consistent with the trained vocabulary,
+    and the corpus-wide token count strictly above the whitespace
+    baseline only if some word is longer than its merges collapse."""
+    rows = _q("q_bpe_apply")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] >= 1
+        assert r["n_subtokens"] >= r["n_words"]
+        assert r["fertility_micro"] == (1_000_000 * r["n_subtokens"]) // r["n_words"]
+        assert r["fertility_micro"] >= 1_000_000
