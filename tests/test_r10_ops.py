@@ -171,6 +171,88 @@ def test_jaccard_cap_engages_with_precision_and_exact_dup_recall(
             assert (a, b) in got, (a, b)
 
 
+def test_graph_ann_insert_equals_full_rebuild(spark):
+    """Splice == rebuild, in Spark (the DuckDB oracle already proves
+    it cross-engine): (1) a full re-assignment of the augmented corpus
+    against the stored codebook moves NO base vector (centroids are
+    immutable under insert, so stored cell membership stays valid);
+    (2) per-new-vector edge stats derived from a from-scratch rebuild
+    (fresh assignment -> fresh cell edges) equal the operator's
+    spliced output row for row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_connect_postgres_to_clickhouse_spark.functions.vectors import (
+        norm2_scaled,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (  # noqa: E501
+        _emb_norms,
+        _ivf_assign_table,
+        _ivf_cell_scores,
+        _ivf_cents,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (  # noqa: E501
+        _cell_topk_edges,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    norms = _emb_norms(spark, SF).select("vec_id", "embedding", "n2")
+    cents = _ivf_cents(norms)
+    newv = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") % 16 == 1)
+        .select(
+            (F.col("vec_id") + 3_000_000).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+        )
+        .withColumn("n2", norm2_scaled(F.col("embedding")))
+    )
+    aug = norms.unionByName(newv)
+    w_v = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    fresh = (
+        _ivf_cell_scores(aug, cents)
+        .withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    # (1) no base vector changes cells
+    stored = {
+        (r.vec_id, r.cent_id) for r in _ivf_assign_table(spark, SF).collect()
+    }
+    fresh_base = {
+        (r.vec_id, r.cent_id)
+        for r in fresh.filter(F.col("vec_id") < 3_000_000).collect()
+    }
+    assert fresh_base == stored
+
+    # (2) from-scratch rebuild stats == spliced operator output
+    edges = (
+        fresh.join(aug, "vec_id")
+        .groupBy("cent_id")
+        .applyInPandas(_cell_topk_edges, "src long, dst long")
+        .localCheckpoint(eager=True)
+    )
+    rebuilt = {}
+    new_cells = {
+        r.vec_id: r.cent_id
+        for r in fresh.filter(F.col("vec_id") >= 3_000_000).collect()
+    }
+    erows = edges.collect()
+    for v, cell in new_cells.items():
+        od = sum(1 for e in erows if e.src == v)
+        ig = sum(1 for e in erows if e.dst == v and e.src < 3_000_000)
+        rebuilt[v] = (cell, od, ig)
+    got = {
+        r.vec_id: (r.cent_id, r.out_degree, r.in_from_old)
+        for r in _q("q_graph_ann_insert")(spark, SF).collect()
+    }
+    assert got == rebuilt
+    assert got, "batch must be non-empty"
+    assert any(v[1] > 0 for v in got.values())  # some new vector linked
+
+
 def test_bpe_apply_consistency(spark):
     """q_bpe_apply invariants: fertility >= 1.0 (a word is >= 1
     subword), subtoken totals consistent with the trained vocabulary,
