@@ -250,11 +250,20 @@ def test_kn_trigram_sharper_than_bigram(spark):
 
 
 def _stress():
+    import glob
     import json
     import os
+    import re
 
-    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "SCALE_STRESS_r09.json")
-    with open(path) as f:
+    root = os.path.dirname(os.path.dirname(__file__))
+    paths = glob.glob(os.path.join(root, "SCALE_STRESS_r*.json"))
+    assert paths, "no scale-stress artifact"
+
+    def rnd(p):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    with open(max(paths, key=rnd)) as f:  # newest round's artifact
         return json.load(f)
 
 
@@ -295,10 +304,12 @@ def test_scale_stress_open_regime_all_linear():
 def test_scale_stress_closed_regime_bounds():
     """Adversarial saturation 10x: verified OUTPUTS stay exactly
     linear for every exact join; wall time stays sublinear for the
-    sketch/banded joins (minhash, simhash, fuzzy, semantic) and far
-    below quadratic for the prefix joins (PPJoin jaccard, PassJoin
-    editdist), whose df-inflation degradation is the documented
-    saturation mode."""
+    sketch/banded joins (minhash, simhash, fuzzy, semantic) and —
+    since the r10 saturation guards (df-capped PPJoin with the
+    minhash hot route; PassJoin orientation + budget pruning + the
+    529-crossover symmetric-delete band) — strictly below LINEAR
+    growth for the prefix joins too (r9 shipped them at exp 1.43 /
+    1.14; the guards' whole point is exp < 1.0 here)."""
     per_key = _stress()["regimes"]["closed"]["per_key"]
     for k, v in per_key.items():
         if k != "q_neardup_minhash":
@@ -310,7 +321,7 @@ def test_scale_stress_closed_regime_bounds():
               "q_neardup_cascade"):
         assert per_key[k]["exp_sec"] <= 0.8, (k, per_key[k]["exp_sec"])
     for k in ("q_neardup_jaccard", "q_editdist_neardup"):
-        assert per_key[k]["exp_sec"] <= 1.5, (k, per_key[k]["exp_sec"])
+        assert per_key[k]["exp_sec"] < 1.0, (k, per_key[k]["exp_sec"])
 
 
 # ---------------------------------------------------------------------------

@@ -157,7 +157,7 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALE_STRESS_r09.json",
+        "SCALE_STRESS_r10.json",
     )
     work = os.environ.get(
         "SPARK_GRAFT_STRESS_DIR",
