@@ -290,6 +290,31 @@ def test_simsearch_filtered_respects_predicate_and_overscan(spark):
         assert all(-1.0 <= s <= 1.0 + 1e-9 for s in sims)
 
 
+def test_ann_graph_spill_is_built_once_per_session(spark):
+    """The r10 perf win (q_graph_ann_calibration 9.6s -> ~2s) rests on
+    the graph index being a session-memoized spill: both search keys
+    and both widths must resolve to the SAME _MATERIALIZED entry, not
+    rebuild per consumer.  Guards the regression class where a key
+    accidentally forks its own build (the exact bug this round fixed)."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (  # noqa: E501
+        _MATERIALIZED,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (  # noqa: E501
+        _ann_graph_table,
+    )
+
+    _q("q_simsearch_graph")(spark, SF).count()
+    keys_after_first = {k for k in _MATERIALIZED if "ann_graph" in str(k)}
+    assert len(keys_after_first) == 1, keys_after_first
+    _q("q_graph_ann_calibration")(spark, SF).count()
+    keys_after_both = {k for k in _MATERIALIZED if "ann_graph" in str(k)}
+    assert keys_after_both == keys_after_first
+    # and the helper returns the spilled frame, not a fresh build
+    df = _ann_graph_table(spark, SF)
+    assert df.columns == ["src", "dst"]
+    assert keys_after_both == {k for k in _MATERIALIZED if "ann_graph" in str(k)}
+
+
 def test_bpe_apply_consistency(spark):
     """q_bpe_apply invariants: fertility >= 1.0 (a word is >= 1
     subword), subtoken totals consistent with the trained vocabulary,
