@@ -113,6 +113,69 @@ def test_editdist_d2_route_equals_brute_force(spark, tmp_path):
     assert any(d == 2 for _, _, d in truth)
 
 
+def test_editdist_d2_route_covers_cross_length_pairs(spark, tmp_path):
+    """The r11 hole (ADVICE r10): a missed pair's witness keys carry
+    the SHORTER doc's length, so the LONGER end touches hot keys only
+    through its PROBE rows.  An idx-side-only hot band dropped such
+    pairs from BOTH routes.  Fixture: a 560-strong 30-char hot family
+    (shared segment 0 -> key (0, 30, head) goes hot) plus cross-length
+    twins b = a with two chars INSERTED inside segments 1 and 2 —
+    b is 32 chars, its own idx keys (i, 32, ...) are cold, and a's
+    seg1/seg2 are split by the insertions so the ONLY witness key is
+    the hot one.  The result must still equal brute force, including
+    every planted cross-length twin."""
+    head = "qqqqqqqqqqq"  # 11 chars: covers segment 0 ([0:10]) at L=30
+    texts, planted = [], []
+    for i in range(280):
+        tail = f"u{i:04d}" + "abcdefghijklmn"  # 19 chars -> total 30
+        a = head + tail
+        texts.append(a)
+        if i % 14 == 0:
+            # insert inside seg1 span [10,20) and seg2 span [20,30):
+            # ed == 2, a's seg1/seg2 no longer substrings of b, b's own
+            # length-32 segment keys stay cold
+            b = a[:15] + "z" + a[15:25] + "z" + a[25:]
+            assert len(b) == 32 and _lev(a, b) == 2
+            planted.append((len(texts), len(texts) + 1))
+            texts.append(b)
+    _write_docs(tmp_path, texts)
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (  # noqa: E501
+        _corpus,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (  # noqa: E501
+        EDITDIST_HOT_DF,
+    )
+
+    prefixes = {
+        r["doc_id"]: r["s"]
+        for r in _corpus(spark, str(tmp_path))
+        .selectExpr("doc_id", "substring(lower(text), 1, 32) AS s")
+        .filter("length(s) >= 3")
+        .collect()
+    }
+    # the 30-char family's (i=0, la=30) key must actually cross the cap
+    seg0_df = sum(
+        1 for s in prefixes.values() if len(s) == 30 and s[:10] == head[:10]
+    )
+    assert seg0_df > EDITDIST_HOT_DF, seg0_df
+
+    truth = {
+        (a, b, _lev(prefixes[a], prefixes[b]))
+        for a, b in itertools.combinations(sorted(prefixes), 2)
+        if abs(len(prefixes[a]) - len(prefixes[b])) <= 2
+        and _lev(prefixes[a], prefixes[b]) <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in _q("q_editdist_neardup")(spark, str(tmp_path)).collect()
+    }
+    assert got == truth
+    # and the planted cross-length twins are present, not vacuous
+    for a, b in planted:
+        assert (a, b, 2) in got, (a, b)
+
+
 def test_jaccard_cap_engages_with_precision_and_exact_dup_recall(
     spark, tmp_path
 ):
