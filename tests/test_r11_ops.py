@@ -1,0 +1,113 @@
+"""Round-11 operator invariants.
+
+- q_bpe_apply's OOV fallback: tokenization must be TOTAL — words
+  absent from the trained vocabulary fall back to greedy char-level
+  merge replay.  Exercised for real by planting a vocabulary trained
+  on corpus A into the materialization memo under corpus B's key (the
+  production shape: a stale tokenizer applied to fresh documents) and
+  comparing every doc against a pure-Python greedy BPE reference.
+  The same comparison pins fallback == vocab-cache on trained words
+  (both are the identical merge surgery).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(name):
+    from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (
+        load_all_queries,
+    )
+
+    return load_all_queries()[name].fn
+
+
+def _write_docs(path, texts):
+    path.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": "en",
+            "source": "r11",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(path / "documents.parquet", index=False)
+
+
+def test_bpe_apply_oov_fallback(spark, tmp_path):
+    """Train on corpus A, apply to corpus B ⊃ A with planted unseen
+    words.  The old inner join silently dropped them from the token
+    counts; the r11 left-join + char-level merge-replay fallback must
+    tokenize every word, matching the pure-Python greedy BPE reference
+    doc for doc (which simultaneously proves cache == replay for the
+    trained words)."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (  # noqa: E501
+        _MATERIALIZED,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (  # noqa: E501
+        _bpe_train_run,
+    )
+
+    train_texts = [
+        "the cat sat on the mat",
+        "the hat and the rat sat",
+        "that cat that sat there",
+        "chat with the cat at the mat",
+    ]
+    oov_doc = "zzgreat unseenword qcatq"
+    a_dir, b_dir = tmp_path / "train", tmp_path / "apply"
+    _write_docs(a_dir, train_texts)
+    _write_docs(b_dir, train_texts + [oov_doc])
+
+    out, vocab = _bpe_train_run(spark, str(a_dir))
+    merges = [(r[1], r[2]) for r in out]
+    assert len(merges) == 5
+    vocab_words = {r["word"] for r in vocab.select("word").collect()}
+    assert all(w not in vocab_words for w in oov_doc.split(" "))
+
+    app = spark.sparkContext.applicationId
+    mdf = spark.createDataFrame(
+        out, "step long, sym_a string, sym_b string, merged string, pair_count long"
+    )
+    keys = [(app, str(b_dir), "bpe_merges"), (app, str(b_dir), "bpe_vocab")]
+    _MATERIALIZED[keys[0]], _MATERIALIZED[keys[1]] = mdf, vocab
+    try:
+        rows = _q("q_bpe_apply")(spark, str(b_dir)).collect()
+    finally:
+        for k in keys:
+            _MATERIALIZED.pop(k, None)
+
+    def ref_nt(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            nxt, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    nxt.append(a + b)
+                    i += 2
+                else:
+                    nxt.append(syms[i])
+                    i += 1
+            syms = nxt
+        return len(syms)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subtokens"], r["fertility_micro"])
+        for r in rows
+    }
+    for doc_id, text in enumerate(train_texts + [oov_doc], 1):
+        ws = text.split(" ")
+        nts = sum(ref_nt(w) for w in ws)
+        assert got[doc_id] == (
+            len(ws),
+            nts,
+            (1_000_000 * nts) // len(ws),
+        ), (doc_id, got[doc_id])
+    # the OOV doc's subword count exceeds its word count (multi-char
+    # unseen words really were segmented, not dropped or counted as 1)
+    n_oov = len(oov_doc.split(" "))
+    assert got[len(train_texts) + 1][1] > n_oov
