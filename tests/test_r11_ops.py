@@ -38,6 +38,57 @@ def _write_docs(path, texts):
     ).to_parquet(path / "documents.parquet", index=False)
 
 
+def test_graph_ann_filtered_recall_and_traversal(spark):
+    """q_graph_ann_filtered pins: (a) predicate safety — every hit
+    shares its query's label, ranks dense 1..4; (b) recall floor vs
+    brute-force label-constrained truth (deterministic fixture:
+    per-query >= 0.25, mean >= 0.5 at ~10% selectivity); (c) the
+    traverse-through rationale — for EVERY query it returns strictly
+    more label-matching hits than post-filtering the unfiltered beam's
+    top-8 does (the naive alternative the operator exists to beat)."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).toPandas()
+    E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    nrm = np.sqrt((E * E).sum(axis=1))
+
+    rows = _q("q_graph_ann_filtered")(spark, SF).collect()
+    assert rows
+    got: dict = {}
+    for r in rows:
+        # (a) predicate safety
+        assert labels[r["vec_id"]] == labels[r["query_id"]]
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"]))
+    recalls = []
+    for q, hits in got.items():
+        assert sorted(rk for rk, _ in hits) == [1, 2, 3, 4], (q, hits)
+        qi = int(np.where(ids == q)[0][0])
+        cs = E @ E[qi] / (nrm * nrm[qi])
+        mask = np.array([labels[v] == labels[q] and v != q for v in ids])
+        order = np.lexsort((ids, -cs))
+        truth = set([ids[i] for i in order if mask[i]][:4])
+        r4 = len({v for _, v in hits} & truth) / 4
+        assert r4 >= 0.25, (q, r4)
+        recalls.append(r4)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    # (c) strictly beats post-filtering the unfiltered top-8
+    post = {q: 0 for q in got}
+    for r in _q("q_simsearch_graph")(spark, SF).collect():
+        if labels[r["vec_id"]] == labels[r["query_id"]]:
+            post[r["query_id"]] += 1
+    for q, hits in got.items():
+        assert len(hits) > post[q], (q, len(hits), post[q])
+
+
 def test_bpe_apply_oov_fallback(spark, tmp_path):
     """Train on corpus A, apply to corpus B ⊃ A with planted unseen
     words.  The old inner join silently dropped them from the token
