@@ -89,6 +89,35 @@ def test_graph_ann_filtered_recall_and_traversal(spark):
         assert len(hits) > post[q], (q, len(hits), post[q])
 
 
+def test_ann_rebuild_advisor_accounting(spark):
+    """q_ann_rebuild_advisor invariants, cross-checked against the
+    insert key it audits: one report row; n_inserted equals
+    q_graph_ann_insert's batch row count and n_cells its distinct
+    target cells; populations reconcile (after = before + inserted,
+    via the skew denominators); drift is exactly before - after; the
+    decision column is a pure function of the published metrics and
+    the documented policy constants."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (  # noqa: E501
+        ANN_REBUILD_DRIFT_MICRO,
+        ANN_REBUILD_SKEW_DELTA_BP,
+    )
+
+    rows = _q("q_ann_rebuild_advisor")(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ins = _q("q_graph_ann_insert")(spark, SF).collect()
+    assert r["n_inserted"] == len(ins)
+    assert r["n_cells"] == len({x["cent_id"] for x in ins})
+    assert r["max_cell_after"] >= r["max_cell_before"]
+    assert r["drift_micro"] == r["mean_cs_before_micro"] - r["mean_cs_after_micro"]
+    assert -1_000_000 <= r["mean_cs_after_micro"] <= 1_000_000
+    assert r["skew_bp_before"] >= 10_000 and r["skew_bp_after"] >= 10_000
+    assert r["rebuild"] == (
+        r["drift_micro"] > ANN_REBUILD_DRIFT_MICRO
+        or r["skew_bp_after"] - r["skew_bp_before"] > ANN_REBUILD_SKEW_DELTA_BP
+    )
+
+
 def test_bpe_apply_oov_fallback(spark, tmp_path):
     """Train on corpus A, apply to corpus B ⊃ A with planted unseen
     words.  The old inner join silently dropped them from the token
