@@ -1871,3 +1871,515 @@ def decode_adpcm(payload: bytes) -> np.ndarray:
             pred, idx = _adpcm_step_state(pred, idx, nib)
             out.append(pred)
     return np.array(out, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (subset): Rice/Golomb residual entropy coding + fixed/LPC linear
+# prediction — a genuinely distinct compression family next to DEFLATE
+# (PNG), LZW (GIF), Huffman+DCT (JPEG) and ADPCM, and LOSSLESS, so the
+# decode oracle is bit-exact sample values.  Format per the public FLAC
+# format spec (RFC 9639 / xiph.org): fLaC marker, STREAMINFO metadata
+# block (incl. MD5 of the raw samples — verified on decode), frames with
+# CRC-8-protected headers and CRC-16-protected bodies, subframes
+# CONSTANT / VERBATIM / FIXED(0-4) / LPC with 4-bit-parameter Rice
+# partitions.  Encoder subset: mono, 16-bit, one frame, partition order
+# 0, subframe chosen by exact bit cost among constant / verbatim /
+# fixed 0-4 / quantized order-2 LPC (Levinson-Durbin).  Decoder is
+# strict on the FULL mono-16 surface (any fixed order, any LPC order,
+# any partition order, Rice escapes, wasted bits, both blocking
+# strategies) and raises on hostile streams: bad marker/sync/reserved
+# bits, CRC-8, CRC-16, or MD5 mismatch, truncation, reserved subframe
+# types (ValueError); legal-FLAC-but-unsupported shapes — multichannel,
+# non-16-bit — raise NotImplementedError (the documented seam).
+# ---------------------------------------------------------------------------
+
+_FLAC_FIXED_COEFS = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame headers."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0, unreflected — FLAC frame footers."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _FlacBitWriter:
+    """Plain MSB-first bit writer (no byte stuffing — that is JPEG's)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        value &= (1 << length) - 1
+        self.acc = (self.acc << length) | value
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, value: int, length: int) -> None:
+        self.write(value & ((1 << length) - 1), length)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a terminating 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def data(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+class _FlacBitReader:
+    """Plain MSB-first bit reader with byte-position access (frame CRCs
+    cover byte ranges, and FLAC keeps frame boundaries byte-aligned)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bitpos = pos * 8
+
+    @property
+    def bytepos(self) -> int:
+        return self.bitpos // 8
+
+    def read(self, n: int) -> int:
+        if self.bitpos + n > len(self.data) * 8:
+            raise ValueError("FLAC stream truncated")
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("FLAC unary run unterminated")
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _flac_utf8_encode(v: int) -> bytes:
+    """FLAC extended UTF-8 coding of the frame/sample number."""
+    if v < 0x80:
+        return bytes([v])
+    out = []
+    nbytes = 2
+    while v >= (1 << (1 + 5 * nbytes)) and nbytes < 7:
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (v >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((v >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _flac_utf8_decode(r: _FlacBitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("FLAC invalid UTF-8 coded number")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC invalid UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _rice_cost(residuals: list[int], k: int) -> int:
+    return sum((((e << 1) ^ (e >> 63)) >> k) + 1 + k for e in residuals)
+
+
+def _best_rice_k(residuals: list[int]) -> tuple[int, int]:
+    """(k, total bits) minimizing the Rice cost, k in 0..14."""
+    best_k, best_c = 0, None
+    for k in range(15):
+        c = _rice_cost(residuals, k)
+        if best_c is None or c < best_c:
+            best_k, best_c = k, c
+        elif c > 2 * best_c:
+            break  # cost is convex-ish in k; stop once clearly past it
+    return best_k, best_c
+
+
+def _fixed_residuals(x: list[int], order: int) -> list[int]:
+    coefs = _FLAC_FIXED_COEFS[order]
+    return [
+        x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
+        for i in range(order, len(x))
+    ]
+
+
+def _lpc_order2(x: list[int]) -> tuple[list[int], int] | None:
+    """Quantized order-2 LPC via Levinson-Durbin: ([c0, c1], shift)
+    with precision-12 coefficients, or None when LPC is undefined
+    (flat/short signal or unstable quantization)."""
+    n = len(x)
+    if n < 8:
+        return None
+    # Welch-windowed autocorrelation (the libFLAC windowing
+    # discipline): a rectangular window biases the estimate badly on
+    # short non-stationary records — a near-unit-circle resonator came
+    # out (1.715, -0.761) instead of (1.958, -0.998), losing to the
+    # integer fixed predictors it should crush.  The window is for
+    # ESTIMATION only; residuals use the raw integer samples.
+    half = (n - 1) / 2.0
+    y = [v * (1.0 - ((i - half) / half) ** 2) for i, v in enumerate(x)]
+    r = [sum(y[i] * y[i + lag] for i in range(n - lag)) for lag in (0, 1, 2)]
+    if r[0] == 0.0:
+        return None
+    a1 = r[1] / r[0]
+    err = r[0] * (1 - a1 * a1)
+    if err <= 0:
+        return None
+    k2 = (r[2] - a1 * r[1]) / err
+    # Levinson-Durbin order-2 solution: a'_1 = a_1 - k_2 a_1, a'_2 = k_2
+    c0 = a1 - k2 * a1
+    c1 = k2
+    cmax = max(abs(c0), abs(c1), 1e-9)
+    shift = 12 - 1 - max(0, int(cmax).bit_length())
+    shift = max(1, min(15, shift))
+    q0 = int(round(c0 * (1 << shift)))
+    q1 = int(round(c1 * (1 << shift)))
+    lim = 1 << 11  # precision 12, signed
+    if not (-lim <= q0 < lim and -lim <= q1 < lim):
+        return None
+    if q0 == 0 and q1 == 0:
+        return None
+    return [q0, q1], shift
+
+
+def _flac_best_subframe(x: list[int]) -> tuple:
+    """Exact-bit-cost subframe choice over the encoder subset.
+    Returns one of ("constant", v), ("verbatim",), ("fixed", order, k,
+    residuals), ("lpc", coefs, shift, k, residuals)."""
+    n = len(x)
+    if all(v == x[0] for v in x):
+        return ("constant", x[0])
+    best = ("verbatim",)
+    best_cost = 16 * n
+    for order in range(5):
+        if n <= order:
+            continue
+        res = _fixed_residuals(x, order)
+        k, c = _best_rice_k(res)
+        cost = 16 * order + 2 + 4 + 4 + c
+        if cost < best_cost:
+            best, best_cost = ("fixed", order, k, res), cost
+    lpc = _lpc_order2(x)
+    if lpc is not None:
+        coefs, shift = lpc
+        res = [
+            x[i] - ((coefs[0] * x[i - 1] + coefs[1] * x[i - 2]) >> shift)
+            for i in range(2, n)
+        ]
+        k, c = _best_rice_k(res)
+        cost = 16 * 2 + 4 + 5 + 12 * 2 + 2 + 4 + 4 + c
+        if cost < best_cost:
+            best, best_cost = ("lpc", coefs, shift, k, res), cost
+    return best
+
+
+def encode_flac(samples, rate: int = 8000) -> bytes:
+    """Mono int16 samples -> a complete FLAC stream (one frame).
+    Subset by design (mono/16-bit/8kHz-coded rate/partition order 0);
+    every emitted structure is spec-shaped: real CRC-8/CRC-16, real
+    STREAMINFO with the raw-sample MD5 the decoder re-verifies."""
+    import hashlib  # noqa: PLC0415
+
+    x = [int(v) for v in samples]
+    n = len(x)
+    if not 1 <= n <= 65536:
+        raise ValueError(f"FLAC encoder block size out of range: {n}")
+    if any(not -32768 <= v <= 32767 for v in x):
+        raise ValueError("FLAC encoder: samples exceed 16-bit range")
+    if rate != 8000:
+        raise ValueError("FLAC encoder subset: rate must be 8000")
+    raw = b"".join(int(v).to_bytes(2, "little", signed=True) for v in x)
+    md5 = hashlib.md5(raw).digest()
+
+    si = _FlacBitWriter()
+    si.write(n, 16)  # min block size
+    si.write(n, 16)  # max block size
+    si.write(0, 24)  # min frame size (unknown)
+    si.write(0, 24)  # max frame size (unknown)
+    si.write(rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bits per sample - 1
+    si.write(n, 36)  # total samples
+    streaminfo = si.data() + md5
+
+    h = _FlacBitWriter()
+    h.write(0x3FFE, 14)  # sync
+    h.write(0, 1)  # reserved
+    h.write(0, 1)  # fixed blocking strategy
+    h.write(0b0110 if n <= 256 else 0b0111, 4)  # block size: 8/16-bit follows
+    h.write(0b0100, 4)  # 8 kHz
+    h.write(0, 4)  # channel assignment: mono
+    h.write(0b100, 3)  # 16 bits per sample
+    h.write(0, 1)  # reserved
+    header = h.data() + _flac_utf8_encode(0)
+    header += (n - 1).to_bytes(1 if n <= 256 else 2, "big")
+    header += bytes([_crc8_flac(header)])
+
+    sf = _FlacBitWriter()
+    choice = _flac_best_subframe(x)
+    if choice[0] == "constant":
+        sf.write(0, 1)
+        sf.write(0, 6)
+        sf.write(0, 1)  # no wasted bits
+        sf.write_signed(choice[1], 16)
+    elif choice[0] == "verbatim":
+        sf.write(0, 1)
+        sf.write(1, 6)
+        sf.write(0, 1)
+        for v in x:
+            sf.write_signed(v, 16)
+    else:
+        if choice[0] == "fixed":
+            _, order, k, res = choice
+            sf.write(0, 1)
+            sf.write(0b001000 | order, 6)
+            sf.write(0, 1)
+            for v in x[:order]:
+                sf.write_signed(v, 16)
+        else:
+            _, coefs, shift, k, res = choice
+            order = 2
+            sf.write(0, 1)
+            sf.write(0b100000 | (order - 1), 6)
+            sf.write(0, 1)
+            for v in x[:order]:
+                sf.write_signed(v, 16)
+            sf.write(12 - 1, 4)  # coefficient precision - 1
+            sf.write(shift, 5)  # quantization shift (signed field, >= 0)
+            for c in coefs:
+                sf.write_signed(c, 12)
+        sf.write(0b00, 2)  # residual method: 4-bit Rice
+        sf.write(0, 4)  # partition order 0
+        sf.write(k, 4)
+        for e in res:
+            m = (e << 1) ^ (e >> 63)  # zigzag
+            sf.write_unary(m >> k)
+            sf.write(m & ((1 << k) - 1), k)
+    sf.align()
+    frame = header + sf.data()
+    frame += _crc16_flac(frame).to_bytes(2, "big")
+
+    out = b"fLaC"
+    out += bytes([0x80 | 0]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return out + frame
+
+
+def decode_flac(payload: bytes) -> np.ndarray:
+    """FLAC stream -> int64 sample array, strict: verifies marker,
+    STREAMINFO-first, frame sync/reserved bits, header CRC-8, frame
+    CRC-16, and the STREAMINFO MD5 against the decoded samples.
+    Supports the full mono/16-bit surface (fixed 0-4, any-order LPC,
+    any Rice partition order, 4- and 5-bit parameters with escapes,
+    wasted bits, both blocking strategies); multichannel or non-16-bit
+    streams raise NotImplementedError (the codec seam)."""
+    import hashlib  # noqa: PLC0415
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("FLAC marker missing")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        last = payload[pos] & 0x80
+        btype = payload[pos] & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("FLAC metadata block truncated")
+        if streaminfo is None:
+            if btype != 0 or blen != 34:
+                raise ValueError("FLAC first metadata block must be STREAMINFO")
+            streaminfo = body
+        elif btype == 127:
+            raise ValueError("FLAC invalid metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    r = _FlacBitReader(streaminfo)
+    r.read(16)  # min block size
+    r.read(16)  # max block size
+    r.read(24)
+    r.read(24)
+    si_rate = r.read(20)
+    channels = r.read(3) + 1
+    bps = r.read(5) + 1
+    total = r.read(36)
+    md5 = streaminfo[18:34]
+    if channels != 1:
+        raise NotImplementedError(f"FLAC subset: {channels} channels")
+    if bps != 16:
+        raise NotImplementedError(f"FLAC subset: {bps}-bit samples")
+    if total == 0:
+        raise ValueError("FLAC unknown total samples unsupported")
+
+    out: list[int] = []
+    while len(out) < total:
+        fr = _FlacBitReader(payload, pos)
+        if fr.read(14) != 0x3FFE:
+            raise ValueError("FLAC frame sync lost")
+        if fr.read(1) != 0:
+            raise ValueError("FLAC reserved header bit set")
+        fr.read(1)  # blocking strategy (number semantics only)
+        bs_code = fr.read(4)
+        sr_code = fr.read(4)
+        ch_code = fr.read(4)
+        ss_code = fr.read(3)
+        if fr.read(1) != 0:
+            raise ValueError("FLAC reserved header bit set")
+        if ch_code != 0:
+            raise NotImplementedError("FLAC subset: non-mono frame")
+        if ss_code not in (0, 0b100):
+            raise NotImplementedError("FLAC subset: non-16-bit frame")
+        _flac_utf8_decode(fr)
+        if bs_code == 0:
+            raise ValueError("FLAC reserved block size code")
+        if bs_code == 1:
+            n = 192
+        elif 2 <= bs_code <= 5:
+            n = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            n = fr.read(8) + 1
+        elif bs_code == 7:
+            n = fr.read(16) + 1
+        else:
+            n = 256 << (bs_code - 8)
+        if sr_code == 0b1100:
+            fr.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            fr.read(16)
+        elif sr_code == 0b1111:
+            raise ValueError("FLAC invalid sample rate code")
+        hdr_end = fr.bytepos
+        if _crc8_flac(payload[pos:hdr_end]) != fr.read(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        if fr.read(1) != 0:
+            raise ValueError("FLAC subframe padding bit set")
+        stype = fr.read(6)
+        wasted = 0
+        if fr.read(1):
+            wasted = fr.read_unary() + 1
+        eff = 16 - wasted
+        if stype == 0:
+            block = [fr.read_signed(eff)] * n
+        elif stype == 1:
+            block = [fr.read_signed(eff) for _ in range(n)]
+        elif 8 <= stype <= 12:
+            order = stype - 8
+            warm = [fr.read_signed(eff) for _ in range(order)]
+            res = _flac_read_residuals(fr, n, order)
+            coefs = _FLAC_FIXED_COEFS[order]
+            block = list(warm)
+            for e in res:
+                block.append(e + sum(c * block[-1 - j] for j, c in enumerate(coefs)))
+        elif stype >= 32:
+            order = (stype & 0x1F) + 1
+            warm = [fr.read_signed(eff) for _ in range(order)]
+            prec = fr.read(4) + 1
+            if prec == 16:
+                raise ValueError("FLAC invalid LPC precision code")
+            shift = fr.read_signed(5)
+            if shift < 0:
+                raise ValueError("FLAC negative LPC shift")
+            coefs = [fr.read_signed(prec) for _ in range(order)]
+            res = _flac_read_residuals(fr, n, order)
+            block = list(warm)
+            for e in res:
+                pred = sum(c * block[-1 - j] for j, c in enumerate(coefs)) >> shift
+                block.append(e + pred)
+        else:
+            raise ValueError(f"FLAC reserved subframe type {stype}")
+        if wasted:
+            block = [v << wasted for v in block]
+        fr.align()
+        crc16 = _crc16_flac(payload[pos : fr.bytepos])
+        if crc16 != fr.read(16):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        out.extend(block)
+        pos = fr.bytepos
+    if len(out) != total:
+        raise ValueError("FLAC sample count mismatch")
+    raw = b"".join(int(v).to_bytes(2, "little", signed=True) for v in out)
+    if hashlib.md5(raw).digest() != md5:
+        raise ValueError("FLAC MD5 signature mismatch")
+    return np.array(out, dtype=np.int64)
+
+
+def _flac_read_residuals(fr: _FlacBitReader, n: int, order: int) -> list[int]:
+    """Residual section: 2-bit method, 4-bit partition order, per
+    partition a Rice parameter (escape -> raw signed values)."""
+    method = fr.read(2)
+    if method > 1:
+        raise ValueError("FLAC reserved residual coding method")
+    pbits, escape = (4, 15) if method == 0 else (5, 31)
+    porder = fr.read(4)
+    nparts = 1 << porder
+    if n % nparts:
+        raise ValueError("FLAC block size not divisible by partitions")
+    res: list[int] = []
+    for p in range(nparts):
+        cnt = (n >> porder) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC partition smaller than predictor order")
+        k = fr.read(pbits)
+        if k == escape:
+            rawbits = fr.read(5)
+            res.extend(
+                fr.read_signed(rawbits) if rawbits else 0 for _ in range(cnt)
+            )
+        else:
+            for _ in range(cnt):
+                q = fr.read_unary()
+                m = (q << k) | fr.read(k)
+                res.append((m >> 1) ^ -(m & 1))  # un-zigzag
+    return res

@@ -191,3 +191,116 @@ def test_bpe_apply_oov_fallback(spark, tmp_path):
     # unseen words really were segmented, not dropped or counted as 1)
     n_oov = len(oov_doc.split(" "))
     assert got[len(train_texts) + 1][1] > n_oov
+
+
+def test_flac_codec_contract():
+    """FLAC codec pins beyond the oracle's decode(encode(x)) == x:
+    subframe selection (constant / fixed / LPC / verbatim), real
+    compression on predictable signals, hostile-stream raises (marker,
+    truncation, CRC-16, MD5-bearing corruption, multichannel seam),
+    and — via a hand-built frame — the decoder's Rice partition and
+    escape paths the subset encoder never emits."""
+    import numpy as np
+    import pytest
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming import (
+        multimodal as mm,
+    )
+
+    # fixture-family round trip
+    k = np.arange(1, 65, dtype=np.int64)
+    x = (7 * 131 + k * 2477) % 16001 - 8000
+    p = mm.encode_flac(x)
+    assert (mm.decode_flac(p) == x).all()
+
+    # constant
+    const = np.full(64, -123)
+    pc = mm.encode_flac(const)
+    assert mm._flac_best_subframe([-123] * 64)[0] == "constant"
+    assert (mm.decode_flac(pc) == const).all()
+    assert len(pc) < 60  # 64 samples in a handful of bytes
+
+    # incompressible -> verbatim, still exact
+    rng = np.random.RandomState(3)
+    noisy = rng.randint(-30000, 30000, 64)
+    assert mm._flac_best_subframe([int(v) for v in noisy])[0] == "verbatim"
+    assert (mm.decode_flac(mm.encode_flac(noisy)) == noisy).all()
+
+    # near-unit-circle AR(2) resonator: the optimum predictor is
+    # non-integer, so quantized LPC must beat every fixed order
+    r, th = 0.999, 0.2
+    a, b = 2 * r * np.cos(th), -r * r
+    ar = [8000, int(8000 * np.cos(th))]
+    for _ in range(254):
+        ar.append(int(round(a * ar[-1] + b * ar[-2])))
+    assert max(abs(v) for v in ar) < 32768
+    assert mm._flac_best_subframe(ar)[0] == "lpc"
+    par = mm.encode_flac(np.array(ar))
+    assert (mm.decode_flac(par) == np.array(ar)).all()
+    assert len(par) < 2 * len(ar) // 2  # < half the raw PCM size
+
+    # smooth ramp compresses well below raw PCM
+    ramp = np.array([(5 + i * 7) % 1501 - 750 for i in range(256)])
+    pr = mm.encode_flac(ramp)
+    assert (mm.decode_flac(pr) == ramp).all()
+    assert len(pr) < 512 // 2
+
+    # hostile streams
+    with pytest.raises(ValueError, match="marker"):
+        mm.decode_flac(b"fLaX" + p[4:])
+    with pytest.raises(ValueError):
+        mm.decode_flac(p[:-3])  # truncated frame
+    bad = bytearray(p)
+    bad[-1] ^= 0xFF  # CRC-16 field
+    with pytest.raises(ValueError, match="CRC-16"):
+        mm.decode_flac(bytes(bad))
+    bad = bytearray(p)
+    bad[-6] ^= 0x10  # residual bits -> CRC-16 catches before MD5
+    with pytest.raises(ValueError):
+        mm.decode_flac(bytes(bad))
+    bad = bytearray(p)
+    bad[8 + 12] |= 0b010  # STREAMINFO channels-1 -> stereo
+    with pytest.raises(NotImplementedError, match="channels"):
+        mm.decode_flac(bytes(bad))
+    hdr_off = 4 + 4 + 34
+    bad = bytearray(p)
+    bad[hdr_off] ^= 0x01  # break the 14-bit sync code
+    with pytest.raises(ValueError, match="sync"):
+        mm.decode_flac(bytes(bad))
+
+    # decoder-only surface: hand-built frame with Rice partition order
+    # 1 and an ESCAPE second partition (the subset encoder emits
+    # neither); streaminfo/MD5 reused from a real encode of the same
+    # samples so only the frame differs
+    xs = [10, -3, 5, 0, 700, -800, 900, -1000]
+    base = mm.encode_flac(np.array(xs))
+    prefix = base[: 4 + 4 + 34]  # marker + block header + STREAMINFO
+    h = mm._FlacBitWriter()
+    h.write(0x3FFE, 14)
+    h.write(0, 2)
+    h.write(0b0110, 4)  # 8-bit block size follows
+    h.write(0b0100, 4)  # 8 kHz
+    h.write(0, 4)  # mono
+    h.write(0b100, 3)  # 16-bit
+    h.write(0, 1)
+    header = h.data() + mm._flac_utf8_encode(0) + bytes([len(xs) - 1])
+    header += bytes([mm._crc8_flac(header)])
+    sf = mm._FlacBitWriter()
+    sf.write(0, 1)
+    sf.write(0b001000, 6)  # fixed order 0: residuals = samples
+    sf.write(0, 1)
+    sf.write(0b00, 2)  # 4-bit Rice params
+    sf.write(1, 4)  # partition order 1 -> two partitions of 4
+    sf.write(3, 4)  # partition 0: rice k=3
+    for e in xs[:4]:
+        m = (e << 1) ^ (e >> 63)
+        sf.write_unary(m >> 3)
+        sf.write(m & 7, 3)
+    sf.write(15, 4)  # partition 1: escape
+    sf.write(11, 5)  # raw 11-bit signed residuals
+    for e in xs[4:]:
+        sf.write(e & 0x7FF, 11)
+    sf.align()
+    frame = header + sf.data()
+    frame += mm._crc16_flac(frame).to_bytes(2, "big")
+    assert (mm.decode_flac(prefix + frame) == np.array(xs)).all()
