@@ -2131,7 +2131,10 @@ def encode_flac(samples, rate: int = 8000) -> bytes:
 
     x = [int(v) for v in samples]
     n = len(x)
-    if not 1 <= n <= 65536:
+    # 65536 is frame-header-encodable but not expressible in the
+    # STREAMINFO 16-bit max-block-size field, so the encoder stops at
+    # 65535 to keep every emitted stream spec-conformant.
+    if not 1 <= n <= 65535:
         raise ValueError(f"FLAC encoder block size out of range: {n}")
     if any(not -32768 <= v <= 32767 for v in x):
         raise ValueError("FLAC encoder: samples exceed 16-bit range")
@@ -2141,8 +2144,12 @@ def encode_flac(samples, rate: int = 8000) -> bytes:
     md5 = hashlib.md5(raw).digest()
 
     si = _FlacBitWriter()
-    si.write(n, 16)  # min block size
-    si.write(n, 16)  # max block size
+    # STREAMINFO block sizes are spec-valid only in [16, 65535]; a
+    # final (here: only) frame SMALLER than the declared minimum is
+    # explicitly legal, so short streams clamp up to 16.  The decoder
+    # takes the real block size from the frame header either way.
+    si.write(max(n, 16), 16)  # min block size
+    si.write(max(n, 16), 16)  # max block size
     si.write(0, 24)  # min frame size (unknown)
     si.write(0, 24)  # max frame size (unknown)
     si.write(rate, 20)
@@ -2309,6 +2316,11 @@ def decode_flac(payload: bytes) -> np.ndarray:
         wasted = 0
         if fr.read(1):
             wasted = fr.read_unary() + 1
+        if wasted >= 16:
+            # a hostile stream can claim >= bps wasted bits; without
+            # this the failure surfaces as an incidental negative-shift
+            # ValueError inside read_signed instead of a diagnostic
+            raise ValueError("FLAC wasted bits exceed sample width")
         eff = 16 - wasted
         if stype == 0:
             block = [fr.read_signed(eff)] * n

@@ -1,0 +1,80 @@
+"""Round-12 operator tests.
+
+Covers the ADVICE-r11 FLAC edges first (spec-valid STREAMINFO block
+sizes, explicit wasted-bits diagnostic, 65536-sample rejection); the
+r12 operator keys (PQ ADC search, perceptual-hash image near-dup,
+graph-ANN compaction, MPEG-1 Layer II decode) pin their invariants in
+the sections below as they land.
+"""
+
+from __future__ import annotations
+
+
+def test_flac_streaminfo_block_size_spec_valid():
+    """ADVICE r11: STREAMINFO min/max block size must land in the
+    spec-valid [16, 65535] range even for short single-frame streams
+    (a final block smaller than the declared minimum is legal), and
+    65536 samples — frame-encodable but not STREAMINFO-expressible —
+    must be rejected up front."""
+    import numpy as np
+    import pytest
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming import (
+        multimodal as mm,
+    )
+
+    xs = np.array([10, -3, 5, 0, 700, -800, 900, -1000])  # n=8 < 16
+    p = mm.encode_flac(xs)
+    si = p[8 : 8 + 34]  # marker(4) + block header(4) + STREAMINFO(34)
+    assert int.from_bytes(si[0:2], "big") == 16  # min block clamped up
+    assert int.from_bytes(si[2:4], "big") == 16  # max block clamped up
+    assert (mm.decode_flac(p) == xs).all()  # round-trip unaffected
+
+    n300 = np.arange(300) % 100 - 50  # 16 <= n <= 65535: written as-is
+    p300 = mm.encode_flac(n300)
+    si = p300[8 : 8 + 34]
+    assert int.from_bytes(si[0:2], "big") == 300
+    assert int.from_bytes(si[2:4], "big") == 300
+    assert (mm.decode_flac(p300) == n300).all()
+
+    with pytest.raises(ValueError, match="block size out of range"):
+        mm.encode_flac(np.zeros(65536, dtype=np.int64))
+
+
+def test_flac_wasted_bits_exceeding_width_is_diagnosed():
+    """ADVICE r11: a hostile stream claiming >= 16 wasted bits must
+    raise the deliberate diagnostic, not an incidental negative-shift
+    ValueError from read_signed."""
+    import numpy as np
+    import pytest
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming import (
+        multimodal as mm,
+    )
+
+    xs = [10, -3, 5, 0, 700, -800, 900, -1000]
+    base = mm.encode_flac(np.array(xs))
+    prefix = base[: 4 + 4 + 34]  # marker + block header + STREAMINFO
+
+    h = mm._FlacBitWriter()
+    h.write(0x3FFE, 14)
+    h.write(0, 2)
+    h.write(0b0110, 4)  # 8-bit block size follows
+    h.write(0b0100, 4)  # 8 kHz
+    h.write(0, 4)  # mono
+    h.write(0b100, 3)  # 16-bit
+    h.write(0, 1)
+    header = h.data() + mm._flac_utf8_encode(0) + bytes([len(xs) - 1])
+    header += bytes([mm._crc8_flac(header)])
+
+    sf = mm._FlacBitWriter()
+    sf.write(0, 1)  # padding bit
+    sf.write(0, 6)  # constant subframe
+    sf.write(1, 1)  # wasted-bits flag
+    sf.write(1, 16)  # unary 15 -> wasted = 16 == sample width
+    sf.write(0, 16)  # would-be constant value (never reached)
+    sf.align()
+    frame = header + sf.data()
+    frame += mm._crc16_flac(frame).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="wasted bits exceed"):
+        mm.decode_flac(prefix + frame)
