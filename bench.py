@@ -4,12 +4,33 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS].  Times are end-to-end per query: plan +
 execute + collect count (results are materialized via count to avoid
 driver-side transfer dominating).
+
+Two execution modes (r12, VERDICT r11 next-round #2):
+
+- default (``--segments 1``): every line runs in ONE SparkSession /
+  JVM, the shape the driver measures.  510 sequential lines share one
+  heap, one spill dir, one broadcast cache — so slow ambient drift or
+  session-accumulation pressure is indistinguishable from plan
+  regressions in the total.
+- ``--segments N``: the job list is split into N contiguous slices,
+  each executed by a FRESH child process (own JVM, own session, own
+  spill/memo state).  Billing stays line-identical: the
+  ``_materialize:*`` lines all sit at the front of the job list, so a
+  child whose slice excludes a trigger warm-builds it UNBILLED before
+  timing its own lines (consumers are then warm, exactly as they are
+  in single-session order), while a slice that contains the trigger
+  bills it cold-first-run as usual.  Comparing sum-of-segment totals
+  against the single-session total attributes drift: ≈ equal means
+  ambient host; segmented ≪ single-session means in-session
+  accumulation (heap/GC/spill growth across lines).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,35 +45,40 @@ from kafka_connect_postgres_to_clickhouse_spark.session import get_spark  # noqa
 # total against BASELINE.md at the same scale factor.
 HEADLINE: list[str] | None = None  # None -> all registry keys
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    registry = load_all_queries()
-    spark = get_spark("kcptc-bench")
-    times: dict[str, float] = {}
-    # warm the JVM + parquet footer caches once with the flagship
-    registry["q_changelog_replay"].fn(spark, sf_dir).count()
 
-    import gc
+def _job_list() -> dict:
+    """Full ordered job map: _materialize lines first, then registry.
 
+    Shared materialized intermediates get their OWN labeled lines,
+    force-built BEFORE any consumer runs: otherwise the build cost
+    lands on whichever consumer happens to run first and per-query
+    numbers teleport between consumers round-over-round (r2 billed
+    the jaccard pair table to q_dup_graph_degree, r3 to
+    q_graph_triangles).  Consumers are therefore timed warm.
+    """
     from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
-        _MATERIALIZED,
         MATERIALIZATION_TRIGGERS,
     )
 
-    # Shared materialized intermediates get their OWN labeled lines,
-    # force-built BEFORE any consumer runs: otherwise the build cost
-    # lands on whichever consumer happens to run first and per-query
-    # numbers teleport between consumers round-over-round (r2 billed
-    # the jaccard pair table to q_dup_graph_degree, r3 to
-    # q_graph_triangles).  Consumers below are therefore timed warm.
+    registry = load_all_queries()
     jobs: dict = {
         f"_materialize:{mname}": (lambda s, d, t=trig: t(s, d))
         for mname, trig in MATERIALIZATION_TRIGGERS.items()
     }
     for name in list(HEADLINE) if HEADLINE else list(registry):
         jobs[name] = registry[name].fn
+    return jobs
+
+
+def _run_lines(spark, sf_dir: str, jobs: dict, names: list[str]) -> tuple[dict, dict]:
+    """Time ``names`` (min-of-3 protocol) in the given session."""
+    import gc
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
+        _MATERIALIZED,
+    )
 
     def run_once(name: str) -> float:
         t0 = time.time()
@@ -69,8 +95,9 @@ def main() -> None:
     # the identical result, so variation is pure environment noise and
     # the min converges on the true cost.  Per-run values are kept in
     # `stability` so cooling patterns stay auditable.
+    times: dict[str, float] = {}
     stability: dict[str, dict] = {}
-    for name in jobs:
+    for name in names:
         # Session-materialized intermediates (analytics_queries
         # ._materialize) carry across queries — that cross-query reuse
         # is the realistic session behavior and is measured as-is.  But
@@ -95,8 +122,36 @@ def main() -> None:
         # drop py4j refs so the ContextCleaner can free localCheckpoint
         # blocks before the next query instead of accumulating over 96
         gc.collect()
-    total = round(sum(times.values()), 4)
+    return times, stability
 
+
+def _segment_child(sf_dir: str, start: int, end: int, out_path: str) -> None:
+    """Child mode: fresh process, time jobs[start:end] only."""
+    jobs = _job_list()
+    all_names = list(jobs)
+    mine = all_names[start:end]
+    spark = get_spark("kcptc-bench")
+    # same warm-up the single-session run gets
+    jobs.get("q_changelog_replay", list(jobs.values())[0])(spark, sf_dir).count()
+    # warm-build triggers OUTSIDE this slice so consumers in the slice
+    # are warm, matching their single-session billing position (lines
+    # INSIDE the slice bill their own cold build as usual)
+    warm_sec = 0.0
+    for name in all_names:
+        if name.startswith("_materialize:") and name not in mine:
+            t0 = time.time()
+            jobs[name](spark, sf_dir).count()
+            warm_sec += time.time() - t0
+    times, stability = _run_lines(spark, sf_dir, jobs, mine)
+    with open(out_path, "w") as f:
+        json.dump(
+            {"times": times, "stability": stability,
+             "unbilled_warm_sec": round(warm_sec, 4)},
+            f,
+        )
+
+
+def _stability_summary(stability: dict) -> dict | None:
     # One-line run-to-run spread summary so cross-round comparisons can
     # separate real regressions from ambient host noise (documented
     # ~14-20% uniform swings, see BENCH_REPRO_r08.json) without digging
@@ -104,15 +159,72 @@ def main() -> None:
     spreads = sorted(
         max(s["runs"]) / min(s["runs"]) for s in stability.values() if min(s["runs"]) > 0
     )
-    stability_summary = (
-        {
-            "median_spread": round(spreads[len(spreads) // 2], 3),
-            "p90_spread": round(spreads[int(len(spreads) * 0.9)], 3),
-            "max_spread": round(spreads[-1], 3),
-        }
-        if spreads
-        else None  # every line sub-clock-resolution: nothing to summarize
-    )
+    if not spreads:
+        return None  # every line sub-clock-resolution: nothing to summarize
+    return {
+        "median_spread": round(spreads[len(spreads) // 2], 3),
+        "p90_spread": round(spreads[int(len(spreads) * 0.9)], 3),
+        "max_spread": round(spreads[-1], 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--segments", type=int, default=1,
+                    help="N>1: run the job list as N contiguous slices, "
+                         "each in a fresh child process/JVM")
+    ap.add_argument("--segment-slice", default=None,
+                    help="internal (child mode): 'start:end:outpath'")
+    ap.add_argument("--out", default=None,
+                    help="full-payload path (default BENCH_FULL.json; "
+                         "use a different name for A/B receipts)")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="debug: time only the first K job lines")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    if args.segment_slice:
+        start, end, out_path = args.segment_slice.split(":", 2)
+        _segment_child(sf_dir, int(start), int(end), out_path)
+        return
+
+    segment_meta = None
+    if args.segments > 1:
+        names = list(_job_list())
+        if args.limit:
+            names = names[: args.limit]
+        n = args.segments
+        bounds = [round(i * len(names) / n) for i in range(n + 1)]
+        times: dict[str, float] = {}
+        stability: dict[str, dict] = {}
+        segment_meta = {"segments": n, "segment_totals": [], "unbilled_warm_sec": []}
+        for i in range(n):
+            out_path = os.path.join(_REPO, f".bench_seg_{i}.json")
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--segment-slice", f"{bounds[i]}:{bounds[i + 1]}:{out_path}"],
+                check=True, cwd=_REPO,
+            )
+            with open(out_path) as f:
+                part = json.load(f)
+            os.unlink(out_path)
+            times.update(part["times"])
+            stability.update(part["stability"])
+            segment_meta["segment_totals"].append(
+                round(sum(part["times"].values()), 4)
+            )
+            segment_meta["unbilled_warm_sec"].append(part["unbilled_warm_sec"])
+    else:
+        jobs = _job_list()
+        spark = get_spark("kcptc-bench")
+        # warm the JVM + parquet footer caches once with the flagship
+        jobs["q_changelog_replay"](spark, sf_dir).count()
+        names = list(jobs)[: args.limit] if args.limit else list(jobs)
+        times, stability = _run_lines(spark, sf_dir, jobs, names)
+
+    total = round(sum(times.values()), 4)
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -122,33 +234,34 @@ def main() -> None:
         # (protocol change documented at the comment above run loop).
         "billing": "min3",
         "queries": times,
-        "stability_summary": stability_summary,
+        "stability_summary": _stability_summary(stability),
         "stability": stability,
         "sf": sf,
     }
+    if segment_meta:
+        payload["segmentation"] = segment_meta
     # The driver keeps only the TAIL (~2000 chars) of stdout, so the
     # giant full payload goes to a file only and the short parseable
     # summary line is printed LAST.  (r1 printed one giant line:
     # truncated; r2 printed summary-then-giant: the tail capture again
     # saw only the truncated giant line.  Small line last is the fix.)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+    out_file = args.out or os.path.join(_REPO, "BENCH_FULL.json")
+    with open(out_file, "w") as f:
         json.dump(payload, f, indent=1)
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "billing": "min3",
-                "sf": sf,
-                "n_queries": len(times),
-                "queries": slowest,  # 20 slowest; full set in queries_file
-                "queries_file": "BENCH_FULL.json",
-            }
-        ),
-        flush=True,
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "billing": "min3",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": slowest,  # 20 slowest; full set in queries_file
+        "queries_file": os.path.basename(out_file),
+    }
+    if segment_meta:
+        summary["segments"] = segment_meta["segments"]
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
