@@ -78,3 +78,52 @@ def test_flac_wasted_bits_exceeding_width_is_diagnosed():
     frame += mm._crc16_flac(frame).to_bytes(2, "big")
     with pytest.raises(ValueError, match="wasted bits exceed"):
         mm.decode_flac(prefix + frame)
+
+
+def test_pq_adc_recall_floor(spark):
+    """q_simsearch_pq recall floors vs the exact-L2 baseline at
+    sf0.001 (measured r12: recall@10 mean 0.26, shortlist@50 0.54,
+    shortlist@100 0.70 — random baseline is 10/499 ≈ 0.02).  Pins
+    (a) top-10 recall ≥ 0.2 mean, (b) the production shortlist
+    property (ADC top-100 holds ≥ 55% of the exact top-10), and
+    (c) shortlist recall is monotone non-decreasing in K."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        _pq_adc_scores,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_scaled"), F.asc("vec_id")
+    )
+    ranked = (
+        _pq_adc_scores(spark, sf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .toPandas()
+    )
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding").toPandas()
+    M = np.array([np.array(v, dtype=float) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+
+    def exact_top10(q: int) -> set:
+        qi = np.where(ids == q)[0][0]
+        d2 = ((M - M[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        return set(ids[np.lexsort((ids, d2))[:10]])
+
+    recalls = {k: [] for k in (10, 50, 100)}
+    for q in range(5):
+        exact = exact_top10(q)
+        rq = ranked[ranked.query_id == q].sort_values("rn")
+        for k in recalls:
+            got = set(rq.head(k).vec_id)
+            recalls[k].append(len(exact & got) / 10)
+    means = {k: sum(v) / len(v) for k, v in recalls.items()}
+    assert means[10] >= 0.2, means
+    assert means[100] >= 0.55, means
+    assert means[10] <= means[50] <= means[100], means
