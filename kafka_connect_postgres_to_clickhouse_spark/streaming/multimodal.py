@@ -1560,6 +1560,58 @@ def _luma_hist(px: np.ndarray) -> np.ndarray:
     return (hist / max(hist.sum(), 1.0)).astype(np.float32)
 
 
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n): row u is the u-th
+    cosine basis vector, so ``C @ img @ C.T`` is the 2-D DCT-II."""
+    k = np.arange(n, dtype=np.float64)
+    C = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    C *= np.sqrt(2.0 / n)
+    C[0] *= np.sqrt(0.5)
+    return C
+
+
+_PHASH_DCT32 = None  # built lazily; module import stays numpy-cheap
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Perceptual hash (the DCT pHash family): (h, w, 3) uint8 RGB ->
+    63-bit fingerprint, the image twin of the text simhash.
+
+    Pipeline: exact integer luma ((299R + 587G + 114B + 500) // 1000 —
+    equals the channel value on gray pixels), area-average downsample
+    to 32x32 (h and w must be multiples of 32: an f-times
+    nearest-neighbor upscale averages back EXACTLY, which is what
+    makes resized twins hash-identical), orthonormal 2-D DCT-II via
+    one precomputed 32x32 matrix, quantize the top-left 8x8
+    coefficient block at 1024x to integers (absorbs float noise, the
+    house quantized-int discipline), then one bit per AC position:
+    q > median over the 63 AC values.  The DC coefficient is EXCLUDED,
+    so a uniform brightness shift — which moves only DC in exact
+    arithmetic — cannot flip any bit.  63 bits pack into a
+    non-negative int64."""
+    global _PHASH_DCT32
+    if _PHASH_DCT32 is None:
+        _PHASH_DCT32 = _dct_matrix(32)
+    px = np.asarray(pixels)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("phash64 expects (h, w, 3) RGB")
+    h, w = px.shape[:2]
+    if h % 32 or w % 32:
+        raise ValueError(f"phash64 needs dims divisible by 32, got {h}x{w}")
+    p32 = px.astype(np.int64)
+    luma = (299 * p32[:, :, 0] + 587 * p32[:, :, 1] + 114 * p32[:, :, 2] + 500) // 1000
+    fh, fw = h // 32, w // 32
+    small = luma.reshape(32, fh, 32, fw).mean(axis=(1, 3))
+    coef = _PHASH_DCT32 @ small @ _PHASH_DCT32.T
+    q = np.round(coef[:8, :8] * 1024).astype(np.int64).ravel()[1:]  # drop DC
+    med = np.sort(q)[31]  # exact middle of 63
+    bits = q > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
 def _bmp_features(payload: bytes) -> np.ndarray:
     """REAL image decode -> FEATURE_DIM-bin luminance histogram (L1)."""
     return _luma_hist(decode_bmp(payload))

@@ -127,3 +127,62 @@ def test_pq_adc_recall_floor(spark):
     assert means[10] >= 0.2, means
     assert means[100] >= 0.55, means
     assert means[10] <= means[50] <= means[100], means
+
+
+def test_phash_invariance_and_separation():
+    """The q_phash_neardup fixture contract, over EVERY group (97
+    fixed patterns — corpus-size-independent, so this single check
+    covers all SFs): the four byte-diverse variants (BMP, PNG
+    re-encode, 2x-resized PNG, brightness-shifted BMP) of a group
+    share ONE pHash, and the 97 group hashes are pairwise separated
+    by far more than the hd<=3 join threshold (measured min 18)."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        PHASH_GROUPS,
+        PHASH_HD_MAX,
+        _phash_payload,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        decode_bmp,
+        decode_png,
+        phash64,
+    )
+
+    def ph(did: int) -> int:
+        p = _phash_payload(did)
+        return phash64(decode_bmp(p) if p[:2] == b"BM" else decode_png(p))
+
+    hashes = []
+    for g in range(PHASH_GROUPS):
+        variants = {ph(g + v * PHASH_GROUPS) for v in range(4)}
+        assert len(variants) == 1, f"group {g} variants diverge: {variants}"
+        hashes.append(variants.pop())
+    assert len(set(hashes)) == PHASH_GROUPS
+    min_hd = min(
+        bin(hashes[i] ^ hashes[j]).count("1")
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+    )
+    assert min_hd > 2 * PHASH_HD_MAX, min_hd  # wide margin over threshold
+
+
+def test_phash_brightness_moves_only_dc():
+    """Direct pin of the invariance argument: a uniform brightness
+    shift changes the decoded pixels but not one pHash bit, while a
+    LOCAL edit (one tile flipped) does move the hash — pHash is
+    brightness-blind, not content-blind."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming.multimodal import (
+        phash64,
+    )
+
+    rng = np.random.RandomState(7)
+    tile = rng.choice([60, 200], size=(8, 8)).astype(np.uint8)
+    img = np.repeat(np.repeat(tile, 4, 0), 4, 1)
+    rgb = np.stack([img] * 3, axis=2)
+    assert phash64(rgb + 5) == phash64(rgb)
+    edited = tile.copy()
+    edited[3, 4] = 60 if edited[3, 4] == 200 else 200
+    img2 = np.repeat(np.repeat(edited, 4, 0), 4, 1)
+    rgb2 = np.stack([img2] * 3, axis=2)
+    assert phash64(rgb2) != phash64(rgb)
