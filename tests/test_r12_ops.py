@@ -186,3 +186,48 @@ def test_phash_brightness_moves_only_dc():
     img2 = np.repeat(np.repeat(edited, 4, 0), 4, 1)
     rgb2 = np.stack([img2] * 3, axis=2)
     assert phash64(rgb2) != phash64(rgb)
+
+
+def test_graph_ann_compact_resets_drift(spark):
+    """VERDICT r11 #6 done-criterion: compaction brings every
+    compacted cell's residual drift back UNDER the advisor's rebuild
+    threshold, the split genuinely separates the cell (both sub-cells
+    populated, each strictly smaller than the spliced cell), its
+    edges are rebuilt, and cells under both policy triggers keep
+    their spliced rows verbatim."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        ANN_REBUILD_DRIFT_MICRO,
+        ANN_REBUILD_SKEW_DELTA_BP,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (
+        load_all_queries,
+    )
+
+    reg = load_all_queries()
+    rows = reg["q_graph_ann_compact"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(rows) > 1
+    comp = rows[rows.compacted]
+    kept = rows[~rows.compacted]
+    assert len(comp) >= 1  # the flood cell trips a trigger
+    assert len(kept) >= 1  # the benign family stays under both
+    for r in comp.itertuples():
+        # the advisor's metrics, recomputed post-compaction
+        mean_b = r.mean_cs_spliced_micro + r.drift_micro_cell
+        residual_drift = mean_b - r.mean_cs_compacted_micro
+        assert residual_drift <= ANN_REBUILD_DRIFT_MICRO, r
+        # the split separates: both sub-cells populated and strictly
+        # smaller than the spliced cell
+        total = r.pop_stay + r.pop_moved
+        assert r.pop_moved >= 1 and r.pop_stay >= 1
+        assert max(r.pop_stay, r.pop_moved) < total
+        assert r.split_vec_id >= 3_000_000  # seeded from the insert batch
+        assert r.edges_rebuilt > 0
+        # compaction can only improve the mean (per-member max)
+        assert r.mean_cs_compacted_micro >= r.mean_cs_spliced_micro
+    for r in kept.itertuples():
+        assert r.drift_micro_cell <= ANN_REBUILD_DRIFT_MICRO
+        assert r.skew_delta_bp <= ANN_REBUILD_SKEW_DELTA_BP
+        assert r.split_vec_id == -1
+        assert r.edges_rebuilt == 0 and r.pop_moved == 0
+        assert r.pop_stay == r.pop_before + r.n_inserted
+        assert r.mean_cs_compacted_micro == r.mean_cs_spliced_micro
