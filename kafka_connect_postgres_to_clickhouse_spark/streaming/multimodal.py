@@ -2447,3 +2447,210 @@ def _flac_read_residuals(fr: _FlacBitReader, n: int, order: int) -> list[int]:
                 m = (q << k) | fr.read(k)
                 res.append((m >> 1) ^ -(m & 1))  # un-zigzag
     return res
+
+
+# --- MPEG-1 Audio Layer II (r12): subband bitstream codec ---------------
+#
+# From-scratch Layer II (ISO/IEC 11172-3) SUBBAND-LAYER codec — the
+# lossy-transform audio class next to FLAC's lossless family.  Layer II
+# has no Huffman coding: the frame is fixed-rate bit-packing of
+# (bit allocation, scfsi, scale factors, linearly-quantized subband
+# triplets), which is exactly the entropy surface implemented here:
+#
+# - 32-bit frame header (sync/ID/layer/bitrate/fs/mode), mono subset;
+# - per-subband bit allocation over a DOCUMENTED allocation geometry
+#   (sblimit 12, uniform 4-bit indices, class map below).  The ISO
+#   B.2a-d tables assign a spec-numeric class map per (rate, bitrate)
+#   and per-subband nbal; those table CELL VALUES are not reproduced
+#   here — the geometry, the index->class mechanism, and everything
+#   downstream are the spec's normative machinery;
+# - scfsi (2 bits/subband) with the four spec sharing patterns;
+# - 6-bit scale factors, sf = 2 * 2^(-idx/3) (Table 3-B.1's generating
+#   law; idx 63 reserved);
+# - grouped quantization for the 3/5/9-level classes (3 samples in
+#   one 5/7/10-bit code, s_k = c mod n at digit k), plain nb-bit codes
+#   otherwise;
+# - requantization: the spec law s'' = C*(s''' + D) with
+#   C = 2^nb/n, D = 1 - (n-1)/2^nb algebraically simplifies to the
+#   exact rational s'' = (2c - n + 1) / n, which is what makes the
+#   driver-gate oracle closed-form (q_media_decode_mp2).
+#
+# The polyphase SYNTHESIS filterbank's 512-tap window (Annex B Table
+# 3-B.3) is a numeric spec table; approximating it would produce
+# non-conformant PCM silently, so synthesis stays behind the declared
+# codec seam (synthesize_mp2 raises) and the decoder's contract output
+# is the requantized subband matrix — the spec's own normative
+# intermediate.  This narrows the audio seam to {MP3-class Huffman
+# bitstreams, the Layer I/II synthesis window}.
+
+MP2_SBLIMIT = 12
+MP2_NBAL = 4
+# class map: allocation index -> quantizer levels (0 = silent;
+# index 15 reserved, rejected by encoder and decoder)
+MP2_CLASSES = [0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191]
+MP2_GROUPED_BITS = {3: 5, 5: 7, 9: 10}
+MP2_SCFSI_COUNT = [3, 2, 1, 2]
+MP2_FRAME_BYTES = 288  # 144 * 64000 / 32000 (64 kbps @ 32 kHz)
+
+
+def _mp2_nbits(n: int) -> int:
+    """Code width for an n-level ungrouped quantizer: ceil(log2(n+1))."""
+    b = 1
+    while (1 << b) < n + 1:
+        b += 1
+    return b
+
+
+def _mp2_effective_sf(scfsi: int, tx: list[int]) -> list[int]:
+    """Per-part (granules 0-3 / 4-7 / 8-11) scale-factor index from the
+    transmitted list under the four scfsi sharing patterns."""
+    if scfsi == 0:
+        return [tx[0], tx[1], tx[2]]
+    if scfsi == 1:
+        return [tx[0], tx[0], tx[1]]
+    if scfsi == 2:
+        return [tx[0], tx[0], tx[0]]
+    return [tx[0], tx[1], tx[1]]
+
+
+def encode_mp2(alloc: list, scfsi: list, sf_tx: list, codes) -> bytes:
+    """Subband-domain Layer II encoder (mono, 32 kHz, 64 kbps, one
+    1152-sample frame): packs allocation indices, scfsi, transmitted
+    scale factors and 12 granules x 3 samples of quantized codes into
+    a spec-syntax frame.  ``codes[sb][gr][k]`` must already be in
+    [0, levels); silent subbands (alloc 0) carry no side info."""
+    if len(alloc) != MP2_SBLIMIT:
+        raise ValueError("MP2 encoder: alloc must cover sblimit subbands")
+    w = _FlacBitWriter()
+    w.write(0xFFF, 12)  # sync
+    w.write(1, 1)  # ID: MPEG-1
+    w.write(0b10, 2)  # Layer II
+    w.write(1, 1)  # protection_bit=1: no CRC
+    w.write(0b0100, 4)  # 64 kbps
+    w.write(0b10, 2)  # 32 kHz
+    w.write(0, 1)  # padding
+    w.write(0, 1)  # private
+    w.write(0b11, 2)  # single_channel
+    w.write(0, 2)  # mode extension
+    w.write(0, 1)  # copyright
+    w.write(1, 1)  # original
+    w.write(0, 2)  # emphasis none
+    for sb in range(MP2_SBLIMIT):
+        a = alloc[sb]
+        if not 0 <= a < 15:
+            raise ValueError(f"MP2 encoder: allocation index {a} out of range")
+        w.write(a, MP2_NBAL)
+    active = [sb for sb in range(MP2_SBLIMIT) if alloc[sb]]
+    for sb in active:
+        w.write(scfsi[sb], 2)
+    for sb in active:
+        for idx in sf_tx[sb][: MP2_SCFSI_COUNT[scfsi[sb]]]:
+            if not 0 <= idx <= 62:
+                raise ValueError(f"MP2 encoder: scale factor index {idx} invalid")
+            w.write(idx, 6)
+    for gr in range(12):
+        for sb in active:
+            n = MP2_CLASSES[alloc[sb]]
+            trip = codes[sb][gr]
+            if any(not 0 <= c < n for c in trip):
+                raise ValueError("MP2 encoder: sample code out of range")
+            if n in MP2_GROUPED_BITS:
+                w.write(
+                    trip[0] + n * trip[1] + n * n * trip[2], MP2_GROUPED_BITS[n]
+                )
+            else:
+                nb = _mp2_nbits(n)
+                for c in trip:
+                    w.write(c, nb)
+    w.align()
+    body = w.data()
+    if len(body) > MP2_FRAME_BYTES:
+        raise ValueError("MP2 encoder: frame overflow at 64 kbps")
+    return body + b"\x00" * (MP2_FRAME_BYTES - len(body))
+
+
+def decode_mp2(payload: bytes) -> np.ndarray:
+    """Strict Layer II subband decode: validates sync/ID/layer/
+    bitrate/fs/mode, parses allocation + scfsi + scale factors +
+    sample codes, and returns the requantized-and-scaled subband
+    matrix (12 granules x 3 samples = rows 0..35, columns = subbands)
+    as float64: value = (2c - n + 1)/n * 2 * 2^(-idx/3).  Layer I/III,
+    MPEG-2 LSF, non-32kHz rates and free-format raise
+    NotImplementedError (the codec seam); malformed streams raise
+    ValueError."""
+    if len(payload) < 4:
+        raise ValueError("MP2 frame truncated")
+    r = _FlacBitReader(payload)
+    if r.read(12) != 0xFFF:
+        raise ValueError("MP2 sync word missing")
+    if r.read(1) != 1:
+        raise NotImplementedError("MP2 subset: MPEG-2 LSF")
+    layer = r.read(2)
+    if layer == 0b11:
+        raise NotImplementedError("MP2 subset: Layer I")
+    if layer == 0b01:
+        raise NotImplementedError("MP3-class Huffman bitstream (codec seam)")
+    if layer != 0b10:
+        raise ValueError("MP2 reserved layer code")
+    r.read(1)  # protection bit (subset streams carry no CRC)
+    br = r.read(4)
+    if br == 0:
+        raise NotImplementedError("MP2 subset: free-format bitrate")
+    if br == 15:
+        raise ValueError("MP2 forbidden bitrate index")
+    if br != 0b0100:
+        raise NotImplementedError("MP2 subset: only 64 kbps frames")
+    fs = r.read(2)
+    if fs == 0b11:
+        raise ValueError("MP2 reserved sampling-frequency code")
+    if fs != 0b10:
+        raise NotImplementedError("MP2 subset: only 32 kHz")
+    r.read(2)  # padding + private
+    if r.read(2) != 0b11:
+        raise NotImplementedError("MP2 subset: mono only")
+    r.read(6)  # mode ext / copyright / original / emphasis
+    if len(payload) < MP2_FRAME_BYTES:
+        raise ValueError("MP2 frame truncated")
+    alloc = []
+    for _ in range(MP2_SBLIMIT):
+        a = r.read(MP2_NBAL)
+        if a == 15:
+            raise ValueError("MP2 reserved allocation index")
+        alloc.append(a)
+    active = [sb for sb in range(MP2_SBLIMIT) if alloc[sb]]
+    scfsi = {sb: r.read(2) for sb in active}
+    sf = {}
+    for sb in active:
+        tx = [r.read(6) for _ in range(MP2_SCFSI_COUNT[scfsi[sb]])]
+        if any(i == 63 for i in tx):
+            raise ValueError("MP2 reserved scale factor index 63")
+        sf[sb] = _mp2_effective_sf(scfsi[sb], tx)
+    out = np.zeros((36, MP2_SBLIMIT), dtype=np.float64)
+    for gr in range(12):
+        for sb in active:
+            n = MP2_CLASSES[alloc[sb]]
+            if n in MP2_GROUPED_BITS:
+                c = r.read(MP2_GROUPED_BITS[n])
+                if c >= n * n * n:
+                    raise ValueError("MP2 grouped code exceeds n^3")
+                trip = [c % n, (c // n) % n, (c // (n * n)) % n]
+            else:
+                nb = _mp2_nbits(n)
+                trip = [r.read(nb) for _ in range(3)]
+                if any(c >= n for c in trip):
+                    raise ValueError("MP2 sample code exceeds quantizer levels")
+            idx = sf[sb][gr // 4]
+            factor = 2.0 * 2.0 ** (-idx / 3.0)
+            for k in range(3):
+                out[gr * 3 + k, sb] = (2 * trip[k] - n + 1) / n * factor
+    return out
+
+
+def synthesize_mp2(subbands: np.ndarray) -> np.ndarray:
+    """Polyphase synthesis (subbands -> PCM) is NOT implemented: the
+    512-tap synthesis window (ISO 11172-3 Annex B Table 3-B.3) is a
+    numeric spec table, and substituting an approximate prototype
+    would emit non-conformant PCM silently.  Declared codec seam."""
+    raise NotImplementedError(
+        "MP2 synthesis window (ISO 11172-3 Table 3-B.3) outside subset"
+    )

@@ -231,3 +231,101 @@ def test_graph_ann_compact_resets_drift(spark):
         assert r.edges_rebuilt == 0 and r.pop_moved == 0
         assert r.pop_stay == r.pop_before + r.n_inserted
         assert r.mean_cs_compacted_micro == r.mean_cs_spliced_micro
+
+
+def test_mp2_round_trip_and_hostile_streams():
+    """Layer II codec surface: exact round-trip through every scfsi
+    pattern and both grouped/plain code paths; every subset boundary
+    raises NotImplementedError (the declared codec seam) and every
+    malformed field raises ValueError."""
+    import numpy as np
+    import pytest
+
+    from kafka_connect_postgres_to_clickhouse_spark.streaming import (
+        multimodal as mm,
+    )
+
+    d = 5
+    alloc = [((d + sb) % 5) + 1 for sb in range(12)]
+    scfsi = [(d + sb) % 4 for sb in range(12)]
+    sft = [[3 * ((d + sb + 2 * j) % 10) for j in range(3)] for sb in range(12)]
+    codes = [
+        [
+            [(d * 7 + sb * 13 + gr * 5 + k * 3) % mm.MP2_CLASSES[alloc[sb]]
+             for k in range(3)]
+            for gr in range(12)
+        ]
+        for sb in range(12)
+    ]
+    p = mm.encode_mp2(alloc, scfsi, sft, codes)
+    assert len(p) == mm.MP2_FRAME_BYTES
+    m = mm.decode_mp2(p)
+    assert m.shape == (36, 12)
+    for sb in range(12):  # closed-form equality at every position
+        n = mm.MP2_CLASSES[alloc[sb]]
+        eff = mm._mp2_effective_sf(scfsi[sb], sft[sb])
+        for gr in range(12):
+            for k in range(3):
+                c = codes[sb][gr][k]
+                want = (2 * c - n + 1) / n * 2.0 * 2.0 ** (-eff[gr // 4] / 3.0)
+                assert m[gr * 3 + k, sb] == want
+
+    def hdr(b1=0xFD, b2=0x48, b3=0xC0):
+        return bytes([0xFF, b1, b2, b3]) + p[4:]
+
+    with pytest.raises(ValueError, match="sync"):
+        mm.decode_mp2(b"\x00" + p[1:])
+    with pytest.raises(NotImplementedError, match="Layer I"):
+        mm.decode_mp2(hdr(b1=0xFF))
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        mm.decode_mp2(hdr(b1=0xFB))  # Layer III -> the MP3 seam
+    with pytest.raises(ValueError, match="reserved layer"):
+        mm.decode_mp2(hdr(b1=0xF9))
+    with pytest.raises(NotImplementedError, match="LSF"):
+        mm.decode_mp2(hdr(b1=0xF5))
+    with pytest.raises(NotImplementedError, match="free-format"):
+        mm.decode_mp2(hdr(b2=0x08))
+    with pytest.raises(ValueError, match="forbidden bitrate"):
+        mm.decode_mp2(hdr(b2=0xF8))
+    with pytest.raises(ValueError, match="sampling-frequency"):
+        mm.decode_mp2(hdr(b2=0x4C))
+    with pytest.raises(NotImplementedError, match="32 kHz"):
+        mm.decode_mp2(hdr(b2=0x40))
+    with pytest.raises(NotImplementedError, match="mono"):
+        mm.decode_mp2(hdr(b3=0x00))
+    bad = bytearray(p)
+    bad[4] |= 0xF0  # first allocation nibble -> reserved 15
+    with pytest.raises(ValueError, match="allocation"):
+        mm.decode_mp2(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_mp2(p[:100])
+    with pytest.raises(NotImplementedError, match="synthesis window"):
+        mm.synthesize_mp2(m)
+
+    # hand-built minimal frames: reserved scale factor / overflowing codes
+    def minimal(alloc0, sf0, code_bits, code_vals):
+        w = mm._FlacBitWriter()
+        for sb in range(12):
+            w.write(alloc0 if sb == 0 else 0, 4)
+        w.write(2, 2)  # scfsi 2: one scale factor
+        w.write(sf0, 6)
+        for _ in range(12):
+            for v in code_vals:
+                w.write(v, code_bits)
+        w.align()
+        body = b"\xff\xfd\x48\xc0" + w.data()
+        return body + b"\x00" * (mm.MP2_FRAME_BYTES - len(body))
+
+    with pytest.raises(ValueError, match="scale factor index 63"):
+        mm.decode_mp2(minimal(1, 63, 5, [0]))
+    with pytest.raises(ValueError, match="n\\^3"):
+        mm.decode_mp2(minimal(1, 0, 5, [27]))  # 3 levels: grouped max 26
+    with pytest.raises(ValueError, match="exceeds quantizer"):
+        mm.decode_mp2(minimal(3, 0, 3, [7, 0, 0]))  # 7 levels, code 7
+
+    # encoder guards
+    with pytest.raises(ValueError, match="allocation index"):
+        mm.encode_mp2([15] + [0] * 11, scfsi, sft, codes)
+    with pytest.raises(ValueError, match="scale factor index"):
+        bad_sft = [[63, 0, 0]] + sft[1:]
+        mm.encode_mp2(alloc, scfsi, bad_sft, codes)
