@@ -88,6 +88,11 @@ KEYS = [
     "q_editdist_neardup",
     "q_semantic_dedup",
     "q_neardup_cascade",
+    # r12: image near-dup — payloads derive from doc_id alone, so the
+    # replicated corpus scales the decode+band-join path directly (the
+    # closed/open text modes don't change its input; both are kept for
+    # run-protocol uniformity)
+    "q_phash_neardup",
 ]
 SCALES = [1, 3, 10]
 STRIDE = 10_000_000
