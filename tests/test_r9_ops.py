@@ -275,6 +275,7 @@ STRESS_KEYS = {
     "q_editdist_neardup",
     "q_semantic_dedup",
     "q_neardup_cascade",
+    "q_phash_neardup",  # r12: image near-dup joined the stressed set
 }
 
 
