@@ -131,14 +131,20 @@ def _segment_child(sf_dir: str, start: int, end: int, out_path: str) -> None:
     all_names = list(jobs)
     mine = all_names[start:end]
     spark = get_spark("kcptc-bench")
-    # same warm-up the single-session run gets
-    jobs.get("q_changelog_replay", list(jobs.values())[0])(spark, sf_dir).count()
-    # warm-build triggers OUTSIDE this slice so consumers in the slice
-    # are warm, matching their single-session billing position (lines
-    # INSIDE the slice bill their own cold build as usual)
+    # same warm-up the single-session run gets (registry, not the
+    # HEADLINE-filtered job map: the flagship is always present there)
+    load_all_queries()["q_changelog_replay"].fn(spark, sf_dir).count()
+    # Warm-build only triggers that PRECEDE this slice (index < start):
+    # those are the ones that run before these lines in single-session
+    # order, so their consumers in the slice are warm exactly as they
+    # would be single-session.  Triggers AFTER the slice must NOT be
+    # warm-built — memo-coupled triggers (e.g. bpe_merges/bpe_vocab
+    # both populating _MATERIALIZED via _bpe_trained) would otherwise
+    # bill a later trigger warm that single-session order bills cold,
+    # skewing the segmented-vs-single drift attribution.
     warm_sec = 0.0
-    for name in all_names:
-        if name.startswith("_materialize:") and name not in mine:
+    for name in all_names[:start]:
+        if name.startswith("_materialize:"):
             t0 = time.time()
             jobs[name](spark, sf_dir).count()
             warm_sec += time.time() - t0
@@ -219,8 +225,10 @@ def main() -> None:
     else:
         jobs = _job_list()
         spark = get_spark("kcptc-bench")
-        # warm the JVM + parquet footer caches once with the flagship
-        jobs["q_changelog_replay"](spark, sf_dir).count()
+        # warm the JVM + parquet footer caches once with the flagship —
+        # via the registry, which always has it, so the HEADLINE dev
+        # knob selecting a subset can't KeyError the warm-up
+        load_all_queries()["q_changelog_replay"].fn(spark, sf_dir).count()
         names = list(jobs)[: args.limit] if args.limit else list(jobs)
         times, stability = _run_lines(spark, sf_dir, jobs, names)
 

@@ -2625,6 +2625,28 @@ def decode_mp2(payload: bytes) -> np.ndarray:
         if any(i == 63 for i in tx):
             raise ValueError("MP2 reserved scale factor index 63")
         sf[sb] = _mp2_effective_sf(scfsi[sb], tx)
+    # Bit-budget check BEFORE reading sample codes: a hostile frame can
+    # declare allocations whose sample data exceeds the fixed 288-byte
+    # frame (e.g. all-14 needs ~742 bytes).  Without this, the shared
+    # bit reader exhausts mid-granule and raises the wrong-family
+    # message ('FLAC stream truncated').  Consumed-so-far + 12 granules
+    # of declared code bits must fit the frame.
+    sample_bits = 12 * sum(
+        MP2_GROUPED_BITS[n] if n in MP2_GROUPED_BITS else 3 * _mp2_nbits(n)
+        for n in (MP2_CLASSES[alloc[sb]] for sb in active)
+    )
+    consumed = (
+        32
+        + MP2_NBAL * MP2_SBLIMIT
+        + 2 * len(active)
+        + 6 * sum(MP2_SCFSI_COUNT[scfsi[sb]] for sb in active)
+    )
+    if consumed + sample_bits > MP2_FRAME_BYTES * 8:
+        raise ValueError(
+            "MP2 frame truncated: declared allocation needs "
+            f"{(consumed + sample_bits + 7) // 8} bytes, frame is "
+            f"{MP2_FRAME_BYTES}"
+        )
     out = np.zeros((36, MP2_SBLIMIT), dtype=np.float64)
     for gr in range(12):
         for sb in active:

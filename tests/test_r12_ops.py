@@ -318,6 +318,22 @@ def test_mp2_round_trip_and_hostile_streams():
 
     with pytest.raises(ValueError, match="scale factor index 63"):
         mm.decode_mp2(minimal(1, 63, 5, [0]))
+    # ADVICE r12: over-allocated frame (all-14 needs ~742 bytes of
+    # sample data vs the fixed 288-byte frame) must fail the explicit
+    # MP2 bit-budget check, not the shared reader's FLAC-family
+    # exhaustion message.
+    w14 = mm._FlacBitWriter()
+    for _ in range(12):
+        w14.write(14, 4)  # alloc 14 -> 8191 levels, 13 bits/sample
+    for _ in range(12):
+        w14.write(2, 2)  # scfsi 2: one scale factor each
+    for _ in range(12):
+        w14.write(0, 6)
+    w14.align()
+    body14 = b"\xff\xfd\x48\xc0" + w14.data()
+    over = body14 + b"\x00" * (mm.MP2_FRAME_BYTES - len(body14))
+    with pytest.raises(ValueError, match="MP2 frame truncated: declared"):
+        mm.decode_mp2(over)
     with pytest.raises(ValueError, match="n\\^3"):
         mm.decode_mp2(minimal(1, 0, 5, [27]))  # 3 levels: grouped max 26
     with pytest.raises(ValueError, match="exceeds quantizer"):
