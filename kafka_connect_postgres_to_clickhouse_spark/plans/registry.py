@@ -33,6 +33,16 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Keys whose SEMANTICS or ORACLE materially changed this round: they
+# re-enter the driver-priority front even though a past round proved
+# the old behavior (the "unproven-keys-lead" window-rotation rule,
+# VERDICT r12 next-round #8).  Clear at the start of each round, add
+# as keys change.  r13: the PQ axis moved from untrained 4-entry
+# codebooks to Lloyd-trained 8-entry codebooks (_pq_lloyd_train) —
+# both keys compute different values than their driver-green r12
+# entries, so the r12 verdicts no longer attest the current code.
+REFRONT: set[str] = {"q_pq_codes", "q_simsearch_pq"}
+
 # Ordered so that the analytics + window queries register FIRST: the
 # round-1 driver wrote CORRECTNESS entries for only the first 50 registry
 # keys, leaving the entire back half (analytics/window) unverified by the
@@ -141,7 +151,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     """
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    proven = _driver_green_keys()
+    proven = _driver_green_keys() - REFRONT
     unproven = [k for k in REGISTRY if k not in proven]
     ordered = unproven + [k for k in REGISTRY if k in proven]
     return {k: REGISTRY[k] for k in ordered}

@@ -1602,6 +1602,19 @@ def phash64(pixels: np.ndarray) -> int:
     luma = (299 * p32[:, :, 0] + 587 * p32[:, :, 1] + 114 * p32[:, :, 2] + 500) // 1000
     fh, fw = h // 32, w // 32
     small = luma.reshape(32, fh, 32, fw).mean(axis=(1, 3))
+    return _dct_sig63(small)
+
+
+def _dct_sig63(small: np.ndarray) -> int:
+    """Shared tail of the perceptual-hash family (phash64 /
+    audiofp64): 32x32 float grid -> orthonormal 2-D DCT-II -> 1024x
+    quantized top-left 8x8 block -> one bit per AC position (q >
+    exact median over the 63 AC values).  DC is EXCLUDED, so any
+    transform that moves only the grid's mean (uniform image
+    brightness shift, audio DC level offset) cannot flip a bit."""
+    global _PHASH_DCT32
+    if _PHASH_DCT32 is None:
+        _PHASH_DCT32 = _dct_matrix(32)
     coef = _PHASH_DCT32 @ small @ _PHASH_DCT32.T
     q = np.round(coef[:8, :8] * 1024).astype(np.int64).ravel()[1:]  # drop DC
     med = np.sort(q)[31]  # exact middle of 63
@@ -1609,6 +1622,48 @@ def phash64(pixels: np.ndarray) -> int:
     out = 0
     for b in bits:
         out = (out << 1) | int(b)
+    return out
+
+
+def audiofp64(samples: np.ndarray) -> int:
+    """Audio perceptual fingerprint (r13): integer PCM -> 63-bit
+    signature, the audio member of the DCT + median-threshold family
+    (phash64 is the image member).
+
+    The sample count must be a multiple of 1024: consecutive-block
+    area averaging folds the stream to exactly 1024 values (an
+    f-times naive sample-repeat upsample averages back EXACTLY, the
+    1-D twin of phash64's resize invariance), the values arrange as a
+    32x32 time grid, and the grid runs the shared _dct_sig63 pipeline
+    — DC excluded, so a uniform level offset (DC shift) cannot flip
+    any bit."""
+    x = np.asarray(samples, dtype=np.float64).ravel()
+    if len(x) == 0 or len(x) % 1024:
+        raise ValueError(
+            f"audiofp64 needs a positive multiple of 1024 samples, got {len(x)}"
+        )
+    f = len(x) // 1024
+    grid = x.reshape(1024, f).mean(axis=1).reshape(32, 32)
+    return _dct_sig63(grid)
+
+
+def video_sig(frame_hashes) -> int:
+    """Per-video signature from sampled-frame perceptual hashes
+    (r13): bit-majority over the DISTINCT frame hashes — the simhash
+    idiom applied one level up.  Deduplicating first makes the
+    signature invariant to frame-rate changes and frame drops that
+    preserve the scene set (a held scene contributes once however
+    many frames show it); strict majority (2*ones > n) keeps ties
+    deterministic cross-engine."""
+    hs = sorted({int(h) for h in frame_hashes})
+    if not hs:
+        raise ValueError("video_sig needs at least one frame hash")
+    n = len(hs)
+    out = 0
+    for b in range(63):
+        ones = sum((h >> b) & 1 for h in hs)
+        if 2 * ones > n:
+            out |= 1 << b
     return out
 
 

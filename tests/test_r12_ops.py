@@ -82,11 +82,13 @@ def test_flac_wasted_bits_exceeding_width_is_diagnosed():
 
 def test_pq_adc_recall_floor(spark):
     """q_simsearch_pq recall floors vs the exact-L2 baseline at
-    sf0.001 (measured r12: recall@10 mean 0.26, shortlist@50 0.54,
-    shortlist@100 0.70 — random baseline is 10/499 ≈ 0.02).  Pins
-    (a) top-10 recall ≥ 0.2 mean, (b) the production shortlist
-    property (ADC top-100 holds ≥ 55% of the exact top-10), and
-    (c) shortlist recall is monotone non-decreasing in K."""
+    sf0.001 (r12 untrained books: recall@10 mean 0.26, shortlist@50
+    0.54, shortlist@100 0.70; r13 Lloyd-trained k=8 books: 0.22 /
+    0.70 / 0.90 — random baseline is 10/499 ≈ 0.02).  Pins (a) top-10
+    recall ≥ 0.2 mean, (b) the production shortlist property at the
+    RAISED r13 floors (ADC top-100 holds ≥ 80% of the exact top-10
+    mean, ≥ 70% per query), and (c) shortlist recall is monotone
+    non-decreasing in K."""
     import numpy as np
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -124,8 +126,16 @@ def test_pq_adc_recall_floor(spark):
             got = set(rq.head(k).vec_id)
             recalls[k].append(len(exact & got) / 10)
     means = {k: sum(v) / len(v) for k, v in recalls.items()}
+    mins = {k: min(v) for k, v in recalls.items()}
+    # r13 floors (Lloyd-trained k=8 books, _pq_lloyd_train): measured
+    # mean 0.22/0.70/0.90 min 0.10/0.50/0.80 — the shortlist property
+    # jumped from the r12 untrained 0.54/0.70 means; the r12 floors
+    # (0.2/0.55) stay as the regression line for recall@10.
     assert means[10] >= 0.2, means
-    assert means[100] >= 0.55, means
+    assert means[50] >= 0.6, means
+    assert means[100] >= 0.8, means
+    assert mins[50] >= 0.4, mins
+    assert mins[100] >= 0.7, mins
     assert means[10] <= means[50] <= means[100], means
 
 

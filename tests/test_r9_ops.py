@@ -263,8 +263,9 @@ def _stress():
         m = re.search(r"r(\d+)", os.path.basename(p))
         return int(m.group(1)) if m else -1
 
-    with open(max(paths, key=rnd)) as f:  # newest round's artifact
-        return json.load(f)
+    newest = max(paths, key=rnd)
+    with open(newest) as f:  # newest round's artifact
+        return json.load(f), rnd(newest)
 
 
 STRESS_KEYS = {
@@ -278,15 +279,35 @@ STRESS_KEYS = {
     "q_phash_neardup",  # r12: image near-dup joined the stressed set
 }
 
+# keys that joined the stressed set in a given round: an artifact from
+# an earlier round is complete WITHOUT them (the generator list grows
+# round-over-round; the newest artifact must always cover its round's
+# full set)
+STRESS_KEYS_JOINED = {
+    13: {  # ANN lifecycle (VERDICT r12 #5): measured at 10x, not argued
+        "q_simsearch_pq",
+        "q_graph_ann_filtered",
+        "q_graph_ann_compact",
+    },
+}
+
+
+def _expected_keys(artifact_round: int) -> set:
+    exp = set(STRESS_KEYS)
+    for joined_round, keys in STRESS_KEYS_JOINED.items():
+        if artifact_round >= joined_round:
+            exp |= keys
+    return exp
+
 
 def test_scale_stress_artifact_shape():
     """The artifact must cover all six generators at a true 10x of the
     sf0.1 corpus in BOTH regimes (open = Heaps-faithful, closed =
     adversarial shingle-space saturation)."""
-    d = _stress()
+    d, artifact_round = _stress()
     assert set(d["regimes"]) == {"open", "closed"}
     for r in d["regimes"].values():
-        assert set(r["per_key"]) == STRESS_KEYS
+        assert set(r["per_key"]) == _expected_keys(artifact_round)
         assert r["corpus_sizes"]["10"]["documents"] == 10 * r["corpus_sizes"]["1"]["documents"]
         assert r["corpus_sizes"]["10"]["embeddings"] == 10 * r["corpus_sizes"]["1"]["embeddings"]
 
@@ -296,7 +317,7 @@ def test_scale_stress_open_regime_all_linear():
     wall time must grow ~linearly (exponent 1.0 = linear, 2.0 =
     quadratic; time gets headroom for the documented ~20% ambient
     host noise, which is worth ~0.08 of exponent)."""
-    per_key = _stress()["regimes"]["open"]["per_key"]
+    per_key = _stress()[0]["regimes"]["open"]["per_key"]
     for k, v in per_key.items():
         assert v["exp_rows"] <= 1.05, (k, v["exp_rows"])
         assert v["exp_sec"] <= 1.1, (k, v["exp_sec"])
@@ -311,7 +332,7 @@ def test_scale_stress_closed_regime_bounds():
     529-crossover symmetric-delete band) — strictly below LINEAR
     growth for the prefix joins too (r9 shipped them at exp 1.43 /
     1.14; the guards' whole point is exp < 1.0 here)."""
-    per_key = _stress()["regimes"]["closed"]["per_key"]
+    per_key = _stress()[0]["regimes"]["closed"]["per_key"]
     for k, v in per_key.items():
         if k != "q_neardup_minhash":
             assert v["exp_rows"] <= 1.05, (k, v["exp_rows"])
