@@ -127,6 +127,48 @@ def test_audiofp_hostile_inputs():
         video_sig([])
 
 
+def test_snapshot_interleave_watermark_is_load_bearing(spark):
+    """The DBLog act's three behaviors must all be REAL on the
+    fixture, and the watermark dedup must be load-bearing:
+
+    (a) provenance mix — some keys finalize via a chunk (snapshot)
+        row, some via a log event;
+    (b) with the dedup ON, the interleaved state equals the direct
+        apply-deletes replay exactly (the registry oracle re-proves
+        this cross-engine; here it's the negative control's baseline);
+    (c) with the dedup OFF, a stale chunk row clobbers at least one
+        key whose last update landed inside the watermark window —
+        the exact failure mode DBLog's watermarks exist to prevent."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        _snapshot_interleave_state,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.plans.registry import (
+        load_all_queries,
+    )
+
+    good = _snapshot_interleave_state(spark, SF0001)
+    via = {r["_via"] for r in good.select("_via").distinct().collect()}
+    assert via == {"r", "u"}, via  # (a)
+
+    replay = load_all_queries()["q_delete_apply"].fn(spark, SF0001)
+    as_map = lambda df: {  # noqa: E731
+        r.user_id: (r.username, r.account_type, r.last_seq)
+        for r in df.collect()
+    }
+    g, o = as_map(good), as_map(replay)
+    assert g == o  # (b)
+
+    bad = _snapshot_interleave_state(spark, SF0001, dedup_window=False)
+    b = as_map(bad)
+    assert b != o  # (c): the watermark dedup is what makes (b) true
+    clobbered = {k for k in o if b.get(k) != o[k]}
+    assert clobbered, "negative control produced no stale clobbers"
+    # the clobbered keys' wrong values are STALE versions (older
+    # last_seq), the signature of a snapshot row applied too late
+    for k in clobbered:
+        assert b[k][2] < o[k][2], (k, b[k], o[k])
+
+
 def test_pq_train_cells_match_code_table(spark):
     """q_pq_train's (m, cid) cells are exactly the stored code table
     unpivoted: per-subspace member counts sum to the corpus size and
