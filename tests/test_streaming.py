@@ -1173,7 +1173,8 @@ def test_lww_tws_plan_and_fold_logic(spark, tmp_path):
     - r9 (2026-08-15): ModuleNotFoundError — still contract-only.
     - r10 (2026-08-16): ModuleNotFoundError — still contract-only.
     - r11 (2026-08-16): ModuleNotFoundError — still contract-only.
-    - r12 (2026-08-16): ModuleNotFoundError — still contract-only."""
+    - r12 (2026-08-16): ModuleNotFoundError — still contract-only.
+    - r13 (2026-08-16): ModuleNotFoundError — still contract-only."""
     import pandas as pd
 
     from kafka_connect_postgres_to_clickhouse_spark.streaming.pipeline import (
