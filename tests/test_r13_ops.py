@@ -187,3 +187,93 @@ def test_pq_train_cells_match_code_table(spark):
     for m in range(4):
         assert sum(r.n_vecs for r in stats if r.m == m) == n
     assert sum(r.distortion_scaled for r in stats) == total_qerr
+
+
+def test_ivfpq_composite(spark):
+    """q_simsearch_ivfpq invariants at sf0.001 (the IVFADC composite):
+
+    (a) PRUNING IS REAL — every scored candidate's stored IVF cell is
+        one of its query's 4 probed cells (~200 of 499 candidates per
+        query reach scoring; cell pruning = join pruning);
+    (b) residual-codebook training obeys Lloyd (distortion monotone
+        non-increasing; measured sf0.001 697.5B -> 566.3B, a 19% cut
+        over the residual init);
+    (c) the production shortlist property vs the ATTAINABLE target —
+        exact top-10 WITHIN the probed cells (the coarse quantizer
+        caps recall at the probe ceiling, 0.62 mean here, so grading
+        the ADC stage against the global top-10 would conflate the
+        two approximations): measured means 0.22 / 0.54 / 0.64 at
+        K = 10/50/100, monotone in K; floors pinned at mean@100 >=
+        0.5, per-query@100 >= 0.3, mean@50 >= 0.4."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
+        _emb_norms,
+        _ivf_assign_table,
+        _ivf_cell_scores,
+        _ivf_cents,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        _ivfpq_adc_scores,
+        _ivfpq_resid_vecs,
+        _pq_lloyd_train,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_scaled"), F.asc("vec_id")
+    )
+    ranked = (
+        _ivfpq_adc_scores(spark, SF0001)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .toPandas()
+    )
+    norms = _emb_norms(spark, SF0001).select("vec_id", "embedding", "n2")
+    cents = _ivf_cents(norms)
+    wn = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    probes = (
+        _ivf_cell_scores(norms.filter(F.col("vec_id") < 5), cents)
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= 4)
+        .select(F.col("vec_id").alias("q"), "cent_id")
+        .toPandas()
+    )
+    assign = _ivf_assign_table(spark, SF0001).toPandas()
+    cell = dict(zip(assign.vec_id, assign.cent_id))
+
+    # (a) every candidate lives in a probed cell
+    for q in range(5):
+        pc = set(probes[probes.q == q].cent_id)
+        cand = ranked[ranked.query_id == q].vec_id
+        assert all(cell[v] in pc for v in cand), f"unpruned candidate, query {q}"
+
+    # (b) residual Lloyd distortion monotone, training genuinely moves
+    _, dists = _pq_lloyd_train(
+        spark, SF0001, vecs=_ivfpq_resid_vecs(spark, SF0001).select("vec_id", "embedding")
+    )
+    assert all(dists[i + 1] <= dists[i] for i in range(len(dists) - 1)), dists
+    assert dists[-1] < 0.9 * dists[0], dists
+
+    # (c) shortlist floors vs in-probe exact top-10
+    emb = load_table(spark, SF0001, "embeddings").select("vec_id", "embedding").toPandas()
+    M = np.stack([np.asarray(v, dtype=float) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    stats = {k: [] for k in (10, 50, 100)}
+    for q in range(5):
+        qi = np.where(ids == q)[0][0]
+        d2 = ((M - M[qi]) ** 2).sum(axis=1)
+        pc = set(probes[probes.q == q].cent_id)
+        mask = np.array([cell[v] in pc and v != q for v in ids])
+        d2p = np.where(mask, d2, np.inf)
+        target = set(ids[np.lexsort((ids, d2p))[: min(10, int(mask.sum()))]])
+        rq = ranked[ranked.query_id == q].sort_values("rn")
+        for k in stats:
+            stats[k].append(len(target & set(rq.head(k).vec_id)) / len(target))
+    means = {k: sum(v) / len(v) for k, v in stats.items()}
+    assert means[10] <= means[50] + 1e-9 and means[50] <= means[100] + 1e-9, means
+    assert means[100] >= 0.5, means
+    assert min(stats[100]) >= 0.3, stats[100]
+    assert means[50] >= 0.4, means
