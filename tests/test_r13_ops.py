@@ -277,3 +277,89 @@ def test_ivfpq_composite(spark):
     assert means[100] >= 0.5, means
     assert min(stats[100]) >= 0.3, stats[100]
     assert means[50] >= 0.4, means
+
+
+def test_ivm_counting_merge_drops_zero_groups(spark):
+    """The counting merge on handcrafted view states: a group whose
+    support reaches exactly zero LEAVES the view (naive SUM
+    maintenance keeps a ghost row), a partially-reduced group keeps
+    correct sums, and a delta-only group enters."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        _ivm_counting_merge,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "A", 2, 100), (1, "B", 3, 300), (2, "A", 1, 50)],
+        "ym int, ret_flag string, n long, cents long",
+    )
+    delta = spark.createDataFrame(
+        [(1, "A", -2, -100), (1, "B", -1, -120), (3, "C", 4, 400)],
+        "ym int, ret_flag string, n long, cents long",
+    )
+    out = {
+        (r.ym, r.ret_flag): (r.n, r.cents)
+        for r in _ivm_counting_merge(
+            [base, delta], keys=["ym", "ret_flag"], count_col="n"
+        ).collect()
+    }
+    assert (1, "A") not in out, out  # full delete -> group leaves
+    assert out[(1, "B")] == (2, 180)
+    assert out[(2, "A")] == (1, 50)
+    assert out[(3, "C")] == (4, 400)  # delta-only group enters
+
+
+def test_ivm_antijoin_flips_both_ways(spark):
+    """The negation view's non-monotonic flips on the real fixture:
+    deleting urgent orders ADDS customers to the view, inserting
+    urgent orders REMOVES them (sf0.001: 24 members pre-batch, 23
+    post — both directions flip).  Membership equals the direct
+    recount of surviving urgent support."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        q_ivm_antijoin,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+    o = load_table(spark, SF0001, "orders").toPandas()
+    urgent = o[o.o_orderpriority == "1-URGENT"]
+    custs = set(load_table(spark, SF0001, "customer").toPandas().c_custkey)
+    pre = custs - set(urgent[urgent.o_orderkey % 10 != 7].o_custkey)
+    post_expect = custs - set(urgent[urgent.o_orderkey % 10 != 3].o_custkey)
+    post = set(q_ivm_antijoin(spark, SF0001).toPandas().c_custkey)
+    assert post == post_expect
+    assert post - pre, "no customer entered via deletes"
+    assert pre - post, "no customer left via inserts"
+    assert len(pre) == 24 and len(post) == 23, (len(pre), len(post))
+
+
+def test_ivm_join_matches_bruteforce(spark):
+    """q_ivm_join (incremental path) equals a brute-force in-Spark
+    recompute of the view over the NEW base state — the in-engine
+    twin of the DuckDB oracle proof."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        _ivm_grain,
+        q_ivm_join,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+    o = load_table(spark, SF0001, "orders").filter("o_orderkey % 10 <> 3")
+    li = load_table(spark, SF0001, "lineitem").filter(
+        "l_orderkey % 10 <> 3 AND NOT (l_orderkey % 10 = 5 AND l_linenumber = 2)"
+    )
+    brute = {
+        (r.ym, r.ret_flag): (r.n, r.cents)
+        for r in _ivm_grain(
+            o.join(li, F.col("l_orderkey") == F.col("o_orderkey")), F.lit(1)
+        )
+        .groupBy("ym", "ret_flag")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .collect()
+    }
+    got = {
+        (r.ym, r.ret_flag): (r.n_lines, int(round(r.revenue * 100)))
+        for r in q_ivm_join(spark, SF0001).collect()
+    }
+    assert got == brute
