@@ -363,3 +363,41 @@ def test_ivm_join_matches_bruteforce(spark):
         for r in q_ivm_join(spark, SF0001).collect()
     }
     assert got == brute
+
+
+def test_bq_recall_and_rerank_exactness(spark):
+    """q_simsearch_bq at sf0.001: (a) returned d2_scaled equals the
+    exact scaled-integer L2 recomputed in numpy (the rerank stage is
+    EXACT — only the shortlist is approximate); (b) recall@10 vs the
+    exact top-10 (measured mean 0.62, min 0.4 — sign bits + exact
+    rerank beat the PQ code paths) pinned at mean >= 0.5, per-query
+    >= 0.3."""
+    import numpy as np
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        q_simsearch_bq,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.sources.tables import load_table
+
+    res = q_simsearch_bq(spark, SF0001).toPandas()
+    emb = load_table(spark, SF0001, "embeddings").select("vec_id", "embedding").toPandas()
+    M = np.stack([np.asarray(v, dtype=float) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def d2_scaled(a: int, b: int) -> int:
+        d = M[idx[a]] - M[idx[b]]
+        prods = d * d * 1e9
+        return int(np.where(prods >= 0, np.floor(prods + 0.5), np.ceil(prods - 0.5)).astype(np.int64).sum())
+
+    recs = []
+    for q in range(5):
+        rq = res[res.query_id == q]
+        for r in rq.itertuples():
+            assert r.d2_scaled == d2_scaled(q, r.vec_id), (q, r.vec_id)
+        d2 = ((M - M[idx[q]]) ** 2).sum(axis=1)
+        d2[idx[q]] = np.inf
+        exact = set(ids[np.lexsort((ids, d2))[:10]])
+        recs.append(len(exact & set(rq.vec_id)) / 10)
+    assert sum(recs) / len(recs) >= 0.5, recs
+    assert min(recs) >= 0.3, recs
