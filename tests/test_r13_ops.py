@@ -401,3 +401,30 @@ def test_bq_recall_and_rerank_exactness(spark):
         recs.append(len(exact & set(rq.vec_id)) / 10)
     assert sum(recs) / len(recs) >= 0.5, recs
     assert min(recs) >= 0.3, recs
+
+
+def test_label_prop_refines_components(spark):
+    """Synchronous LPA labels can only flow along edges, so every LPA
+    community lies INSIDE one connected component of the pair graph
+    (the partition refines q_dedup_clusters'), and the community
+    count is >= the component count; dense planted dup groups
+    (cliques) still collapse to a single community."""
+    import pandas as pd
+
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
+        q_dedup_clusters,
+    )
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        q_label_prop,
+    )
+
+    lpa = q_label_prop(spark, SF0001).toPandas()
+    cc = q_dedup_clusters(spark, SF0001).toPandas()[["doc_id", "cluster_id"]]
+    j = lpa.merge(cc, on="doc_id")
+    assert len(j) == len(lpa)  # same node set: the pair-graph docs
+    per_comm = j.groupby("community")["cluster_id"].nunique()
+    assert (per_comm == 1).all(), per_comm[per_comm > 1]
+    assert lpa.community.nunique() >= cc.cluster_id.nunique()
+    # at least one multi-member community exists (planted dup groups)
+    sizes = lpa.groupby("community").size()
+    assert (sizes > 1).any()
