@@ -428,3 +428,38 @@ def test_label_prop_refines_components(spark):
     # at least one multi-member community exists (planted dup groups)
     sizes = lpa.groupby("community").size()
     assert (sizes > 1).any()
+
+
+def test_linkage_em_learns_separation(spark):
+    """Fellegi-Sunter EM on the blocked corpus pairs at sf0.001: the
+    learned model must (a) separate m from u on every field
+    (m_j > u_j — agreement is likelier under match), (b) classify the
+    all-agree pattern (1,1,1) as match — it holds all 504 exact
+    twins — and the truncated-twin pattern (1,1,0) as match, (c)
+    reject the all-disagree and source-disagree low-evidence patterns
+    ((0,0,0), (0,1,0)), (d) give monotone posteriors in the pattern
+    partial order along each single-field axis from (0,0,0)."""
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        _linkage_pattern_table,
+        _lk_em,
+        q_linkage_em,
+    )
+
+    rows = sorted(
+        _linkage_pattern_table(spark, SF0001).collect(),
+        key=lambda r: (r.g1, r.g2, r.g3),
+    )
+    scored, params = _lk_em([((r.g1, r.g2, r.g3), int(r.n)) for r in rows])
+    for j in range(3):
+        assert params["m9"][j] > params["u9"][j], params
+    res = {
+        (r.g1, r.g2, r.g3): (r.n_pairs, r.w_scaled, r.is_match)
+        for r in q_linkage_em(spark, SF0001).collect()
+    }
+    assert res[(1, 1, 1)][2] and res[(1, 1, 0)][2], res
+    assert not res[(0, 0, 0)][2] and not res[(0, 1, 0)][2], res
+    assert res[(1, 1, 1)][0] == 504
+    # posterior grows as any single field flips 0 -> 1
+    for flip in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+        if flip in res:
+            assert res[flip][1] > res[(0, 0, 0)][1], (flip, res)
