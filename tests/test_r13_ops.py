@@ -433,12 +433,15 @@ def test_label_prop_refines_components(spark):
 def test_linkage_em_learns_separation(spark):
     """Fellegi-Sunter EM on the blocked corpus pairs at sf0.001: the
     learned model must (a) separate m from u on every field
-    (m_j > u_j — agreement is likelier under match), (b) classify the
-    all-agree pattern (1,1,1) as match — it holds all 504 exact
-    twins — and the truncated-twin pattern (1,1,0) as match, (c)
-    reject the all-disagree and source-disagree low-evidence patterns
-    ((0,0,0), (0,1,0)), (d) give monotone posteriors in the pattern
-    partial order along each single-field axis from (0,0,0)."""
+    (m_j > u_j — agreement is likelier under match), (b) put the
+    all-agree pattern (1,1,1) — all 504 exact twins — in the LINK
+    zone and the truncated-twin pattern (1,1,0) in the CLERICAL
+    (possible) zone: last-token disagreement is strong
+    counter-evidence under the learned m3, the exact case the
+    Fellegi-Sunter three-zone decision rule exists for, (c) put the
+    low-evidence patterns ((0,0,0), (0,1,0), (1,0,0)) in non-link,
+    (d) give monotone posteriors along each single-field axis from
+    (0,0,0)."""
     from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
         _linkage_pattern_table,
         _lk_em,
@@ -453,11 +456,13 @@ def test_linkage_em_learns_separation(spark):
     for j in range(3):
         assert params["m9"][j] > params["u9"][j], params
     res = {
-        (r.g1, r.g2, r.g3): (r.n_pairs, r.w_scaled, r.is_match)
+        (r.g1, r.g2, r.g3): (r.n_pairs, r.w_scaled, r.zone)
         for r in q_linkage_em(spark, SF0001).collect()
     }
-    assert res[(1, 1, 1)][2] and res[(1, 1, 0)][2], res
-    assert not res[(0, 0, 0)][2] and not res[(0, 1, 0)][2], res
+    assert res[(1, 1, 1)][2] == "link", res
+    assert res[(1, 1, 0)][2] == "possible", res
+    for g in ((0, 0, 0), (0, 1, 0), (1, 0, 0)):
+        assert res[g][2] == "non_link", (g, res)
     assert res[(1, 1, 1)][0] == 504
     # posterior grows as any single field flips 0 -> 1
     for flip in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):

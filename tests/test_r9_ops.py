@@ -288,6 +288,13 @@ STRESS_KEYS_JOINED = {
         "q_simsearch_pq",
         "q_graph_ann_filtered",
         "q_graph_ann_compact",
+        # r13 wave 2: new ANN tiers, video/audio near-dup, LPA, EM linkage
+        "q_simsearch_ivfpq",
+        "q_simsearch_bq",
+        "q_video_phash_neardup",
+        "q_audio_fp_neardup",
+        "q_label_prop",
+        "q_linkage_em",
     },
 }
 

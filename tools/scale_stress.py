@@ -105,6 +105,20 @@ KEYS = [
     "q_simsearch_pq",
     "q_graph_ann_filtered",
     "q_graph_ann_compact",
+    # r13 wave 2: the new ANN tiers (IVFADC composes prune+ADC over
+    # stored layouts; BQ is a 2-longs-per-vector full scan + bounded
+    # rerank — both expect ~linear in corpus), the perceptual
+    # near-dup family extended to video/audio (payloads derive from
+    # doc_id, so replication scales the decode+band-join path), LPA
+    # on the duplicate graph (edge-grain rounds), and EM linkage —
+    # the key with the two-level blocking guard whose closed-regime
+    # saturation exponent (1.065 pairs) this artifact MEASURES.
+    "q_simsearch_ivfpq",
+    "q_simsearch_bq",
+    "q_video_phash_neardup",
+    "q_audio_fp_neardup",
+    "q_label_prop",
+    "q_linkage_em",
 ]
 SCALES = [1, 3, 10]
 STRIDE = 10_000_000
