@@ -2072,3 +2072,136 @@ def test_dblog_snapshot_interleave_streaming(spark, tmp_path):
     assert state_bad[2] == ("user2", "v0")  # stale chunk row clobbered v1
     assert 3 in state_bad  # deleted key resurrected by its chunk row
     assert state_bad[8] == ("user8", "v0")  # last chunk's trap too
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance, the streaming ACT (r13)
+
+
+def test_ivm_join_streaming(spark, tmp_path):
+    """The counting-algorithm join-view maintenance EXECUTED through a
+    real readStream -> foreachBatch pipeline: each micro-batch carries
+    SIGNED deltas to R (orders-like) and S (lines-like); the handler
+    runs only the two delta-grain joins of the asymmetric rule
+    (dR join S_old, R_new join dS) plus the view-grain counting merge
+    — never a base re-join — and persists (R, S, view) state between
+    batches.  Batch 1 deletes the single line of group (202401, B)
+    while its order survives (support 1 -> 0: the zero-drop fires
+    mid-stream) AND deletes order 3 together with its line (the
+    dR*dS overlap case the folded rule must not double-count).  Final
+    view equals the brute-force recompute over the final base state.
+    """
+    from kafka_connect_postgres_to_clickhouse_spark.operators.extended_queries import (
+        _ivm_counting_merge,
+    )
+
+    b0 = [
+        {"tbl": "R", "mult": 1, "ok": 1, "ym": 202401},
+        {"tbl": "R", "mult": 1, "ok": 2, "ym": 202401},
+        {"tbl": "R", "mult": 1, "ok": 3, "ym": 202402},
+        {"tbl": "S", "mult": 1, "ok": 1, "ln": 1, "flag": "A", "cents": 100},
+        {"tbl": "S", "mult": 1, "ok": 1, "ln": 2, "flag": "B", "cents": 200},
+        {"tbl": "S", "mult": 1, "ok": 2, "ln": 1, "flag": "A", "cents": 150},
+        {"tbl": "S", "mult": 1, "ok": 3, "ln": 1, "flag": "C", "cents": 300},
+    ]
+    b1 = [
+        {"tbl": "S", "mult": -1, "ok": 1, "ln": 2, "flag": "B", "cents": 200},
+        {"tbl": "R", "mult": -1, "ok": 3, "ym": 202402},
+        {"tbl": "S", "mult": -1, "ok": 3, "ln": 1, "flag": "C", "cents": 300},
+        {"tbl": "R", "mult": 1, "ok": 4, "ym": 202402},
+        {"tbl": "S", "mult": 1, "ok": 4, "ln": 1, "flag": "A", "cents": 50},
+    ]
+    src = tmp_path / "ivm_wire"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(e) for e in b0))
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in b1))
+    # file-source ordering is by modification time: force b0 first
+    os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+
+    schema = (
+        "tbl string, mult int, ok int, ym int, ln int, flag string, cents long"
+    )
+    state = {
+        "R": [],  # list of (ok, ym, mult-summed presence)
+        "S": [],  # list of (ok, ln, flag, cents)
+        "view": [],  # list of (ym, flag, n, cents)
+        "zero_drop_seen": False,
+    }
+
+    def apply_base(rows, delta, key_cols):
+        keyed = {tuple(r[c] for c in key_cols): r for r in rows}
+        for d in delta:
+            k = tuple(d[c] for c in key_cols)
+            if d["mult"] > 0:
+                keyed[k] = d
+            else:
+                keyed.pop(k, None)
+        return list(keyed.values())
+
+    def handle(batch_df, _epoch):
+        delta = [r.asDict() for r in batch_df.collect()]
+        d_r = [d for d in delta if d["tbl"] == "R"]
+        d_s = [d for d in delta if d["tbl"] == "S"]
+        s_old = state["S"]
+        r_new = apply_base(state["R"], d_r, ["ok"])
+        # term1 = dR join S_old (sign = dR.mult)
+        t1 = [
+            (d["ym"], s["flag"], d["mult"], d["mult"] * s["cents"])
+            for d in d_r
+            for s in s_old
+            if s["ok"] == d["ok"]
+        ]
+        # term2 = R_new join dS (sign = dS.mult)
+        rk = {r["ok"]: r for r in r_new}
+        t2 = [
+            (rk[d["ok"]]["ym"], d["flag"], d["mult"], d["mult"] * d["cents"])
+            for d in d_s
+            if d["ok"] in rk
+        ]
+        base_df = spark.createDataFrame(
+            state["view"] or [(0, "_", 0, 0)],
+            "ym int, flag string, n long, cents long",
+        )
+        if not state["view"]:
+            base_df = base_df.filter("n != 0")
+        delta_df = spark.createDataFrame(
+            t1 + t2 or [(0, "_", 0, 0)], "ym int, flag string, n long, cents long"
+        )
+        if not (t1 + t2):
+            delta_df = delta_df.filter("n != 0")
+        pre = {(r[0], r[1]) for r in state["view"]}
+        merged = [
+            (r.ym, r.flag, r.n, r.cents)
+            for r in _ivm_counting_merge(
+                [base_df, delta_df], keys=["ym", "flag"], count_col="n"
+            ).collect()
+        ]
+        if pre - {(m[0], m[1]) for m in merged}:
+            state["zero_drop_seen"] = True
+        state["view"] = merged
+        state["R"] = r_new
+        state["S"] = apply_base(s_old, d_s, ["ok", "ln"])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ivm_ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    # brute-force recompute over the FINAL base state
+    brute: dict = {}
+    rk = {r["ok"]: r for r in state["R"]}
+    for s in state["S"]:
+        if s["ok"] in rk:
+            k = (rk[s["ok"]]["ym"], s["flag"])
+            n, c = brute.get(k, (0, 0))
+            brute[k] = (n + 1, c + s["cents"])
+    got = {(ym, fl): (n, c) for ym, fl, n, c in state["view"]}
+    assert got == brute, (got, brute)
+    assert got == {(202401, "A"): (2, 250), (202402, "A"): (1, 50)}
+    assert state["zero_drop_seen"]  # (202401, B) and (202402, C) left mid-stream
