@@ -117,8 +117,12 @@ def _materialize(spark, sf_dir: str, name: str, build) -> DataFrame:
         os.makedirs(os.path.join(root, app), exist_ok=True)
         sf_tag = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
         path = os.path.join(root, app, f"{sf_tag}__{name}")
-        build().write.mode("overwrite").parquet(path)
-        df = spark.read.parquet(path)
+        built = build()
+        built.write.mode("overwrite").parquet(path)
+        # read back with the build's own schema: skips the ~100 ms
+        # footer/schema re-inference on the file just written (r13-opt,
+        # same rationale as sources/tables._SCHEMA_MEMO)
+        df = spark.read.schema(built.schema).parquet(path)
         _MATERIALIZED[key] = df
     return df
 
@@ -189,11 +193,15 @@ grams AS (
 
 
 def _corpus_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc: (doc_id, sh_arr = DISTINCT sorted 3-gram shingles).
+    """One row per doc: (doc_id, sh_arr = DISTINCT 3-gram shingles).
 
     Computed without any shuffle (array_distinct on the per-row array);
     downstream operators explode it for inverted-index joins and read
-    set sizes straight off the array.
+    set sizes straight off the array.  r13-opt: the array is no longer
+    array_sort-ed — both consumers are order-insensitive (the postings
+    explode feeds groupBy/equi-joins; q_fingerprint takes array_min),
+    so the per-doc n log n string sort was dead work (guide §1.2:
+    don't compute things you throw away).
     """
     c = _corpus(spark, sf_dir)
     # The documents fixture is one small parquet file -> one input
@@ -206,7 +214,7 @@ def _corpus_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = c.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return c.select(
         "doc_id",
-        F.array_sort(F.array_distinct(shingles(F.col("text"), 3))).alias("sh_arr"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh_arr"),
     )
 
 
@@ -428,18 +436,34 @@ def _shingle_array_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically_increasing_id — range partition ids are ordered, so
     the ids are an order-preserving bijection of the (df, sh) total
     order (density is not needed: downstream only uses id order +
-    equality)."""
+    equality).
+
+    r13-opt (guide §2.4): the posting lists ride the SAME groupBy that
+    counts df — `collect_list(doc_id)` next to `count(*)` — and fan
+    back out with a map-side explode AFTER the id assignment, so the
+    r12 shape's second full shuffle of the postings table (the
+    `postings JOIN ids ON sh` exchange) and the ids localCheckpoint
+    barrier disappear: 3 postings-sized exchanges + a checkpoint job
+    become 3 exchanges total (group, range, doc regroup), one fewer
+    pass and two fewer jobs.  The id assignment is unchanged — same
+    range partitioning on (df, sh), same within-partition sort, same
+    partition count — so the bijection (and the spilled table) is
+    row-identical.  The checkpoint is no longer needed: within the
+    single spill-write action the ids subtree has exactly one
+    consumer, and range boundaries are driver-computed once before
+    the reduce stage, so task retries cannot re-deal the ids."""
     def build() -> DataFrame:
         postings = _materialize(
             spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir)
         )
         ids = (
             postings.groupBy("sh")
-            .agg(F.count("*").alias("df"))
+            .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("docs"))
             .repartitionByRange(32, F.asc("df"), F.asc("sh"))
             .sortWithinPartitions(F.asc("df"), F.asc("sh"))
-            .select("sh", F.col("df"), F.monotonically_increasing_id().alias("sh_id"))
-            .localCheckpoint(eager=True)
+            .select(
+                "docs", F.col("df"), F.monotonically_increasing_id().alias("sh_id")
+            )
         )
         # dfs rides along, sorted WITH ids (id order == df order by
         # construction), so any prefix's max global df is a plain
@@ -447,7 +471,7 @@ def _shingle_array_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without re-aggregating the postings (see _jaccard_pairs_build).
         z = F.sort_array(F.collect_list(F.struct("sh_id", "df")))
         return (
-            postings.join(ids, "sh")
+            ids.select("sh_id", "df", F.explode("docs").alias("doc_id"))
             .groupBy("doc_id")
             .agg(z.alias("z"))
             .select(

@@ -21,11 +21,43 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    # r13-opt (guide §6): floor on SCAN parallelism.  Single mid-sized
+    # parquet files (the wire-envelope spill, lineitem) otherwise read
+    # as 1-2 splits (55 MB / 128 MB maxPartitionBytes) and their
+    # map-side work — JSON serde, decode, explode — runs on 2 of the
+    # session's cores.  Scale-adaptive by construction: the floor is
+    # the session's own parallelism, and a 100 TB table already scans
+    # with far more splits than cores, making the floor a no-op there
+    # (openCostInBytes still prevents slicing tiny files).  Override:
+    # SPARK_FILES_MIN_PARTITIONS.
+    min_parts = os.environ.get("SPARK_FILES_MIN_PARTITIONS") or (
+        cpus if str(cpus).isdigit() else str(os.cpu_count() or 8)
+    )
+    # Split-size floor that pairs with the minPartitionNum floor: the
+    # default 4 MB open-cost floor keeps a compressed-text parquet
+    # (e.g. the ~6 MB-on-disk / ~55 MB-decompressed wire-envelope
+    # spill) at 1-2 splits because split math sees FILE bytes, not
+    # decompressed work.  512 KB keeps small-file packing sane while
+    # letting compressed columnar text fan out; at cluster scale files
+    # are 128 MB-1 GB and this floor is irrelevant (guide §6).
+    # Override: SPARK_FILES_OPEN_COST (bytes).
+    open_cost = os.environ.get("SPARK_FILES_OPEN_COST", str(512 * 1024))
+    # Write-side companion: parquet row groups are the unit a scan can
+    # actually parallelize over, and the default 128 MB target makes
+    # every session-spill file ONE row group — so the two floors above
+    # produce splits that are mostly empty.  4 MB row groups let the
+    # mid-sized spills fan out across the session's cores; production
+    # tables keep the default (large sequential groups amortize better
+    # at 100 TB — guide §6).  Override: SPARK_PARQUET_BLOCK_SIZE.
+    pq_block = os.environ.get("SPARK_PARQUET_BLOCK_SIZE", str(4 * 1024 * 1024))
     return (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.files.minPartitionNum", str(min_parts))
+        .config("spark.sql.files.openCostInBytes", open_cost)
+        .config("spark.hadoop.parquet.block.size", pq_block)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -51,9 +83,28 @@ def tune(spark: SparkSession) -> SparkSession:
         # Python DataSource pushFilters raises at plan time if this is
         # off; register_changelog_gen also sets it (belt and braces)
         ("spark.sql.python.filterPushdown.enabled", "true"),
+        # scan-parallelism floor (see get_spark) for driver-provided
+        # sessions; runtime-settable, no-op at cluster scale
+        (
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_FILES_MIN_PARTITIONS")
+            or os.environ.get("SPARK_GRAFT_CPUS")
+            or str(os.cpu_count() or 8),
+        ),
+        (
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_FILES_OPEN_COST", str(512 * 1024)),
+        ),
     ]:
         try:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf may be static
             pass
+    try:  # write-side row-group floor for session spills (see get_spark)
+        spark.sparkContext._jsc.hadoopConfiguration().set(  # noqa: SLF001
+            "parquet.block.size",
+            os.environ.get("SPARK_PARQUET_BLOCK_SIZE", str(4 * 1024 * 1024)),
+        )
+    except Exception:  # pragma: no cover - non-JVM sessions
+        pass
     return spark

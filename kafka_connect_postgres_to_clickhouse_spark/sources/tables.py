@@ -34,6 +34,11 @@ TABLES = [
 ]
 
 
+# path -> inferred Spark StructType (files are immutable fixtures).
+# See the r13-opt note inside load_table.
+_SCHEMA_MEMO: dict = {}
+
+
 @lru_cache(maxsize=None)
 def _ts_columns(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
     """(nanos columns, tz-naive non-nanos timestamp columns) per file."""
@@ -83,10 +88,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if nanos_cols or naive_cols:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(path)
+    # r13-opt (guide §1.2 — don't redo work you throw away): schema
+    # inference (file listing + parquet footer read inside
+    # `spark.read.parquet`) costs ~100-125 ms per call even for a
+    # small file, and a 500-query session re-inferred the same ten
+    # immutable fixture files thousands of times — measured as the
+    # single largest driver-side cost in the bench.  The StructType is
+    # cached per PATH and handed to the reader explicitly (~19 ms), so
+    # every call still builds a FRESH relation with fresh expression
+    # ids (sharing one DataFrame object across calls trips Spark's
+    # union constraint rewrite when both branches of a self-union
+    # carry identical attribute ids — found via q_graph_ann_compact),
+    # and every action still scans parquet afresh: only the inferred
+    # schema — a pure function of the immutable file — is reused.
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        schema = _SCHEMA_MEMO[path] = spark.read.parquet(path).schema
+    df = spark.read.schema(schema).parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    for f in df.schema.fields:
+    for f in schema.fields:
         if isinstance(f.dataType, TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
