@@ -50,6 +50,18 @@ def get_spark(
     # tables keep the default (large sequential groups amortize better
     # at 100 TB — guide §6).  Override: SPARK_PARQUET_BLOCK_SIZE.
     pq_block = os.environ.get("SPARK_PARQUET_BLOCK_SIZE", str(4 * 1024 * 1024))
+    # Join strategy (guide §3.1, measured -15% on the join-heavy bench
+    # lines and -21% on the jaccard candidate-join build):
+    # - autoBroadcastJoinThreshold 64 MB: the 10 MB default is sized
+    #   for small drivers; with AQE the decision uses RUNTIME sizes,
+    #   so a side that outgrows 64 MB at scale simply never
+    #   broadcasts — the raise is self-gating.
+    # - preferSortMergeJoin=false lets the planner pick shuffled-hash
+    #   when its per-partition size conditions hold (no sort); the
+    #   conditions fail for genuinely large builds and fall back to
+    #   sort-merge, so this too is size-gated, not a local-only trick.
+    bc_mb = os.environ.get("SPARK_AUTOBROADCAST_MB", "64")
+    prefer_smj = os.environ.get("SPARK_PREFER_SORTMERGE", "false")
     return (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -58,6 +70,8 @@ def get_spark(
         .config("spark.sql.files.minPartitionNum", str(min_parts))
         .config("spark.sql.files.openCostInBytes", open_cost)
         .config("spark.hadoop.parquet.block.size", pq_block)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(int(bc_mb) * 1024 * 1024))
+        .config("spark.sql.join.preferSortMergeJoin", prefer_smj)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -94,6 +108,15 @@ def tune(spark: SparkSession) -> SparkSession:
         (
             "spark.sql.files.openCostInBytes",
             os.environ.get("SPARK_FILES_OPEN_COST", str(512 * 1024)),
+        ),
+        # join strategy, size-gated at runtime via AQE (see get_spark)
+        (
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(int(os.environ.get("SPARK_AUTOBROADCAST_MB", "64")) * 1024 * 1024),
+        ),
+        (
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_PREFER_SORTMERGE", "false"),
         ),
     ]:
         try:
