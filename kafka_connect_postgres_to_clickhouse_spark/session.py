@@ -50,18 +50,22 @@ def get_spark(
     # tables keep the default (large sequential groups amortize better
     # at 100 TB — guide §6).  Override: SPARK_PARQUET_BLOCK_SIZE.
     pq_block = os.environ.get("SPARK_PARQUET_BLOCK_SIZE", str(4 * 1024 * 1024))
-    # Join strategy (guide §3.1, measured -15% on the join-heavy bench
-    # lines and -21% on the jaccard candidate-join build):
+    # Join strategy (guide §3.1; the broadcast raise alone measured
+    # -20% on the jaccard candidate-join build and was neutral-to-
+    # positive on every probed line):
     # - autoBroadcastJoinThreshold 64 MB: the 10 MB default is sized
     #   for small drivers; with AQE the decision uses RUNTIME sizes,
     #   so a side that outgrows 64 MB at scale simply never
     #   broadcasts — the raise is self-gating.
-    # - preferSortMergeJoin=false lets the planner pick shuffled-hash
-    #   when its per-partition size conditions hold (no sort); the
-    #   conditions fail for genuinely large builds and fall back to
-    #   sort-merge, so this too is size-gated, not a local-only trick.
+    # - preferSortMergeJoin stays at the Spark default (true): the
+    #   shuffled-hash preference won ~1 s on the ten most join-heavy
+    #   lines but cost MORE spread over many mid-tail lines in the
+    #   full 533-line A/B (q_fk_inference 0.72->1.34, q_lift_curve
+    #   0.26->0.44, q_window_funnel 0.45->0.67 with SHJ preferred) —
+    #   net negative, so only the broadcast raise is adopted.  Flip
+    #   with SPARK_PREFER_SORTMERGE=false to re-measure.
     bc_mb = os.environ.get("SPARK_AUTOBROADCAST_MB", "64")
-    prefer_smj = os.environ.get("SPARK_PREFER_SORTMERGE", "false")
+    prefer_smj = os.environ.get("SPARK_PREFER_SORTMERGE", "true")
     return (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -116,7 +120,7 @@ def tune(spark: SparkSession) -> SparkSession:
         ),
         (
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_PREFER_SORTMERGE", "false"),
+            os.environ.get("SPARK_PREFER_SORTMERGE", "true"),
         ),
     ]:
         try:
