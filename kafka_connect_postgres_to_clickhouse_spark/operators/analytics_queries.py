@@ -596,15 +596,31 @@ def _jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             h_docs.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
         ).join(h_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
         cands = cands.unionByName(hot_cands.select("doc_a", "doc_b")).distinct()
-    # exact verification on the full (bijectively re-keyed) sets
+    # exact verification on the full (bijectively re-keyed) sets.
+    # r14 (guide §1.2 per-task work): the threshold test runs in the
+    # INTEGER domain — 3c >= |a| + |b|  ⟺  c / (|a|+|b|-c) >= 0.5 for
+    # positive ints (cross-multiply; no floats involved) — phrased as
+    # withColumn + filter so the optimizer plans ONE array_intersect
+    # per candidate in the filter and re-derives jaccard only for the
+    # ~1% of survivors.  The r13 shape filtered on the DOUBLE jaccard
+    # column, which Catalyst pushed into the join condition and
+    # re-evaluated in the projection — ~2x the array_intersect work
+    # (measured 2.06 s -> 1.18 s on the isolated verify at sf0.1).
     arr_a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("ids").alias("arr_a"))
     arr_b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("ids").alias("arr_b"))
     verified = cands.join(arr_a, "doc_a").join(arr_b, "doc_b")
     c = F.size(F.array_intersect("arr_a", "arr_b"))
-    jac = c.cast("double") / (F.size("arr_a") + F.size("arr_b") - c)
     return (
-        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        verified.withColumn("c", c)
+        .filter(F.expr("3 * c >= size(arr_a) + size(arr_b)"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double")
+                / (F.size("arr_a") + F.size("arr_b") - F.col("c"))
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -102,12 +102,19 @@ def tune(spark: SparkSession) -> SparkSession:
         # off; register_changelog_gen also sets it (belt and braces)
         ("spark.sql.python.filterPushdown.enabled", "true"),
         # scan-parallelism floor (see get_spark) for driver-provided
-        # sessions; runtime-settable, no-op at cluster scale
+        # sessions; runtime-settable, no-op at cluster scale.  Mirror
+        # get_spark's isdigit() guard (r13 ADVICE): SPARK_GRAFT_CPUS
+        # may legitimately be '*' (unpinned local master), and setting
+        # a non-int on this conf throws — silently losing the floor in
+        # the blanket except below.
         (
             "spark.sql.files.minPartitionNum",
             os.environ.get("SPARK_FILES_MIN_PARTITIONS")
-            or os.environ.get("SPARK_GRAFT_CPUS")
-            or str(os.cpu_count() or 8),
+            or (
+                os.environ.get("SPARK_GRAFT_CPUS", "")
+                if os.environ.get("SPARK_GRAFT_CPUS", "").isdigit()
+                else str(os.cpu_count() or 8)
+            ),
         ),
         (
             "spark.sql.files.openCostInBytes",

@@ -35,8 +35,27 @@ TABLES = [
 
 
 # path -> inferred Spark StructType (files are immutable fixtures).
-# See the r13-opt note inside load_table.
+# See the r13-opt note inside load_table.  Validity contract (r13
+# ADVICE): an entry is correct while (a) the file at that path is
+# byte-immutable and (b) inference ran under the same legacy-timestamp
+# confs a later reader uses — (b) holds by construction because
+# load_table pins nanosAsLong on the caller's session BEFORE both the
+# inference and every subsequent read; (a) is the fixtures' documented
+# contract (TESTDATA.md: read-only).  Tests that rewrite an sf dir
+# in-process must call invalidate_schema_memo() after regenerating.
 _SCHEMA_MEMO: dict = {}
+
+
+def invalidate_schema_memo(path_prefix: str | None = None) -> None:
+    """Drop memoized schemas (all, or those under ``path_prefix``) —
+    the escape hatch for in-process fixture regeneration."""
+    if path_prefix is None:
+        _SCHEMA_MEMO.clear()
+        _ts_columns.cache_clear()
+        return
+    for p in [p for p in _SCHEMA_MEMO if p.startswith(path_prefix)]:
+        del _SCHEMA_MEMO[p]
+    _ts_columns.cache_clear()
 
 
 @lru_cache(maxsize=None)

@@ -44,7 +44,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--keys", default="")
-    ap.add_argument("--plans", default="", help="dump plans/r13/<key>_<SUFFIX>.txt")
+    ap.add_argument("--plans", default="", help="dump plans/<round>/<key>_<SUFFIX>.txt")
+    ap.add_argument("--plans-dir", default="r14", help="subdir of plans/ for dumps")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--out", default="")
@@ -113,7 +114,9 @@ def main() -> None:
         }
         if args.plans:
             safe = name.replace(":", "_")
-            path = os.path.join(_REPO, "plans", "r13", f"{safe}_{args.plans}.txt")
+            pdir = os.path.join(_REPO, "plans", args.plans_dir)
+            os.makedirs(pdir, exist_ok=True)
+            path = os.path.join(pdir, f"{safe}_{args.plans}.txt")
             with open(path, "w") as f:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
