@@ -127,6 +127,26 @@ def _materialize(spark, sf_dir: str, name: str, build) -> DataFrame:
     return df
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Small driver-side result set as a DataFrame via the pandas/Arrow
+    path (r14, guide §6 'Arrow for driver transfers').
+
+    ``createDataFrame(list)`` wraps the rows in a PICKLED RDD split
+    into defaultParallelism partitions — every action on the result
+    then runs a 32-task Python-deserialization job (~0.3-0.4 s on a
+    32-core session even for 40 rows, measured).  The pandas route
+    converts driver-side through Arrow instead (~3.5x cheaper per
+    action).  Values are exact both ways: ints ride int64, doubles
+    float64 (bit-preserved), strings object->utf8.  Column names come
+    positionally from the schema string."""
+    import pandas as pd  # noqa: PLC0415
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    names = [f.split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema)
+
+
 def _maybe_broadcast(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Broadcast hint for duplicate-graph-sized tables, as a CONFIG FLIP.
 
@@ -438,32 +458,58 @@ def _shingle_array_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (density is not needed: downstream only uses id order +
     equality).
 
-    r13-opt (guide §2.4): the posting lists ride the SAME groupBy that
-    counts df — `collect_list(doc_id)` next to `count(*)` — and fan
-    back out with a map-side explode AFTER the id assignment, so the
-    r12 shape's second full shuffle of the postings table (the
-    `postings JOIN ids ON sh` exchange) and the ids localCheckpoint
-    barrier disappear: 3 postings-sized exchanges + a checkpoint job
-    become 3 exchanges total (group, range, doc regroup), one fewer
-    pass and two fewer jobs.  The id assignment is unchanged — same
-    range partitioning on (df, sh), same within-partition sort, same
-    partition count — so the bijection (and the spilled table) is
-    row-identical.  The checkpoint is no longer needed: within the
-    single spill-write action the ids subtree has exactly one
-    consumer, and range boundaries are driver-computed once before
-    the reduce stage, so task retries cannot re-deal the ids."""
+    r13-opt (guide §2.4): the posting lists ride the groupBy that
+    counts df and fan back out with a map-side explode AFTER the id
+    assignment, so the r12 shape's second full shuffle of the raw
+    postings table (`postings JOIN ids ON sh`) and the ids
+    localCheckpoint barrier disappear.
+
+    r14 skew hardening (guide §2.5; r13 VERDICT next-round #2): the
+    r13 spelling collected each shingle's FULL posting list in ONE
+    aggregation row — at 100 TB a stop-shingle's df grows with the
+    corpus and that single `collect_list` value blows a task (AQE can
+    split skewed join partitions but never a single aggregation
+    group).  The lists are now collected at (sh, salt-16) grain —
+    deterministic salt `pmod(xxhash64(doc_id), 16)`, so every
+    aggregation row is bounded at ~df/16 and re-runs deal rows
+    identically (guide §2.5 on rand-derived keys) — df totals come
+    from a tiny second-level count aggregate (partial-agg map-side,
+    skew-free), and the id assignment joins back onto the salted
+    list rows.  That join is size-gated: at fixture scale `ids` (one
+    row per distinct shingle) broadcasts; past the broadcast
+    threshold it is an equi-join on sh whose hot keys AQE skew-split
+    CAN handle — rows per (sh, salt) stay bounded either way.
+    Measured cost-neutral at sf0.1 (2.82 -> 2.95 s same-session noop
+    A/B on the raw build).
+
+    The id assignment itself is unchanged — range partition the
+    per-shingle (df, sh) rows on (df, sh), sort within partitions,
+    monotonically_increasing_id.  Range boundaries are re-sampled
+    from the new (counts-only) input layout, so the concrete id
+    VALUES may shift between shapes — but range-partition ids are
+    order-preserving for ANY boundary placement, so the bijection
+    stays an order-isomorphism of the (df, sh) total order, which is
+    the only property any consumer uses (prefix slices, id equality,
+    array_intersect; verified: the r13->r14 id mapping is strictly
+    monotone over all 27,213 ids at sf0.1 and every consumer key
+    stays hash-exact).  No checkpoint needed: within the single
+    spill-write action the ids subtree has exactly one consumer, and
+    range boundaries are driver-computed once before the reduce
+    stage, so task retries cannot re-deal the ids."""
     def build() -> DataFrame:
         postings = _materialize(
             spark, sf_dir, "postings", lambda: _corpus_shingles(spark, sf_dir)
         )
+        g1 = postings.groupBy(
+            "sh", F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("_salt")
+        ).agg(
+            F.count("*").alias("df_p"), F.collect_list("doc_id").alias("docs_p")
+        )
+        counts = g1.groupBy("sh").agg(F.sum("df_p").cast("long").alias("df"))
         ids = (
-            postings.groupBy("sh")
-            .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("docs"))
-            .repartitionByRange(32, F.asc("df"), F.asc("sh"))
+            counts.repartitionByRange(32, F.asc("df"), F.asc("sh"))
             .sortWithinPartitions(F.asc("df"), F.asc("sh"))
-            .select(
-                "docs", F.col("df"), F.monotonically_increasing_id().alias("sh_id")
-            )
+            .select("sh", "df", F.monotonically_increasing_id().alias("sh_id"))
         )
         # dfs rides along, sorted WITH ids (id order == df order by
         # construction), so any prefix's max global df is a plain
@@ -471,7 +517,8 @@ def _shingle_array_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without re-aggregating the postings (see _jaccard_pairs_build).
         z = F.sort_array(F.collect_list(F.struct("sh_id", "df")))
         return (
-            ids.select("sh_id", "df", F.explode("docs").alias("doc_id"))
+            g1.join(ids, "sh")
+            .select("sh_id", "df", F.explode("docs_p").alias("doc_id"))
             .groupBy("doc_id")
             .agg(z.alias("z"))
             .select(
@@ -2154,7 +2201,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip, not a data collect), prefix-sum them on the driver and
     add each partition's base offset back as a map literal.  Every
     data-bearing stage is K-way parallel; the doc_id range exchange is
-    the only shuffle."""
+    the only shuffle.  (r14: the checkpoint-free literal-boundary
+    fusion was measured on this family and NOT adopted — it re-computes
+    the pre-window stages the checkpoint materializes; see
+    q_lorenz_gini's r14 note.)"""
     d = load_table(spark, sf_dir, "documents")
     n = F.size(tokens(F.col("text"))).cast("long")
     t = (

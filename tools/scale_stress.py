@@ -184,7 +184,117 @@ def build_corpus(base_dir: str, out_dir: str, n_replicas: int, mode: str) -> Non
     )
 
 
+def shingle_skew_main() -> None:
+    """Hot-shingle skew stress for the _shingle_array_table build (r14,
+    VERDICT r13 next-round #2): plant a universal trigram — prepend
+    'hot hot hot hot' to EVERY document, giving the 'hot hot hot'
+    shingle df == corpus size — then scale 1x/3x/10x in the closed
+    regime (dfs also grow linearly) and time the shingle-array spill
+    build cold.  The r13 single-collect_list shape put the hot
+    shingle's ENTIRE posting list in one aggregation row (a single
+    task's buffer, unsplittable by AQE); the r14 salted shape bounds
+    every aggregation row at ~df/16 and leaves the hot key to a
+    skew-splittable join.  Receipt: build secs + output rows + growth
+    exponents, plus the hottest shingle's df per scale.
+
+    Run: python tools/scale_stress.py --shingle-skew [BASE] [OUT_JSON]
+    """
+    import math
+
+    argv = [a for a in sys.argv[1:] if a != "--shingle-skew"]
+    base = argv[0] if argv else "/root/testdata/sf0.1"
+    out_json = argv[1] if len(argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_STRESS_SHINGLE_r14.json",
+    )
+    work = os.environ.get(
+        "SPARK_GRAFT_STRESS_DIR",
+        os.path.join(os.path.dirname(out_json), ".scale_stress"),
+    )
+    spark = get_spark("kcptc-shingle-skew")
+    from kafka_connect_postgres_to_clickhouse_spark.operators.analytics_queries import (
+        _MATERIALIZED,
+        _corpus_shingles,
+        _materialize,
+        _shingle_array_table,
+    )
+
+    import duckdb
+    import pandas as pd  # noqa: F401
+
+    def hotify(src_dir: str, dst_dir: str) -> None:
+        os.makedirs(dst_dir, exist_ok=True)
+        con = duckdb.connect()
+        con.sql(
+            "COPY (SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+            " 'hot hot hot hot ' || text AS text, lang, source,"
+            " CAST(n_chars + 16 AS BIGINT) AS n_chars"
+            f" FROM '{os.path.join(src_dir, 'documents.parquet')}')"
+            f" TO '{os.path.join(dst_dir, 'documents.parquet')}' (FORMAT PARQUET)"
+        )
+        for t in ("embeddings",):
+            con.sql(
+                f"COPY (SELECT * FROM '{os.path.join(src_dir, t)}.parquet')"
+                f" TO '{os.path.join(dst_dir, t)}.parquet' (FORMAT PARQUET)"
+            )
+
+    def exp(v1: float, v10: float) -> float:
+        return round(math.log10(max(v10, 1e-9) / max(v1, 1e-9)), 3)
+
+    cells: dict[str, dict] = {}
+    for s in SCALES:
+        if s == 1:
+            rep_dir = base
+        else:
+            rep_dir = os.path.join(work, f"closed_x{s}")
+            if not os.path.exists(os.path.join(rep_dir, "documents.parquet")):
+                build_corpus(base, rep_dir, s, "closed")
+        d = os.path.join(work, f"skew_hot_x{s}")
+        hotify(rep_dir, d)
+        runs = []
+        nrows = None
+        hot_df = None
+        for _ in range(2):
+            pre = set(_MATERIALIZED)
+            t0 = time.time()
+            nrows = _shingle_array_table(spark, d).count()
+            runs.append(round(time.time() - t0, 3))
+            for mk in list(_MATERIALIZED):
+                if mk not in pre:
+                    del _MATERIALIZED[mk]
+        # hottest shingle df, read off the postings (cold rebuild evicted)
+        from pyspark.sql import functions as F
+
+        hot_df = (
+            _materialize(spark, d, "postings", lambda: _corpus_shingles(spark, d))
+            .groupBy("sh").count().agg(F.max("count")).collect()[0][0]
+        )
+        for mk in list(_MATERIALIZED):
+            del _MATERIALIZED[mk]
+        cells[str(s)] = {"rows": nrows, "sec": min(runs), "runs": runs,
+                         "max_shingle_df": hot_df}
+        print(f"[skew] {s}x: rows={nrows} sec={runs} max_df={hot_df}", flush=True)
+
+    payload = {
+        "base_sf_dir": base,
+        "scales": SCALES,
+        "protocol": "cold per run (created memo entries evicted), min of 2",
+        "what": "_shingle_array_table build under a planted universal "
+                "trigram (df == corpus docs) at 1x/3x/10x closed-regime",
+        "cells": cells,
+        "exp_sec": exp(cells["1"]["sec"], cells["10"]["sec"]),
+        "exp_rows": exp(cells["1"]["rows"], cells["10"]["rows"]),
+    }
+    with open(out_json, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"exp_sec": payload["exp_sec"],
+                      "exp_rows": payload["exp_rows"]}))
+
+
 def main() -> None:
+    if "--shingle-skew" in sys.argv:
+        shingle_skew_main()
+        return
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
